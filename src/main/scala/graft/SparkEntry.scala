@@ -1,13 +1,588 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.chess.ChessFunctions
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (names are prefixed with the inventory id they cover), plus
+  * the scale-path operators (dedup / similarity / text analysis /
+  * multimodal). Every query that is ANSI-SQL-expressible has a DuckDB
+  * oracle in [[oracleSql]] with identical column names and value semantics
+  * (exact integer arithmetic or per-row IEEE double ops; accumulation-order-
+  * sensitive double sums are rounded on both sides).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the star-join revenue rollup (J1/A1 analog of the reference's win-rate
+    * by opening-family dashboards).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("j1_a1_star_rollup")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared fragments -------------------------------------------------
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** DuckDB CTE fragments shared by the text/dedup oracles. */
+  private val ShinglesCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+      |                      i -> array_to_string(w[i:i+4], ' '))) AS s
+      |       FROM t WHERE len(w) >= 5),
+      |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id)""".stripMargin
+
+  // ---- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A4 + F: grouped aggregation with exact and rounded measures
+    "a1_groupby_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(revenue), 2).as("revenue"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P2/A3: SELECT DISTINCT projection
+    "p2_distinct" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()),
+
+    // J2/P4: NOT IN incremental anti-join (keys non-null -> left_anti)
+    "j2_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+
+    // J1: referential star join projecting fact columns only
+    "j1_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "left")
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"), col("l_shipdate"))
+    }),
+
+    // J1+A1: broadcast-star rollup (flagship)
+    "j1_a1_star_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // J4: role-playing dimension joined twice under different aliases
+    "j4_roleplay_join" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.as("cn")), col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.as("sn")), col("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(col("cn.n_name").as("cust_nation"), col("sn.n_name").as("supp_nation"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // W1/P6: latest-record window dedup (the reference's merge semantics)
+    "w1_window_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+    }),
+
+    // U1: set-semantics union
+    "u1_union_distinct" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()),
+
+    // U2: bag union
+    "u2_union_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"), lit("customer").as("src"))
+        .unionByName(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey"), lit("supplier").as("src")))),
+
+    // P7: searched CASE derivations
+    "p7_case_pivot" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("price_band"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"))),
+
+    // O2: deterministic top-k (tie-broken global sort + limit)
+    "o2_topk" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(desc("c_acctbal"), col("c_custkey")).limit(10)),
+
+    // O3: watermark max
+    "o3_watermark_max" -> ((s, d) =>
+      Tables.events(s, d).agg(max(col("ts")).as("last_updated"))),
+
+    // F7-F9 + P2: dim_date build (year/month/monthname/day/weekday/quarter)
+    "f7_dim_date" -> ((s, d) => {
+      val dt = to_date(col("o_orderdate"))
+      Tables.orders(s, d).select(
+        dt.as("order_date"),
+        year(dt).cast("long").as("year"),
+        month(dt).cast("long").as("month"),
+        date_format(dt, "MMMM").as("month_name"),
+        dayofmonth(dt).cast("long").as("day"),
+        date_format(dt, "EEEE").as("weekday"),
+        quarter(dt).cast("long").as("quarter")).distinct()
+    }),
+
+    // P1 + F10: wide projection with casts, arithmetic and string ops
+    "p1_wide_projection" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        // engine-neutral 2-dp rounding: floor(x*100+0.5)/100 is bit-exact
+        // across engines given identical doubles, unlike round() whose
+        // half-way ties differ between Spark (BigDecimal HALF_UP) and DuckDB
+        (floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * 100 + 0.5) / 100).as("charge"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        when(col("l_discount") > 0.05, "promo").otherwise("std").as("promo_flag"))),
+
+    // F1: regex group extraction (PGN-header analog over JSON-ish props)
+    "f1_regex_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_val"))),
+
+    // F2/UD5: regexp_extract_all count (pgn-depth analog)
+    "f2_regex_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+          .as("n_alpha_tokens"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))),
+
+    // UD3/UD4: family/variation split
+    "ud3_split_family" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("family"),
+        split(col("p_name"), " ").getItem(1).as("variation"))),
+
+    // F6: duration in seconds between first and last event per user
+    "f6_duration_secs" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id")).agg(
+        (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("span_secs"),
+        count(lit(1)).as("n_events"))),
+
+    // UD6: format_time_control over synthesized "base+inc" strings
+    "ud6_format_time_control" -> ((s, d) => {
+      val base = (col("event_id") % 9 + 1) * 60 + (col("event_id") % 7) * 10
+      val tc = when(col("event_id") % 3 === 0, base.cast("string"))
+        .otherwise(concat(base.cast("string"), lit("+"), (col("event_id") % 13).cast("string")))
+      Tables.events(s, d).select(col("event_id"), tc.as("tc"))
+        .withColumn("formatted", ChessFunctions.formatTimeControl(col("tc")))
+    }),
+
+    // P5: LIKE predicates
+    "p5_like_filter" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%widget%") && col("p_brand").like("Brand#1%"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))),
+
+    // A2: count-distinct single and pair
+    "a2_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))),
+
+    // J3: longest-prefix match join (opening-book analog): broadcast dict of
+    // 2- and 3-word prefixes, non-equi startsWith join, longest match wins
+    "j3_prefix_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = split(col("text"), " ")
+      val sample = docs.filter(col("doc_id") % 20 === 0)
+      val dict = sample.select(concat_ws(" ", slice(w, 1, 2)).as("p"))
+        .union(sample.filter(size(w) >= 3).select(concat_ws(" ", slice(w, 1, 3)).as("p")))
+        .distinct()
+      docs.join(broadcast(dict), col("text").startsWith(col("p")), "left")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("p"), length(col("p"))).as("opening"),
+          max(length(col("p"))).cast("long").as("opening_len"))
+    }),
+
+    // ---- scale-path: deduplication ------------------------------------
+
+    "dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
+
+    "dedup_normalized" -> ((s, d) => Dedup.normalizedGroups(Tables.documents(s, d))),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), k = 5, threshold = 0.8)),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshDedup(Tables.documents(s, d), k = 5, numPerm = 16, bands = 4,
+        threshold = 0.8)),
+
+    "dedup_simhash" -> ((s, d) => Dedup.simhashSignatures(Tables.documents(s, d))),
+
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.95, signBits = 8)
+        .select(col("vec_a"), col("vec_b"))),
+
+    // ---- scale-path: similarity search ---------------------------------
+
+    "ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+
+    "ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+
+    // ---- scale-path: text analysis --------------------------------------
+
+    "text_profile" -> ((s, d) => TextAnalysis.profile(Tables.documents(s, d))),
+
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.minShingleFingerprint(col("text"), 5).as("min_shingle_fp"))),
+
+    // ---- scale-path: multimodal (binary column plumbing) ----------------
+
+    "mm_binary_meta" -> ((s, d) => {
+      val bin = encode(col("text"), "UTF-8")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(bin).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_hash"),
+        (octet_length(bin) % 256).cast("long").as("fake_width"),
+        floor(octet_length(bin) / lit(256)).cast("long").as("fake_height"))
+    }),
+
+    // ---- streaming semantics (batch-equivalent tumbling window) ---------
+
+    "stream_tumbling_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("window_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value")))
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p2_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "j2_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "j1_star_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+        | l.l_quantity, l.l_extendedprice, l.l_returnflag, l.l_shipdate
+        |FROM lineitem l
+        |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin,
+
+    "j1_a1_star_rollup" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "j4_roleplay_join" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, count(*) AS n
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |GROUP BY cn.n_name, sn.n_name""".stripMargin,
+
+    "w1_window_dedup" ->
+      """SELECT user_id, event_id, event_type, ts, value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "u2_union_all" ->
+      """SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier""".stripMargin,
+
+    "p7_case_pivot" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CASE WHEN o_totalprice < 50000 THEN 'small'
+        |      WHEN o_totalprice < 150000 THEN 'medium'
+        |      ELSE 'large' END AS price_band,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter
+        |FROM orders""".stripMargin,
+
+    "o2_topk" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "o3_watermark_max" ->
+      "SELECT max(ts) AS last_updated FROM events",
+
+    "f7_dim_date" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date,
+        | CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS year,
+        | CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS month,
+        | strftime(CAST(o_orderdate AS DATE), '%B') AS month_name,
+        | CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        | strftime(CAST(o_orderdate AS DATE), '%A') AS weekday,
+        | CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS quarter
+        |FROM orders""".stripMargin,
+
+    "p1_wide_projection" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+        | floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
+        | l_returnflag || '/' || l_linestatus AS flag_status,
+        | CAST(l_shipdate AS DATE) AS ship_date,
+        | CASE WHEN l_discount > 0.05 THEN 'promo' ELSE 'std' END AS promo_flag
+        |FROM lineitem""".stripMargin,
+
+    "f1_regex_extract" ->
+      """SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k_str,
+        | TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+
+    "f2_regex_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents""".stripMargin,
+
+    "ud3_split_family" ->
+      """SELECT p_partkey, split_part(p_name, ' ', 1) AS family,
+        | split_part(p_name, ' ', 2) AS variation
+        |FROM part""".stripMargin,
+
+    "f6_duration_secs" ->
+      """SELECT user_id,
+        | CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_secs,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "ud6_format_time_control" ->
+      """WITH t AS (
+        | SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0
+        |   THEN CAST((event_id % 9 + 1) * 60 + (event_id % 7) * 10 AS VARCHAR)
+        |   ELSE CAST((event_id % 9 + 1) * 60 + (event_id % 7) * 10 AS VARCHAR)
+        |        || '+' || CAST(event_id % 13 AS VARCHAR) END AS tc
+        | FROM events)
+        |SELECT event_id, tc,
+        | CASE WHEN strpos(tc, '+') > 0
+        |  THEN CAST(CAST(floor(CAST(split_part(tc, '+', 1) AS BIGINT) / 60) AS BIGINT) AS VARCHAR)
+        |       || '|' || split_part(tc, '+', 2)
+        |  ELSE CAST(CAST(floor(CAST(tc AS BIGINT) / 60) AS BIGINT) AS VARCHAR) END AS formatted
+        |FROM t""".stripMargin,
+
+    "p5_like_filter" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE '%widget%' AND p_brand LIKE 'Brand#1%'""".stripMargin,
+
+    "a2_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT (l_partkey, l_suppkey)) AS n_pairs
+        |FROM lineitem""".stripMargin,
+
+    "j3_prefix_match" ->
+      """WITH sample AS (SELECT text, string_split(text, ' ') AS w FROM documents
+        |               WHERE doc_id % 20 = 0),
+        |dict AS (
+        | SELECT DISTINCT array_to_string(w[1:2], ' ') AS p FROM sample
+        | UNION
+        | SELECT DISTINCT array_to_string(w[1:3], ' ') AS p FROM sample WHERE len(w) >= 3)
+        |SELECT d.doc_id, max_by(t.p, strlen(t.p)) AS opening,
+        | CAST(max(strlen(t.p)) AS BIGINT) AS opening_len
+        |FROM documents d LEFT JOIN dict t ON starts_with(d.text, t.p)
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                ' +', ' ', 'g'))) AS fp,
+        | count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |       FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         | inter / (sa.n + sb.n - inter) AS jaccard
+         |FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until 16).map(i => s"min(md5('$i:' || s)) AS m$i").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val cols = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $ShinglesCte,
+         |sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pr AS (SELECT c.da, c.db, count(*) AS inter
+         |       FROM cand c JOIN ds a ON a.doc_id = c.da
+         |       JOIN ds b ON b.doc_id = c.db AND b.s = a.s
+         |       GROUP BY c.da, c.db)
+         |SELECT da AS doc_a, db AS doc_b,
+         | inter / (sa.n + sb.n - inter) AS jaccard
+         |FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val votes = (0 until 16).map(b =>
+        s"sum(CASE WHEN substr(h, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val bits = (0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+         |           FROM documents),
+         |h AS (SELECT doc_id, md5(tk) AS h FROM t),
+         |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v""".stripMargin
+    },
+
+    "dedup_embedding" -> {
+      val bucket = (0 until 8).map(i =>
+        s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH k AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $bucket AS bucket
+         |           FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e) /
+         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+         |      >= 0.95""".stripMargin
+    },
+
+    // cosine spelled out over DOUBLE[] so DuckDB's accumulation matches our
+    // double-accumulating native expression bit-for-bit (float-typed
+    // list_cosine_similarity differs in the last ulp and flips 6-dp rounding)
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |       round(list_dot_product(q.qe, CAST(e.embedding AS DOUBLE[])) /
+        |         (sqrt(list_dot_product(q.qe, q.qe)) *
+        |          sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])))), 6) AS cos_r
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER
+        |       (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, cos_r, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    "text_profile" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      val langScores = TextAnalysis.LangMarkers.map { case (l, m) =>
+        s"len(list_filter(w, t -> t IN (${m.map(x => s"'$x'").mkString(", ")}))) AS s_$l"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id, text, n_chars, w,
+         |  strlen(text) AS n,
+         |  strlen(text) - strlen(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         |  len(list_filter(w, t -> t IN ($stop))) AS n_stop,
+         |  $langScores
+         | FROM t),
+         |r AS (SELECT doc_id, text, n_chars, w, n,
+         |  CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(w) > 0 THEN n_stop / len(w) ELSE 0.0 END AS stopword_ratio,
+         |  s_en, s_es, s_fr, s_de, s_zh
+         | FROM m)
+         |SELECT doc_id, n_chars,
+         | CAST(len(w) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+         |   AS n_regex_tokens,
+         | punct_ratio,
+         | stopword_ratio,
+         | CASE WHEN len(w) > 0
+         |  THEN CAST(list_aggregate(list_transform(w, t -> strlen(t)), 'sum') AS DOUBLE) / len(w)
+         |  ELSE 0.0 END AS mean_word_len,
+         | (CASE WHEN n BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
+         |  + (CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END)
+         |  + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END)
+         |   AS quality_score,
+         | CASE WHEN s_zh > s_en AND s_zh > s_es AND s_zh > s_fr AND s_zh > s_de THEN 'zh'
+         |      WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+         |      WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+         |      WHEN s_es > s_en THEN 'es'
+         |      ELSE 'en' END AS lang_pred,
+         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |          ' +', ' ', 'g'))) AS fingerprint
+         |FROM r""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH $ShinglesCte,
+         |mins AS (SELECT doc_id, min(md5(s)) AS min_shingle_fp FROM ds GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'),
+         |          ' +', ' ', 'g'))) AS fingerprint,
+         | mins.min_shingle_fp AS min_shingle_fp
+         |FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_hash,
+        | CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_width,
+        | CAST(octet_length(encode(text)) // 256 AS BIGINT) AS fake_height
+        |FROM documents""".stripMargin,
+
+    "stream_tumbling_agg" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_epoch,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

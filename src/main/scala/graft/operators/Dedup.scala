@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Four families, in increasing fuzziness:
+  *  - exact (hash-groupBy on content / normalized content)
+  *  - n-gram Jaccard via an inverted shingle index (no O(n^2) cross join)
+  *  - MinHash + LSH banding (candidate generation sub-quadratic in docs)
+  *  - SimHash bit-signatures
+  *
+  * Design notes for 100 TB:
+  *  - Every pipeline is a sequence of narrow projections + hash shuffles on
+  *    content-derived keys (md5 / shingle / band hash), which distribute and
+  *    parallelize trivially; no driver-side state.
+  *  - The shingle inverted index joins docs on *shared shingles* rather than
+  *    crossing all pairs, so cost is proportional to actual collisions.
+  *    Hot shingles (stop-phrases) would skew the join at scale; cap them by
+  *    filtering postings lists longer than a bound before the self-join
+  *    (standard df-cut), which also removes useless candidates.
+  *  - MinHash uses md5(seed || shingle) minima, so signatures are computed
+  *    in one pass over an exploded shingle table with 16 per-seed `min`
+  *    partial aggregates (map-side combine shrinks the shuffle to one row
+  *    per doc).
+  */
+object Dedup {
+
+  /** Exact-duplicate groups by content hash: one row per distinct content,
+    * with the group size and the kept (minimum) doc_id.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+
+  /** Exact duplicates after normalization (case/punct/whitespace). */
+  def normalizedGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+
+  /** Distinct k-shingles per doc, exploded: (doc_id, shingle). */
+  def shingleTable(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), k)).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs >= `threshold`, via inverted index:
+    * join docs that share at least one shingle, count the intersection,
+    * then Jaccard = inter / (|A| + |B| - inter). `maxPostings` drops
+    * degenerate stop-shingles shared by more than that many docs (df-cut)
+    * so one hot key cannot skew the shuffle at scale.
+    */
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                   maxPostings: Long = 1000000L): DataFrame = {
+    val sh = shingleTable(docs, k)
+    val pruned = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") <= maxPostings).drop("df")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pruned.as("a").join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature columns m0..m{numPerm-1}: per-seed lexicographic
+    * minimum of md5(seed:shingle). One row per doc.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int, numPerm: Int): DataFrame = {
+    val sh = shingleTable(docs, k)
+    val aggs = (0 until numPerm).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the MinHash signature: band b hashes rows
+    * [b*rowsPerBand, (b+1)*rowsPerBand). Output: (doc_id, band, bh).
+    */
+  def lshBands(sigs: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket. */
+  def lshCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int): DataFrame = {
+    val bandsDf = lshBands(minhashSignatures(docs, k, numPerm), numPerm, bands)
+    bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard
+    * verification of candidates only (the scale path: verification cost is
+    * proportional to candidates, not to n^2).
+    */
+  def minhashLshDedup(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    val cand = lshCandidates(docs, k, numPerm, bands)
+    val sh = shingleTable(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash from the high bit of each hex nibble of md5(token):
+    * bit b of the signature is the sign of the sum over tokens of
+    * (+1 if nibble b of md5(token) >= 8 else -1). Integer arithmetic only,
+    * so it is bit-stable across engines and SQL-expressible.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(TextAnalysis.words(text))
+    val hashes = transform(toks, t => md5(t))
+    val bits = (0 until 16).map { b =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(substring(h, b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash16(col("text")).as("simhash"))
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
+    * an LSH-style blocking key (sign of the first `signBits` components) so
+    * the self-join is bucketed rather than a full cross product.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double, signBits: Int = 8): DataFrame = {
+    val keyed = emb.select(col("vec_id"), col("embedding"),
+      Similarity.signBucket(col("embedding"), signBits).as("bucket"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

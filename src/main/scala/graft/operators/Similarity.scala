@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact top-k by cosine. The query set is broadcast
+  *    (it is small by construction); each partition of the corpus scores its
+  *    rows against every query with a codegen'd native expression
+  *    ([[graft.functions.CosineSimilarity]]), then a per-query window keeps
+  *    the top k. Cost is |Q| * |corpus| dot products spread across all
+  *    executors — the right baseline when |Q| is small.
+  *  - [[lshTopK]]: random-hyperplane LSH. Corpus and queries are bucketed by
+  *    the sign pattern of `planes` fixed pseudo-random hyperplanes (seeded,
+  *    data-independent — the same plane matrix works on every executor with
+  *    no fitting step). Candidates = same-bucket rows (multi-probe on the
+  *    query side flips each single bit to recover near-boundary neighbors);
+  *    exact cosine re-ranks candidates. At 100 TB this turns a full scan per
+  *    query into a bucketed hash join.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component d of plane p
+    * is derived from md5, mapped into [-0.5, 0.5). Data-independent, seeded.
+    */
+  private[operators] def planeMatrix(planes: Int, dim: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { d =>
+        val h = md.digest(s"plane:$p:$d".getBytes("UTF-8"))
+        val v = ((h(0) & 0xff) << 8 | (h(1) & 0xff)).toFloat / 65536.0f - 0.5f
+        v
+      }
+    }
+  }
+
+  /** Sign-pattern bucket of the first `bits` components (cheap blocking key
+    * for embedding near-dup self-joins).
+    */
+  def signBucket(emb: Column, bits: Int): Column =
+    (0 until bits).map(i => when(element_at(emb, i + 1) >= 0f, lit(1L) * (1L << i))
+      .otherwise(lit(0L))).reduce(_ + _)
+
+  /** Sign-pattern bucket under the random hyperplanes (LSH key). */
+  def planeBucket(emb: Column, planesM: Array[Array[Float]]): Column = {
+    val planeCols = planesM.map(p => typedLit(p.toSeq))
+    planeCols.zipWithIndex.map { case (p, i) =>
+      when(vec_dot(emb, p) >= 0.0, lit(1L) * (1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each query row.
+    * `queries` must be small (broadcast); excludes self-matches.
+    * Ranking uses the cosine rounded to 6 decimals with `neighbor_id` as the
+    * tie-break, so the ordering is insensitive to last-ulp accumulation
+    * differences and deterministic across engines (oracle-comparable).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c").join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))),
+        col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("c.embedding")), 6).as("cos_r"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_r"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_r"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** LSH-bucketed ANN: bucket corpus once, multi-probe queries (exact bucket
+    * plus all 1-bit flips), re-rank candidates exactly, keep top-k.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12): DataFrame = {
+    val dim = 64
+    val pm = planeMatrix(planes, dim)
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      planeBucket(col("embedding"), pm).as("bucket"))
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      planeBucket(col("embedding"), pm).as("qbucket"))
+    // multi-probe: original bucket + flipping each bit
+    val probes = qb.select(col("query_id"), col("qe"),
+      explode(array((col("qbucket") +: (0 until planes).map(i =>
+        col("qbucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+    val cand = probes.join(bucketed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))
+  }
+}

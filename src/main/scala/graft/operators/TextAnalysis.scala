@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, shingling, quality scoring, language-ID heuristics and
+  * document fingerprinting — all as pure `Column` expressions so they stay
+  * inside whole-stage codegen (no UDFs, no driver-side loops) and scale
+  * linearly with the corpus.
+  *
+  * Semantics are chosen to be expressible in ANSI SQL as well, so every
+  * operator has a DuckDB oracle (see [[graft.SparkEntry.oracleSql]]).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space convention of the corpus). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or a single
+    * non-alphanumeric non-space char each count as one token.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+
+  /** Distinct k-word shingles (n-grams) of a document, as an array column.
+    * Documents shorter than k words yield an empty array.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val w = words(text)
+    array_distinct(
+      when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", slice(w, i, lit(k)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Ratio of punctuation characters to total characters. Exact IEEE
+    * division of two integer-valued counts — deterministic across engines.
+    */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val punct = n - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    when(n > 0, punct.cast("double") / n.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Stopword ratio over whitespace tokens (tiny English stopword list). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+  def stopwordRatio(text: Column): Column = {
+    val w = words(text)
+    val stop = filter(w, t => t.isin(Stopwords.map(lit): _*))
+    when(size(w) > 0, size(stop).cast("double") / size(w).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean word length in characters. */
+  def meanWordLen(text: Column): Column = {
+    val w = words(text)
+    when(size(w) > 0,
+      aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double")
+        / size(w).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * a sane stopword ratio. Deterministic integer/exact-double arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 100000), lit(0.4)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.1, lit(0.3)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text).between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0))
+    lenOk + punctOk + stopOk
+  }
+
+  /** Marker-word language-ID heuristic: counts hits from small per-language
+    * marker lexicons over whitespace tokens and takes the arg-max with a
+    * deterministic preference order (en > es > fr > de > zh on ties).
+    * A real system plugs in character-n-gram models; the operator shape —
+    * per-row scoring, no shuffle — is the part that matters at scale.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val w = words(text)
+    size(filter(w, t => t.isin(markers.map(lit): _*))).cast("long")
+  }
+
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    // arg-max with first-listed language winning ties
+    scores.tail.foldLeft((when(lit(true), lit(scores.head._1)), scores.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          greatest(s, bestScore))
+    }._1
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercased, punctuation
+    * stripped, whitespace collapsed). Stable across engines.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** Min-shingle fingerprint (single-permutation MinHash): the lexicographic
+    * minimum md5 over the document's k-shingles — a locality-sensitive
+    * document sketch usable for near-dup blocking.
+    */
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+
+  /** Full per-document text-statistics projection. */
+  def profile(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      regexTokenCount(col("text")).as("n_regex_tokens"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      meanWordLen(col("text")).as("mean_word_len"),
+      qualityScore(col("text")).as("quality_score"),
+      langId(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fingerprint"))
+}
