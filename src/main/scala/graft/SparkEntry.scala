@@ -256,6 +256,11 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
     }),
 
+    "ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+
     // ---- scale-path: text analysis --------------------------------------
 
     "text_profile" -> ((s, d) => TextAnalysis.profile(Tables.documents(s, d))),

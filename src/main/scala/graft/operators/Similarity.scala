@@ -76,24 +76,70 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: bucket corpus once, multi-probe queries (exact bucket
-    * plus all 1-bit flips), re-rank candidates exactly, keep top-k.
+    * plus all XOR masks of up to `probeBits` plane-bit flips), re-rank
+    * candidates exactly, keep top-k.
+    *
+    * Sizing at scale: recall per neighbor at angle θ is
+    * P(Binomial(planes, θ/π) <= probeBits); planes controls bucket
+    * granularity (candidates/query ≈ |corpus| * probes / 2^planes). Defaults
+    * (8 planes, 2-bit probes = 37 buckets of 256) scan ~15% of the corpus —
+    * tune planes up as |corpus| grows to keep candidate counts constant.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              probeBits: Int = 2): DataFrame = {
     val dim = 64
     val pm = planeMatrix(planes, dim)
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
       planeBucket(col("embedding"), pm).as("bucket"))
     val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       planeBucket(col("embedding"), pm).as("qbucket"))
-    // multi-probe: original bucket + flipping each bit
+    // all XOR masks with <= probeBits bits set
+    val masks = (0 until (1 << planes)).filter(m => java.lang.Integer.bitCount(m) <= probeBits)
     val probes = qb.select(col("query_id"), col("qe"),
-      explode(array((col("qbucket") +: (0 until planes).map(i =>
-        col("qbucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+      explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m.toLong))): _*)).as("bucket"))
     val cand = probes.join(bucketed, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
       .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** IVF-flat ANN: partition the corpus by nearest of `nlist` sampled
+    * centroids (broadcast argmin assignment — one narrow pass, no fitting
+    * step beyond the deterministic sample), probe the `nprobe` nearest
+    * centroid cells per query, re-rank exactly.
+    *
+    * The scale path: corpus assignment is embarrassingly parallel; each
+    * query joins only nprobe/nlist of the corpus through a hash join on
+    * `cell`. Unlike hyperplane LSH, cells follow the data distribution, so
+    * recall holds on clustered real-world embedding corpora.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
+              nprobe: Int = 8): DataFrame = {
+    // deterministic centroid sample: first nlist by vec_id (cheap, seedless;
+    // a k-means refinement would slot in here without changing the plan shape)
+    val centroids = corpus.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val assign = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("ce")).as("ccos"))
+      .groupBy("vec_id").agg(
+        max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    val qAssign = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("cid").as("cell"),
+        cosine(col("qe"), col("ce")).as("ccos"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("ccos"), col("cell"))
+    val probes = qAssign.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nprobe).select(col("query_id"), col("qe"), col("cell"))
+    val cand = probes.join(assign, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
+
+/** Shared local SparkSession for all specs (one JVM-wide session keeps
+  * `sbt test` fast; suites must not mutate global conf).
+  */
+object SparkFixture {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
+  lazy val spark: SparkSession = SparkFixture.spark
+  lazy val sf0001 = "/root/testdata/sf0.001"
+}

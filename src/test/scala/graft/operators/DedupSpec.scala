@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog!"),   // normalized dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog"),  // near dup (1 word)
+    (5L, "completely different content with no overlap at all here")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses byte-identical docs, keeps min id") {
+    val g = Dedup.exactGroups(docs).collect()
+    g.length shouldBe 4
+    val dup = g.find(_.getLong(1) == 2L).get
+    dup.getLong(2) shouldBe 1L // keep_id = min(doc_id)
+  }
+
+  test("normalizedGroups also collapses case/punct variants") {
+    val g = Dedup.normalizedGroups(docs)
+    g.count() shouldBe 3
+    g.filter($"n_dups" === 3).select($"keep_id").head.getLong(0) shouldBe 1L
+  }
+
+  test("jaccardPairs finds the near-dup pair and only it") {
+    val pairs = Dedup.jaccardPairs(docs.filter($"doc_id".isin(1L, 4L, 5L)),
+      k = 3, threshold = 0.4).collect()
+    pairs.length shouldBe 1
+    (pairs(0).getLong(0), pairs(0).getLong(1)) shouldBe ((1L, 4L))
+    // 1 and 4 share 5 of their 7+7 3-shingles: J = 5/9
+    pairs(0).getDouble(2) shouldBe 5.0 / 9.0 +- 1e-12
+  }
+
+  test("minhashLshDedup candidates find high-jaccard pairs (exact docs always)") {
+    val out = Dedup.minhashLshDedup(docs, k = 3, numPerm = 16, bands = 8, threshold = 0.9)
+      .collect()
+    // identical docs 1/2 share every shingle -> every band collides -> jaccard 1.0
+    out.map(r => (r.getLong(0), r.getLong(1))) should contain((1L, 2L))
+    out.foreach(_.getDouble(2) should be >= 0.9)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(1L) shouldBe sigs(2L)
+    val hamming = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    hamming should be <= 6 // 16-bit sketch, 1-word-different docs stay close
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(5L))
+    far should be > hamming
+  }
+
+  test("embeddingNearDups on synthetic embeddings agrees with brute force") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val viaLsh = Dedup.embeddingNearDups(emb, threshold = 0.8, signBits = 4)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // brute force reference (no blocking)
+    val brute = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" >= 0.8)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    // blocking only prunes pairs whose first-4-dim signs differ; verify the
+    // LSH result is a subset of brute force and finds same-bucket pairs
+    viaLsh.subsetOf(brute) shouldBe true
+  }
+}

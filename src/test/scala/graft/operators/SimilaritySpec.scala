@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine, excludes self, respects k") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 2).collect()
+    out.length shouldBe 2
+    out.map(_.getLong(1)).toSeq shouldBe Seq(2L, 3L) // by cosine desc
+    out.map(_.getLong(3)).toSeq shouldBe Seq(1L, 2L)
+  }
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf0001)
+  private lazy val queries = emb.filter($"vec_id" % 100 === 0)
+  private lazy val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+    .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("lshTopK multi-probe recall vs brute force on real embeddings") {
+    val approx = Similarity.lshTopK(emb, queries, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    info(s"lsh recall@10 = $recall")
+    // quasi-random 64-dim synthetic embeddings are LSH's worst case: top-10
+    // neighbors sit near cos~0.4, where P(<=2 of 8 plane-bit flips) ~ 0.25
+    recall should be >= 0.2
+  }
+
+  test("ivfTopK recall vs brute force on real embeddings") {
+    val approx = Similarity.ivfTopK(emb, queries, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    info(s"ivf recall@10 = $recall")
+    recall should be >= 0.5 // nprobe/nlist = 1/4 of cells scanned
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private def over(text: String)(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c($"t")).head.get(0)
+
+  test("tokenCount counts whitespace tokens") {
+    over("the quick brown fox")(TextAnalysis.tokenCount) shouldBe 4L
+  }
+
+  test("regexTokenCount: letter runs, digit runs, single punct") {
+    // "ab12, cd" -> ab | 12 | , | cd
+    over("ab12, cd")(TextAnalysis.regexTokenCount) shouldBe 4L
+  }
+
+  test("shingles produces distinct k-grams; short docs yield empty") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.shingles($"t", 3)).head.getSeq[String](0)
+    sh should contain theSameElementsAs Seq("a b c", "b c d")
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.shingles($"t", 3)).head.getSeq[String](0)
+    short shouldBe empty
+  }
+
+  test("punctRatio and stopwordRatio") {
+    over("ab,!")(TextAnalysis.punctRatio) shouldBe 0.5
+    over("the fox and hen run")(TextAnalysis.stopwordRatio) shouldBe 0.4
+    over("")(TextAnalysis.stopwordRatio) shouldBe 0.0
+  }
+
+  test("meanWordLen") {
+    over("ab cdef")(TextAnalysis.meanWordLen) shouldBe 3.0
+  }
+
+  test("qualityScore composes its three bands") {
+    // long enough, no punct, stopword ratio in range -> 1.0
+    over("the quick brown fox jumps over it")(TextAnalysis.qualityScore) shouldBe 1.0
+    // too short (< 20 chars), no punct, no stopwords -> 0.3
+    over("abcd efgh")(TextAnalysis.qualityScore) shouldBe 0.3
+  }
+
+  test("langId argmax with deterministic tie preference") {
+    over("the cat and the dog is here")(TextAnalysis.langId) shouldBe "en"
+    over("el gato de la casa que")(TextAnalysis.langId) shouldBe "es"
+    over("der hund und die katze das")(TextAnalysis.langId) shouldBe "de"
+    over("xyz")(TextAnalysis.langId) shouldBe "en" // all-zero tie -> first listed
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val fps = Seq("Hello,  World!", "hello world").toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).collect().map(_.getString(0))
+    fps(0) shouldBe fps(1)
+  }
+
+  test("profile runs over the synthetic documents table") {
+    val df = TextAnalysis.profile(graft.Tables.documents(spark, sf0001))
+    df.columns should contain allOf ("doc_id", "n_tokens", "quality_score", "lang_pred")
+    df.count() shouldBe 500L
+  }
+}
