@@ -283,6 +283,26 @@ object SparkEntry {
         floor(octet_length(bin) / lit(256)).cast("long").as("fake_height"))
     }),
 
+    // ---- chess pipeline end-to-end (rows-only check: not SQL-expressible;
+    // runs the real 514-game sample through bronze→silver→gold→analytics
+    // when the reference checkout is present, else an empty result) -------
+
+    "chess_e2e" -> ((s, _) => {
+      val sample = "/root/reference/dev_files/Data/2024-01/games.json"
+      if (!new java.io.File(sample).exists()) {
+        s.emptyDataFrame
+      } else {
+        val root = java.nio.file.Files.createTempDirectory("chess-e2e").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/bronze"))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(sample),
+          java.nio.file.Paths.get(s"$root/bronze/2024-01-games.json"))
+        val pipe = new graft.chess.ChessPipeline(s, root, "Rhythmbear1")
+        pipe.runMonth(2024, 1, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+        graft.chess.ChessAnalytics.winRateByOpeningFamily(
+          pipe.fact, pipe.dimOpenings, pipe.dimResults)
+      }
+    }),
+
     // ---- streaming semantics (batch-equivalent tumbling window) ---------
 
     "stream_tumbling_agg" -> ((s, d) =>

@@ -1,0 +1,124 @@
+package graft.chess
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** End-to-end pipeline test over the real 514-game 2024-01 sample:
+  * bronze → silver → dims → gold fact, idempotence of the merge, dim key
+  * uniqueness, analytics sanity (SURVEY.md §5 plan).
+  */
+class ChessPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private val sampleJson = "/root/reference/dev_files/Data/2024-01/games.json"
+  private val openingsCsv = "/root/reference/dev_files/Data/openings.csv"
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val root: String = {
+    val dir = java.nio.file.Files.createTempDirectory("chess-pipe").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/bronze"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sampleJson),
+      java.nio.file.Paths.get(s"$dir/bronze/2024-01-games.json"))
+    dir
+  }
+  private lazy val pipe = {
+    val p = new ChessPipeline(spark, root, "Rhythmbear1")
+    p.runMonth(2024, 1, ts("2024-02-01 00:00:00"))
+    p
+  }
+
+  test("silver has 514 rows x 24 columns with parsed headers and timestamps") {
+    assume(new java.io.File(sampleJson).exists())
+    val silver = spark.read.parquet(pipe.silverPath(2024, 1))
+    silver.count() shouldBe 514L
+    silver.columns.length shouldBe 24
+    silver.filter($"game_date".isNull || $"start_time".isNull || $"end_time".isNull)
+      .count() shouldBe 0L
+    silver.filter(!$"pgn_trans".startsWith("1. ")).count() shouldBe 0L
+    // every game involves the pipeline user
+    silver.filter($"pgn_white_user" =!= "Rhythmbear1" &&
+      $"pgn_black_user" =!= "Rhythmbear1").count() shouldBe 0L
+  }
+
+  test("gold fact: one row per game, pivot is consistent, duration non-negative") {
+    assume(new java.io.File(sampleJson).exists())
+    val fact = pipe.fact
+    fact.count() shouldBe 514L
+    fact.select("game_url").distinct().count() shouldBe 514L
+    fact.filter($"my_username" =!= "Rhythmbear1").count() shouldBe 0L
+    fact.filter($"opponent_username" === "Rhythmbear1").count() shouldBe 0L
+    fact.filter($"game_duration_secs" < 0).count() shouldBe 0L
+    fact.filter($"moves" <= 0).count() shouldBe 0L
+  }
+
+  test("dims: unique keys, sane contents, 15-row results seed") {
+    assume(new java.io.File(sampleJson).exists())
+    val op = pipe.dimOpenings
+    op.count() shouldBe op.select("pgn_eco_url").distinct().count()
+    // one row per distinct played date (not all of Jan was played, and
+    // end-of-month games roll into Feb in the UTC Date header)
+    pipe.dimDate.count() shouldBe
+      spark.read.parquet(pipe.silverPath(2024, 1)).select("game_date").distinct().count()
+    pipe.dimResults.count() shouldBe 15L
+    val tc = pipe.dimTimeControl
+    tc.count() shouldBe tc.select("time_control").distinct().count()
+  }
+
+  test("re-running the same month is idempotent (latest-wins merge)") {
+    assume(new java.io.File(sampleJson).exists())
+    val before = pipe.fact.orderBy("game_url").collect()
+    pipe.runMonth(2024, 1, ts("2024-02-15 00:00:00"))
+    val after = pipe.fact.orderBy("game_url").collect()
+    after.length shouldBe before.length
+    // all rows now carry the newer audit stamp; everything else identical
+    val iLu = pipe.fact.columns.indexOf("last_updated")
+    after.map(_.getTimestamp(iLu)).distinct shouldBe Array(ts("2024-02-15 00:00:00"))
+    def strip(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.toSeq.patch(iLu, Nil, 1))
+    strip(after) shouldBe strip(before)
+  }
+
+  test("opening matcher finds book lines for most games, longest-prefix wins") {
+    assume(new java.io.File(sampleJson).exists() && new java.io.File(openingsCsv).exists())
+    val book = OpeningMatcher.readBook(spark, openingsCsv)
+    val matched = OpeningMatcher.matchOpenings(pipe.fact, book, "game_pgn")
+    val n = matched.count()
+    val hit = matched.filter($"opening_name".isNotNull).count()
+    info(s"opening match coverage: $hit/$n")
+    hit.toDouble / n should be >= 0.9
+    // the matched line's movetext must be a true prefix of the game's
+    val bookMap = book.select("pgn", "name").as[(String, String)].collect().toMap
+    val bad = matched.filter($"opening_name".isNotNull)
+      .select($"game_pgn", $"opening_name").as[(String, String)].collect()
+      .count { case (gamePgn, name) =>
+        !bookMap.exists { case (pgn, n2) => n2 == name && gamePgn.startsWith(pgn) }
+      }
+    bad shouldBe 0
+  }
+
+  test("analytics: rates sum to 1 and group counts reconcile") {
+    assume(new java.io.File(sampleJson).exists())
+    val byFam = ChessAnalytics.winRateByOpeningFamily(pipe.fact, pipe.dimOpenings,
+      pipe.dimResults)
+    byFam.agg(sum("games")).head.getLong(0) shouldBe 514L
+    val byCc = ChessAnalytics.winRateByColorAndClass(pipe.fact, pipe.dimTimeControl,
+      pipe.dimResults).collect()
+    byCc.foreach { r =>
+      val (g, w, l, d) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      w + l + d shouldBe g // every result code maps to an outcome
+    }
+    // Jan batch, plus the UTC rollover of end-of-month games into Feb
+    val trend = ChessAnalytics.monthlyTrend(pipe.fact, pipe.dimResults).collect()
+    trend.length should (be >= 1 and be <= 2)
+    trend(0).getDate(0).toString shouldBe "2024-01-01"
+    trend.map(_.getAs[Long]("games")).sum shouldBe 514L
+  }
+
+  test("watermark returns the max last_updated") {
+    assume(new java.io.File(sampleJson).exists())
+    pipe.watermark() shouldBe defined
+  }
+}
