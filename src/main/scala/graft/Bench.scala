@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up session machinery (executor threads, codegen compiler, shuffle
+    // system, parquet footers) so per-query timings measure the query, not
+    // whichever query happens to run first
+    Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+      Tables.region, Tables.nation, Tables.customer, Tables.supplier,
+      Tables.part, Tables.orders, Tables.lineitem, Tables.events,
+      Tables.documents, Tables.embeddings)
+      .foreach(t => t(spark, sfDir).limit(1).count())
+    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
+      .as("k")).count().count()
     // chess_e2e reads the fixed-size reference sample, not the sf dir —
     // excluded so bench numbers reflect sf scaling only
     val results = SparkEntry.queries.filterNot(_._1.startsWith("chess_")).map { case (name, fn) =>

@@ -70,14 +70,18 @@ object Dedup {
   }
 
   /** MinHash signature columns m0..m{numPerm-1}: per-seed lexicographic
-    * minimum of md5(seed:shingle). One row per doc.
+    * minimum of md5(seed:shingle), computed over an exploded shingle table
+    * (doc_id, s). Partial (map-side) min aggregation shrinks the shuffle to
+    * one row per doc per partition. One row per doc.
     */
-  def minhashSignatures(docs: DataFrame, k: Int, numPerm: Int): DataFrame = {
-    val sh = shingleTable(docs, k)
+  def minhashSignaturesFromShingles(sh: DataFrame, numPerm: Int): DataFrame = {
     val aggs = (0 until numPerm).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"m$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  def minhashSignatures(docs: DataFrame, k: Int, numPerm: Int): DataFrame =
+    minhashSignaturesFromShingles(shingleTable(docs, k), numPerm)
 
   /** LSH banding over the MinHash signature: band b hashes rows
     * [b*rowsPerBand, (b+1)*rowsPerBand). Output: (doc_id, band, bh).
@@ -93,9 +97,14 @@ object Dedup {
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
-  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket. */
-  def lshCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int): DataFrame = {
-    val bandsDf = lshBands(minhashSignatures(docs, k, numPerm), numPerm, bands)
+  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+    * `sh` is an exploded (doc_id, s) shingle table.
+    */
+  def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    // one row per doc per band — small; persisted so the self-join below
+    // doesn't run the 16-way min-aggregation once per side
+    val bandsDf = lshBands(minhashSignaturesFromShingles(sh, numPerm), numPerm, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -109,8 +118,12 @@ object Dedup {
     */
   def minhashLshDedup(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
                       threshold: Double): DataFrame = {
-    val cand = lshCandidates(docs, k, numPerm, bands)
+    // the exploded shingle table feeds signatures, both sides of the
+    // intersection join, and the size table — materialize it once instead
+    // of re-exploding (and re-reading) the corpus four times
     val sh = shingleTable(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(sh, numPerm, bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
