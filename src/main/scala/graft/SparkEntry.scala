@@ -283,6 +283,13 @@ object SparkEntry {
         floor(octet_length(bin) / lit(256)).cast("long").as("fake_height"))
     }),
 
+    // mapPartitions-batched decode/feature plumbing (stub codecs; rows-only
+    // check — the kernel bodies aren't SQL-expressible)
+    "mm_decode_profile" -> ((s, d) =>
+      operators.Multimodal.profile(Tables.documents(s, d), "doc_id", "text", "image")
+        .select(col("asset_id"), col("n_bytes"), col("content_hash"),
+          col("width"), col("height"), col("channels"))),
+
     // ---- chess pipeline end-to-end (rows-only check: not SQL-expressible;
     // runs the real 514-game sample through bronze→silver→gold→analytics
     // when the reference checkout is present, else an empty result) -------

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media travel as opaque `binary` columns with typed metadata;
+  * decode / feature-extraction / resize / frame-sampling run as
+  * partition-wise batched kernels (`mapPartitions` over the typed Dataset —
+  * the Scala counterpart of Python's `mapInPandas` Arrow batches).
+  *
+  * The actual codecs are NOT present in this environment, so the
+  * byte-interpreting kernels are STUBS — deterministic functions of the
+  * bytes (md5-derived) with the real production signature. The Spark-side
+  * contract — schema, encoders, batch shape, partitioning, null handling —
+  * is real and tested; swapping in a JNI/ffmpeg decoder changes only the
+  * function body.
+  */
+object Multimodal {
+
+  /** A media asset row: opaque payload + envelope metadata. */
+  case class MediaAsset(asset_id: Long, kind: String, payload: Array[Byte],
+                        source_uri: String)
+
+  case class DecodedMeta(asset_id: Long, kind: String, n_bytes: Long,
+                         content_hash: String, width: Int, height: Int,
+                         channels: Int, est_duration_ms: Long)
+
+  case class MediaFeatures(asset_id: Long, embedding: Array[Float])
+
+  case class FrameSample(asset_id: Long, frame_index: Int, frame_hash: String)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType),
+    StructField("source_uri", StringType)))
+
+  /** Wrap any table with a binary-able column into the media envelope
+    * (test/bench carrier: documents.text bytes stand in for media bytes).
+    */
+  def asAssets(df: DataFrame, idCol: String, payloadCol: String,
+               kind: String): Dataset[MediaAsset] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("asset_id"),
+        lit(kind).as("kind"),
+        col(payloadCol).cast("binary").as("payload"),
+        concat(lit("mem://"), col(idCol)).as("source_uri"))
+      .as[MediaAsset]
+  }
+
+  private def md5Bytes(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  /** STUB decode: *** replace with a real codec (javacv/ffmpeg JNI) ***.
+    * Deterministically fakes dimensions from the payload hash; everything
+    * around it (batched iteration, encoder, null payloads) is production
+    * shape. One kernel invocation per partition — at 100 TB this is the
+    * unit that amortizes codec init, exactly like an Arrow batch does.
+    */
+  def decodeMeta(assets: Dataset[MediaAsset]): Dataset[DecodedMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition init cost lives here (codec contexts, buffers)
+      it.map { a =>
+        val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
+        val h = md5Bytes(bytes)
+        DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
+          width = 1 + ((h(0) & 0x7f) << 4 | (h(1) & 0x0f)),
+          height = 1 + ((h(2) & 0x7f) << 4 | (h(3) & 0x0f)),
+          channels = if (a.kind == "audio") 2 else 3,
+          est_duration_ms = if (a.kind == "image") 0L else bytes.length.toLong * 8)
+      }
+    }
+  }
+
+  /** STUB feature extraction: deterministic `dim`-float embedding from the
+    * payload hash chain (stands in for a vision/audio model forward pass).
+    * Output feeds [[Similarity]] / [[Dedup.embeddingNearDups]] unchanged.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 64): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
+        val emb = new Array[Float](dim)
+        var h = md5Bytes(bytes)
+        var i = 0
+        while (i < dim) {
+          if (i % 16 == 0 && i > 0) h = md5Bytes(h)
+          emb(i) = ((h(i % 16) & 0xff) - 128) / 128.0f
+          i += 1
+        }
+        MediaFeatures(a.asset_id, emb)
+      }
+    }
+  }
+
+  /** STUB frame sampling: every video yields `n` evenly-spaced "frames"
+    * (hash-sliced); images yield one. Output is exploded — one row per
+    * frame — the shape a caption/OCR stage consumes.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], n: Int = 4): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
+      val frames = if (a.kind == "video") n else 1
+      (0 until frames).map { i =>
+        val slice = bytes.slice(i * bytes.length / math.max(frames, 1),
+          (i + 1) * bytes.length / math.max(frames, 1))
+        FrameSample(a.asset_id, i, hex(md5Bytes(slice)))
+      }
+    }
+  }
+
+  /** STUB resize: re-encodes the payload to a bounded-size thumbnail
+    * (here: truncated bytes + marker). Real impl swaps the body only.
+    */
+  def resize(assets: Dataset[MediaAsset], maxBytes: Int = 4096): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
+      a.copy(payload = bytes.take(maxBytes))
+    }
+  }
+
+  /** Full multimodal profile as a DataFrame (join of meta + features). */
+  def profile(df: DataFrame, idCol: String, payloadCol: String,
+              kind: String): DataFrame = {
+    val assets = asAssets(df, idCol, payloadCol, kind)
+    decodeMeta(assets).toDF()
+      .join(extractFeatures(assets).toDF(), "asset_id")
+  }
+}

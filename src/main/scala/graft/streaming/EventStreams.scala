@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming facade over the event stream.
+  *
+  * The reference's only incremental semantics are orchestrated monthly
+  * micro-batches (SURVEY.md §2.10); this module provides the real streaming
+  * counterpart so the same aggregations run continuously: file-source
+  * ingestion, watermarked tumbling/sliding windows, within-watermark
+  * dedup, and custom session state via `flatMapGroupsWithState`.
+  *
+  * Every transform takes and returns DataFrames, so each works identically
+  * on a batch frame (tests assert batch/stream parity) — Spark's unified
+  * Dataset API is the point: the 100 TB batch plan and the streaming plan
+  * are the same declarative plan.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet event files; with
+    * `Trigger.AvailableNow` this is the scalable backfill path (process
+    * everything present, then stop — the reference's `catchup=True`).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregate: events later than `lateness`
+    * behind the max seen ts are dropped; state for closed windows is purged.
+    */
+  def tumblingAgg(events: DataFrame, window: String = "1 hour",
+                  lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window per-user activity. */
+  def slidingUserActivity(events: DataFrame, window: String = "1 hour",
+                          slide: String = "30 minutes",
+                          lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
+
+  /** Exactly-once event-id dedup within the watermark horizon (the
+    * streaming counterpart of the batch W1 latest-wins merge).
+    */
+  def dedupStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: sessionization ------------------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long,
+                         total_value: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes after `gapMs` of user inactivity (enforced by event-time
+    * timeout against the watermark). Emits one row per closed session.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 lateness: String = "1 hour"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private lazy val assets = Multimodal.asAssets(
+    graft.Tables.documents(spark, sf0001), "doc_id", "text", "image")
+
+  test("asAssets produces the media envelope schema") {
+    assets.toDF().schema.fieldNames shouldBe
+      Array("asset_id", "kind", "payload", "source_uri")
+    assets.count() shouldBe 500L
+  }
+
+  test("decodeMeta is deterministic, total, and hash-stable") {
+    val meta = Multimodal.decodeMeta(assets).cache()
+    meta.count() shouldBe 500L
+    meta.filter($"width" <= 0 || $"height" <= 0).count() shouldBe 0L
+    // determinism: two runs agree exactly
+    val a = meta.orderBy("asset_id").collect()
+    val b = Multimodal.decodeMeta(assets).orderBy("asset_id").collect()
+    a shouldBe b
+    // content_hash matches Spark's own md5 of the same bytes
+    val cross = meta.toDF().join(
+      graft.Tables.documents(spark, sf0001).select($"doc_id".as("asset_id"),
+        md5(encode($"text", "UTF-8")).as("expect_hash")), "asset_id")
+    cross.filter($"content_hash" =!= $"expect_hash").count() shouldBe 0L
+  }
+
+  test("extractFeatures yields fixed-dim embeddings consumable by Similarity") {
+    val feats = Multimodal.extractFeatures(assets, dim = 64)
+    feats.filter(F.size($"embedding") =!= 64).count() shouldBe 0L
+    // identical payloads -> identical embeddings (dedup-compatible)
+    val emb = feats.toDF()
+    val topk = Similarity.bruteForceTopK(emb.withColumnRenamed("asset_id", "vec_id"),
+      emb.withColumnRenamed("asset_id", "vec_id").filter($"vec_id" === 0), k = 3)
+    topk.count() shouldBe 3L
+  }
+
+  test("sampleFrames explodes videos to n frames, images to one") {
+    val vids = Multimodal.asAssets(
+      graft.Tables.documents(spark, sf0001).limit(10), "doc_id", "text", "video")
+    Multimodal.sampleFrames(vids, n = 4).count() shouldBe 40L
+    Multimodal.sampleFrames(assets.limit(10), n = 4).count() shouldBe 10L
+  }
+
+  test("resize bounds payload size") {
+    val small = Multimodal.resize(assets, maxBytes = 16)
+    small.filter(F.length($"payload") > 16).count() shouldBe 0L
+  }
+
+  test("profile joins meta and features on asset_id") {
+    val p = Multimodal.profile(graft.Tables.documents(spark, sf0001),
+      "doc_id", "text", "image")
+    p.count() shouldBe 500L
+    p.columns should contain allOf ("content_hash", "embedding", "width")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class EventStreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import EventStreams.Event
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0) = Event(id, ts(t), user, typ, v, "{}")
+
+  private def runStream[T](input: MemoryStream[Event], out: org.apache.spark.sql.DataFrame,
+                           name: String, mode: String = "append") = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("tumblingAgg over a file-source stream matches the batch plan (AvailableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("evt-stream").toString
+    graft.Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.tumblingAgg(EventStreams.readEventStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("tumbling_file")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits windows sealed by the watermark; compare those
+    // against the identical batch aggregation
+    val got = spark.table("tumbling_file")
+    val batch = EventStreams.tumblingAgg(graft.Tables.events(spark, sf0001))
+    val maxTs = graft.Tables.events(spark, sf0001).agg(max("ts")).head.getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
+    val expect = batch.filter(col("window_start") < date_trunc("hour", lit(horizon)))
+    got.count() shouldBe expect.count()
+    got.except(expect).count() shouldBe 0L
+  }
+
+  test("watermark drops late events in a MemoryStream") {
+    val input = MemoryStream[Event]
+    val agg = EventStreams.tumblingAgg(input.toDF(), window = "1 hour", lateness = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    input.addData(ev(1, "2024-01-01 10:10:00"), ev(2, "2024-01-01 10:20:00"))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window (max ts 14:00 - 1h = 13:00)
+    input.addData(ev(3, "2024-01-01 14:00:00"))
+    q.processAllAvailable()
+    // this event is older than the watermark -> dropped
+    input.addData(ev(4, "2024-01-01 10:30:00"))
+    q.processAllAvailable()
+    input.addData(ev(5, "2024-01-01 16:00:00")) // seal nothing new below 13:00
+    q.processAllAvailable()
+    val rows = spark.table("late_test").collect()
+    val w10 = rows.filter(_.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    w10.length shouldBe 1
+    w10.head.getLong(2) shouldBe 2L // event 4 was late and excluded
+    q.stop()
+  }
+
+  test("dedupStream removes within-watermark duplicate event_ids") {
+    val input = MemoryStream[Event]
+    val dedup = EventStreams.dedupStream(input.toDF())
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+      ev(2, "2024-01-01 10:01:00"))
+    q.processAllAvailable()
+    spark.table("dedup_test").count() shouldBe 2L
+    q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on timeout") {
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then a 2h gap
+    input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+    q.processAllAvailable()
+    input.addData(ev(3, "2024-01-01 12:30:00")) // gap -> closes first session
+    q.processAllAvailable()
+    // push watermark far ahead so the second session times out too
+    input.addData(ev(4, "2024-01-01 20:00:00", user = 2L))
+    q.processAllAvailable()
+    input.addData(ev(5, "2024-01-01 23:00:00", user = 2L))
+    q.processAllAvailable()
+    val rows = spark.table("sess_test").orderBy("session_start").collect()
+    rows.length should be >= 2
+    val s1 = rows.head
+    s1.getLong(0) shouldBe 1L
+    s1.getTimestamp(1) shouldBe ts("2024-01-01 10:00:00")
+    s1.getTimestamp(2) shouldBe ts("2024-01-01 10:10:00")
+    s1.getLong(3) shouldBe 2L
+    q.stop()
+  }
+}
