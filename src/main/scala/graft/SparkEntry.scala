@@ -124,6 +124,21 @@ object SparkEntry {
           .otherwise("large").as("price_band"),
         quarter(col("o_orderdate")).cast("long").as("order_quarter"))),
 
+    // O1: global total-order sort (range-partitioned exchange at scale)
+    "o1_global_sort" -> ((s, d) =>
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_regionkey"), desc("n_name"))),
+
+    // F3+F4: dotted-date normalize + parse round-trip (the PGN
+    // `[Date "2024.01.01"]` handling: REPLACE('.','/') then STRPTIME)
+    "f3_replace_parse_date" -> ((s, d) => {
+      val dotted = date_format(col("o_orderdate"), "yyyy.MM.dd")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        dotted.as("dotted"),
+        to_date(regexp_replace(dotted, "\\.", "/"), "yyyy/MM/dd").as("parsed"))
+    }),
+
     // O2: deterministic top-k (tie-broken global sort + limit)
     "o2_topk" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
@@ -385,6 +400,16 @@ object SparkEntry {
         |      WHEN o_totalprice < 150000 THEN 'medium'
         |      ELSE 'large' END AS price_band,
         | CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter
+        |FROM orders""".stripMargin,
+
+    "o1_global_sort" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_regionkey, n_name DESC""".stripMargin,
+
+    "f3_replace_parse_date" ->
+      """SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y.%m.%d') AS dotted,
+        | CAST(strptime(replace(strftime(CAST(o_orderdate AS DATE), '%Y.%m.%d'), '.', '/'),
+        |               '%Y/%m/%d') AS DATE) AS parsed
         |FROM orders""".stripMargin,
 
     "o2_topk" ->

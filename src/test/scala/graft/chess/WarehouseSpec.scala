@@ -1,0 +1,39 @@
+package graft.chess
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** S6/S9: JDBC warehouse round-trip against embedded Derby (stand-in for
+  * the reference's Postgres `chess_dw`; same `df.write.jdbc` full-replace
+  * semantics, python_scripts.py:639-645).
+  */
+class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:chessdw;create=true"
+  private def props = new java.util.Properties()
+
+  test("JDBC sink full-replace write + JDBC source read-back") {
+    val dim = Dims.results(spark)
+    dim.write.mode("overwrite").jdbc(url, "dim_results", props)
+    val back = spark.read.jdbc(url, "dim_results", props)
+    back.count() shouldBe 15L
+    back.orderBy("result_code").collect() shouldBe
+      dim.orderBy("result_code").collect()
+    // overwrite replaces, not appends (the reference's if_exists=replace)
+    dim.write.mode("overwrite").jdbc(url, "dim_results", props)
+    spark.read.jdbc(url, "dim_results", props).count() shouldBe 15L
+  }
+
+  test("watermark query shape over the warehouse (top-1 ORDER BY DESC)") {
+    Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("b", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      .toDF("game_url", "last_updated")
+      .write.mode("overwrite").jdbc(url, "fact_games_wm", props)
+    val wm = spark.read.jdbc(url, "fact_games_wm", props)
+      .orderBy(org.apache.spark.sql.functions.desc("last_updated")).limit(1)
+      .select("last_updated").head.getTimestamp(0)
+    wm shouldBe java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+  }
+}
