@@ -10,19 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up session machinery (executor threads, codegen compiler, shuffle
-    // system, parquet footers) so per-query timings measure the query, not
-    // whichever query happens to run first
-    Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
-      Tables.region, Tables.nation, Tables.customer, Tables.supplier,
-      Tables.part, Tables.orders, Tables.lineitem, Tables.events,
-      Tables.documents, Tables.embeddings)
-      .foreach(t => t(spark, sfDir).limit(1).count())
-    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
-      .as("k")).count().count()
     // chess_e2e reads the fixed-size reference sample, not the sf dir —
     // excluded so bench numbers reflect sf scaling only
-    val results = SparkEntry.queries.filterNot(_._1.startsWith("chess_")).map { case (name, fn) =>
+    val benched = SparkEntry.queries.filterNot(_._1.startsWith("chess_"))
+    // one untimed pass first: JVM/codegen/JIT, shuffle system, parquet
+    // footers and OS page cache all warm, so the timed pass measures
+    // steady-state query cost rather than whichever query runs first
+    benched.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
+    // drop warm-pass persisted intermediates: the timed pass should pay
+    // each query's real cost, not fight the leftovers for executor memory
+    spark.catalog.clearCache()
+    val results = benched.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

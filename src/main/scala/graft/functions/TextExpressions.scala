@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text hot path.
+  *
+  * The composed `transform(sequence(...), i -> concat_ws(slice(...)))`
+  * formulation of shingling runs the lambda through Spark's *interpreted*
+  * higher-order-function evaluator — per-element wrapper rows, no codegen.
+  * Profiling the dedup pipelines at sf0.1 shows that interpretation (not
+  * hashing, not shuffles) dominating. These expressions are tight loops
+  * over the row's string with `doGenCode`, semantically identical to the
+  * composed form (single-space split incl. empty tokens, first-occurrence
+  * distinct order) so the DuckDB oracles are unchanged.
+  */
+object TextOps {
+
+  /** Distinct k-shingles of a single-space-tokenized text, in
+    * first-occurrence order; length < k tokens → empty array.
+    * Matches `array_distinct(transform(sequence(1, n-k+1),
+    * i -> concat_ws(" ", slice(split(text, " "), i, k))))` exactly
+    * (Spark split keeps empty tokens; concat_ws joins them back).
+    */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    // Spark's split(text, " ") is regex-based with limit -1: single-space
+    // split keeping empty tokens, but trailing empties are KEPT by Java's
+    // split only with limit -1 — mirror that
+    val toks = s.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](math.min(n, 1024))
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 16-bit SimHash over distinct single-space tokens: bit b is set when
+    * the sum over tokens of (+1 if hex nibble b of md5(token) >= 8 else -1)
+    * is positive. Bit-identical to the composed Column formulation in
+    * [[graft.operators.Dedup.simhash16]] and the DuckDB oracle.
+    */
+  def simhash16(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val votes = new Array[Int](16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < 16) {
+          // hex char at position b is the high nibble of byte b/2 when b is
+          // even, low nibble when odd; "char >= '8'" == nibble >= 8
+          val nibble =
+            if (b % 2 == 0) (d(b / 2) >> 4) & 0xf else d(b / 2) & 0xf
+          votes(b) += (if (nibble >= 8) 1 else -1)
+          b += 1
+        }
+        md.reset()
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def prettyName: String = "shingle_array"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.shingles(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingles($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash16"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.simhash16(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.simhash16($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.GraftShims.{column, expression}
+  def shingle_array(text: Column, k: Int): Column = column(ShingleArray(expression(text), k))
+  def simhash16(text: Column): Column = column(SimHash16(expression(text)))
+}

@@ -140,9 +140,14 @@ object Dedup {
   /** 16-bit SimHash from the high bit of each hex nibble of md5(token):
     * bit b of the signature is the sign of the sum over tokens of
     * (+1 if nibble b of md5(token) >= 8 else -1). Integer arithmetic only,
-    * so it is bit-stable across engines and SQL-expressible.
+    * so it is bit-stable across engines and SQL-expressible. Native
+    * codegen'd expression; [[simhash16Composed]] is the built-in-composed
+    * formulation it is bit-matched against in the spec.
     */
-  def simhash16(text: Column): Column = {
+  def simhash16(text: Column): Column =
+    graft.functions.TextFunctions.simhash16(text)
+
+  def simhash16Composed(text: Column): Column = {
     val toks = array_distinct(TextAnalysis.words(text))
     val hashes = transform(toks, t => md5(t))
     val bits = (0 until 16).map { b =>

@@ -27,9 +27,16 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
 
   /** Distinct k-word shingles (n-grams) of a document, as an array column.
-    * Documents shorter than k words yield an empty array.
+    * Documents shorter than k words yield an empty array. Native codegen'd
+    * expression ([[graft.functions.ShingleArray]]) — the composed
+    * `transform`/`slice` HOF formulation below is kept for the equivalence
+    * spec; HOF lambdas evaluate interpreted and dominated dedup profiles.
     */
-  def shingles(text: Column, k: Int): Column = {
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.TextFunctions.shingle_array(text, k)
+
+  /** Reference formulation of [[shingles]] via composed built-ins. */
+  def shinglesComposed(text: Column, k: Int): Column = {
     val w = words(text)
     array_distinct(
       when(size(w) >= k,

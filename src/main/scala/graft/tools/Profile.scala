@@ -24,6 +24,11 @@ object Profile {
       r
     }
 
+    // steady-state timing of cheap queries (3 runs each)
+    for (q <- Seq("dedup_normalized", "a1_groupby_agg", "j4_roleplay_join", "dedup_ngram_jaccard");
+         i <- 1 to 3)
+      time(s"$q run$i")(graft.SparkEntry.queries(q)(spark, sfDir).count())
+
     val docs = Tables.documents(spark, sfDir)
     val sh = Dedup.shingleTable(docs, 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
