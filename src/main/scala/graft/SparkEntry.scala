@@ -255,8 +255,11 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, d) => Dedup.simhashSignatures(Tables.documents(s, d))),
 
+    // threshold 0.4 sits just under the corpus's max same-bucket cosine so
+    // the oracle comparison is non-vacuous (0.95 matches zero rows on the
+    // synthetic quasi-random embeddings at every sf)
     "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.95, signBits = 8)
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.4, signBits = 8)
         .select(col("vec_a"), col("vec_b"))),
 
     // ---- scale-path: similarity search ---------------------------------
@@ -285,6 +288,43 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.minShingleFingerprint(col("text"), 5).as("min_shingle_fp"))),
+
+    "text_rolling_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.functions.TextFunctions.rolling_hash(col("text")).as("rhash"),
+        graft.functions.TextFunctions.rolling_hash(
+          TextAnalysis.normalizedText(col("text"))).as("rhash_norm"))),
+
+    // W2: analytic window functions (lag + running sum): gap-based session
+    // assignment over the event stream — sessions break after >30 min idle
+    "w2_lag_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // S5: registered-view + spark.sql entry point (the reference's
+    // `con.from_df` / `FROM fct` named-relation reuse)
+    "s5_sql_view" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderpriority, count(*) AS n
+              |FROM orders_v WHERE o_totalprice > 100000
+              |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    // P3: LIMIT preview (deterministically ordered)
+    "p3_limit_preview" -> ((s, d) =>
+      Tables.region(s, d).orderBy(col("r_regionkey")).limit(3)),
 
     // ---- scale-path: multimodal (binary column plumbing) ----------------
 
@@ -560,7 +600,7 @@ object SparkEntry {
          |FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) /
          |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-         |      >= 0.95""".stripMargin
+         |      >= 0.4""".stripMargin
     },
 
     // cosine spelled out over DOUBLE[] so DuckDB's accumulation matches our
@@ -628,6 +668,43 @@ object SparkEntry {
          |          ' +', ' ', 'g'))) AS fingerprint,
          | mins.min_shingle_fp AS min_shingle_fp
          |FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id""".stripMargin,
+
+    "text_rolling_hash" -> {
+      def rh(expr: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           | list_transform(string_split_regex($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+           | (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      s"""SELECT doc_id, ${rh("text")} AS rhash,
+         | ${rh("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")} AS rhash_norm
+         |FROM documents""".stripMargin
+    },
+
+    "w2_lag_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN prev_ts IS NULL
+        |            OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |g AS (
+        | SELECT user_id, ts, CAST(sum(new_session) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM f)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        | max(ts) AS session_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    "s5_sql_view" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_totalprice > 100000 GROUP BY o_orderpriority""".stripMargin,
+
+    "p3_limit_preview" ->
+      "SELECT * FROM region ORDER BY r_regionkey LIMIT 3",
 
     "mm_binary_meta" ->
       """SELECT doc_id,

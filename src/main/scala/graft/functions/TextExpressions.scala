@@ -55,6 +55,25 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Polynomial rolling hash over the string's codepoints:
+    * h = fold(0)((h, cp) => (h * 31 + cp) mod 1e9+7). Codepoint-based (not
+    * byte) and mod-bounded so the identical fold is expressible in ANSI-ish
+    * SQL (`list_reduce` + `ascii` in DuckDB) for oracle parity; empty
+    * string hashes to 0 on both engines.
+    */
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** 16-bit SimHash over distinct single-space tokens: bit b is set when
     * the sum over tokens of (+1 if hex nibble b of md5(token) >= 8 else -1)
     * is positive. Bit-identical to the composed Column formulation in
@@ -91,6 +110,25 @@ object TextOps {
     }
     sig
   }
+}
+
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "rolling_hash"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.rollingHash(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.rollingHash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
@@ -136,4 +174,5 @@ object TextFunctions {
   import org.apache.spark.sql.GraftShims.{column, expression}
   def shingle_array(text: Column, k: Int): Column = column(ShingleArray(expression(text), k))
   def simhash16(text: Column): Column = column(SimHash16(expression(text)))
+  def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
 }
