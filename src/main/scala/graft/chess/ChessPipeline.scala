@@ -65,19 +65,55 @@ class ChessPipeline(spark: SparkSession, root: String, username: String) {
       writeGold(Dims.results(spark), "gold/dim_results.parquet")
   }
 
-  /** EP2 fact: gold projection → star join → merge into cumulative fact. */
+  /** EP2 fact: gold projection → star join → merge into the cumulative
+    * fact, which is laid out partitioned by `game_month` (yyyy-MM).
+    *
+    * The merge is partition-pruned: only the months present in the new
+    * batch are read back (Parquet partition pruning on `game_month`),
+    * merged latest-wins, and rewritten via dynamic partition overwrite —
+    * cost is O(months in batch), not O(history). The reference re-window-
+    * dedups its entire cumulative file every run (python_scripts.py:576-598);
+    * semantics here are identical because a game_url never moves months
+    * (its game_date is fixed).
+    */
   def buildFact(silver: DataFrame, lastUpdated: java.sql.Timestamp): Unit = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val factRel = "gold/fact-games.parquet"
     val projected = GoldFact.project(silver, username, lastUpdated)
+      .withColumn("game_month", date_format(col("game_date"), "yyyy-MM"))
     val joined = GoldFact.starJoin(projected,
       readGold("gold/dim_date.parquet"),
       readGold("gold/dim_openings.parquet"),
       readGold("gold/dim_results.parquet"),
       readGold("gold/dim_time_control.parquet"))
-    val next =
-      if (exists("gold/fact-games.parquet"))
-        GoldFact.merge(readGold("gold/fact-games.parquet"), joined)
-      else joined
-    writeGold(next, "gold/fact-games.parquet")
+    if (!exists(factRel)) {
+      joined.write.mode(SaveMode.Overwrite).partitionBy("game_month")
+        .parquet(path(factRel))
+    } else {
+      val months = joined.select("game_month").distinct()
+        .collect().map(_.getString(0)).toSeq // one entry per batch month
+      val prevMonths = readGold(factRel)
+        .filter(col("game_month").isin(months: _*)) // partition-pruned scan
+        .select(joined.columns.map(col): _*)
+      val merged = GoldFact.merge(prevMonths, joined)
+      // stage the merged months (can't overwrite a path being read), then
+      // dynamic-overwrite replaces exactly those partitions
+      val tmp = path(factRel + ".merge-tmp")
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val staged = spark.read.parquet(tmp)
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try staged.write.mode(SaveMode.Overwrite).partitionBy("game_month")
+        .parquet(path(factRel))
+      finally {
+        prevMode match {
+          case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        val fs = new Path(tmp).getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new Path(tmp), true)
+      }
+    }
   }
 
   /** One monthly batch end-to-end (the whole collect_chess_data DAG). */

@@ -67,6 +67,15 @@ class ChessPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     tc.count() shouldBe tc.select("time_control").distinct().count()
   }
 
+  test("gold fact is laid out partitioned by game_month") {
+    assume(new java.io.File(sampleJson).exists())
+    pipe.fact.count() // force build
+    val dirs = new java.io.File(s"$root/gold/fact-games.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    // the Jan batch spans Jan + the UTC end-of-month rollover into Feb
+    dirs shouldBe Array("game_month=2024-01", "game_month=2024-02")
+  }
+
   test("re-running the same month is idempotent (latest-wins merge)") {
     assume(new java.io.File(sampleJson).exists())
     val before = pipe.fact.orderBy("game_url").collect()
