@@ -51,7 +51,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxPostings: Long = 1000000L): DataFrame = {
-    val sh = shingleTable(docs, k)
+    val sh = shingleTable(docs, k).repartition(col("doc_id"))
     val pruned = sh.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("s")))
       .filter(col("df") <= maxPostings).drop("df")
@@ -120,8 +120,12 @@ object Dedup {
                       threshold: Double): DataFrame = {
     // the exploded shingle table feeds signatures, both sides of the
     // intersection join, and the size table — materialize it once instead
-    // of re-exploding (and re-reading) the corpus four times
-    val sh = shingleTable(docs, k)
+    // of re-exploding (and re-reading) the corpus four times. Hash-
+    // repartition by doc_id: a narrow source (one input file = one
+    // partition locally; one task per file at scale) would otherwise leave
+    // every downstream partial aggregation single-task, and both the
+    // signature and size groupBys reuse this partitioning shuffle-free.
+    val sh = shingleTable(docs, k).repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sh, numPerm, bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
