@@ -240,6 +240,33 @@ object SparkEntry {
           max(length(col("p"))).cast("long").as("opening_len"))
     }),
 
+    // J5 (beyond reference): as-of point-in-time join — each event gets the
+    // most recent reference snapshot at or before its timestamp
+    "j5_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val refs = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"), max(col("event_id")).as("ref_event"))
+      val probes = ev.filter(col("event_id") % 10 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      operators.AsofJoin.leftAsof(probes, refs, "user_id", "ts",
+        Seq("ref_value", "ref_event"))
+    }),
+
+    // A5 (beyond reference): hierarchical ROLLUP with grouping level marker
+    "a5_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))),
+
+    // deterministic hash sample: md5-prefix filter is engine-portable
+    // (unlike TABLESAMPLE/rand whose PRNG differs per engine)
+    "sample_hash" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
     // ---- scale-path: deduplication ------------------------------------
 
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
@@ -535,6 +562,25 @@ object SparkEntry {
         | CAST(max(strlen(t.p)) AS BIGINT) AS opening_len
         |FROM documents d LEFT JOIN dict t ON starts_with(d.text, t.p)
         |GROUP BY d.doc_id""".stripMargin,
+
+    "j5_asof_join" ->
+      """WITH refs AS (
+        | SELECT user_id, ts, max(value) AS ref_value, max(event_id) AS ref_event
+        | FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
+        |probes AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+        |SELECT p.event_id, p.user_id, p.ts, r.ref_value, r.ref_event
+        |FROM probes p ASOF LEFT JOIN refs r
+        | ON p.user_id = r.user_id AND p.ts >= r.ts""".stripMargin,
+
+    "a5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id

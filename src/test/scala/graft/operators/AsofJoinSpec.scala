@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AsofJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("leftAsof picks the latest right row at-or-before each left ts, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (2L, ts("2024-01-01 09:00:00"), "e3"), // before any ref for key 2
+      (3L, ts("2024-01-01 10:00:00"), "e4")  // key with no refs at all
+    ).toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0), // simultaneous: visible (<=)
+      (1L, ts("2024-01-01 11:00:00"), 30.0),
+      (2L, ts("2024-01-01 11:00:00"), 40.0)
+    ).toDF("user_id", "ts", "ref_value")
+
+    val out = AsofJoin.leftAsof(left, right, "user_id", "ts", Seq("ref_value"))
+      .orderBy("name").collect()
+    out.map(r => (r.getString(2), Option(r.get(3)))) shouldBe Array(
+      ("e1", Some(20.0)), // simultaneous ref wins over the 09:00 one
+      ("e2", Some(30.0)), // latest <= 12:00
+      ("e3", None),       // ref exists but only later
+      ("e4", None))       // no refs for key
+  }
+
+  test("leftAsof preserves all left rows and columns") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val refs = ev.filter($"event_id" % 7 === 0)
+      .select($"user_id", $"ts", $"value".as("ref_value"))
+      .groupBy($"user_id", $"ts").agg(org.apache.spark.sql.functions.max($"ref_value").as("ref_value"))
+    val probes = ev.select($"event_id", $"user_id", $"ts", $"event_type")
+    val joined = AsofJoin.leftAsof(probes, refs, "user_id", "ts", Seq("ref_value"))
+    joined.count() shouldBe probes.count()
+    joined.columns shouldBe Array("event_id", "user_id", "ts", "event_type", "ref_value")
+  }
+}
