@@ -218,6 +218,16 @@ object SparkEntry {
         .filter(col("p_name").like("%widget%") && col("p_brand").like("Brand#1%"))
         .select(col("p_partkey"), col("p_name"), col("p_brand"))),
 
+    // A6: sketch aggregates — HLL++ count-distinct and quantile sketch.
+    // Rows-only check: sketch estimates are engine-specific by nature;
+    // SketchSpec bounds them against exact values instead.
+    "a6_sketch_agg" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median_price"))),
+
     // A2: count-distinct single and pair
     "a2_count_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
