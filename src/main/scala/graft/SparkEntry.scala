@@ -250,6 +250,50 @@ object SparkEntry {
           max(length(col("p"))).cast("long").as("opening_len"))
     }),
 
+    // J6 (beyond reference): semi-join — customers with at least one order
+    "j6_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // A7 (beyond reference): correlated-aggregate pattern (TPC-H Q17 shape):
+    // lineitems below 50% of their part's average quantity
+    "a7_below_avg_qty" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_below"),
+          round(sum(col("l_extendedprice")) / 100, 0).as("price_hundreds"))
+    }),
+
+    // F12 (beyond reference): null semantics — coalesce, nullif, null-safe
+    // equality over a sparse extracted value
+    "f12_null_ops" -> ((s, d) => {
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+      val kNum = when(k === "", lit(null)).otherwise(k).cast("long")
+      Tables.events(s, d).select(
+        col("event_id"),
+        coalesce(kNum, lit(-1L)).as("k_or_default"),
+        nullif(col("event_type"), lit("click")).as("type_not_click"),
+        (kNum <=> lit(null)).as("k_is_null"))
+    }),
+
+    // text near-dup via edit distance on normalized prefixes, within
+    // exact-fingerprint-adjacent buckets (first 8 normalized chars)
+    "text_edit_distance" -> ((s, d) => {
+      val norm = TextAnalysis.normalizedText(col("text"))
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        substring(norm, 1, 32).as("prefix"), substring(norm, 1, 8).as("bucket"))
+      t.as("a").join(t.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.prefix"), col("b.prefix")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 8)
+    }),
+
     // J5 (beyond reference): as-of point-in-time join — each event gets the
     // most recent reference snapshot at or before its timestamp
     "j5_asof_join" -> ((s, d) => {
@@ -572,6 +616,41 @@ object SparkEntry {
         | CAST(max(strlen(t.p)) AS BIGINT) AS opening_len
         |FROM documents d LEFT JOIN dict t ON starts_with(d.text, t.p)
         |GROUP BY d.doc_id""".stripMargin,
+
+    "j6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "a7_below_avg_qty" ->
+      """WITH pa AS (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        |            FROM lineitem GROUP BY l_partkey)
+        |SELECT l_returnflag, count(*) AS n_below,
+        | round(sum(l_extendedprice) / 100, 0) AS price_hundreds
+        |FROM lineitem JOIN pa ON l_partkey = ap_partkey
+        |WHERE l_quantity < avg_qty * 0.5
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "f12_null_ops" ->
+      """SELECT event_id,
+        | coalesce(TRY_CAST(nullif(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT), -1)
+        |   AS k_or_default,
+        | nullif(event_type, 'click') AS type_not_click,
+        | TRY_CAST(nullif(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) IS NULL
+        |   AS k_is_null
+        |FROM events""".stripMargin,
+
+    "text_edit_distance" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |              ' +', ' ', 'g')), 1, 32) AS prefix,
+        |  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |              ' +', ' ', 'g')), 1, 8) AS bucket
+        | FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+        |FROM t a JOIN t b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 8""".stripMargin,
 
     "j5_asof_join" ->
       """WITH refs AS (
