@@ -118,11 +118,23 @@ object Similarity {
     * recall holds on clustered real-world embedding corpora.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
-              nprobe: Int = 8): DataFrame = {
-    // deterministic centroid sample: first nlist by vec_id (cheap, seedless;
-    // a k-means refinement would slot in here without changing the plan shape)
-    val centroids = corpus.orderBy("vec_id").limit(nlist)
+              nprobe: Int = 8, refineSteps: Int = 1): DataFrame = {
+    // deterministic centroid seed: first nlist by vec_id, then optional
+    // k-means refinement passes (assign → per-cell mean via the typed
+    // VectorMeanAgg aggregator) — each pass is one broadcast scoring pass
+    // plus one partial-aggregating shuffle of nlist rows
+    var centroids = corpus.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (_ <- 1 to refineSteps) {
+      centroids = corpus.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosine(col("embedding"), col("ce")).as("ccos"))
+        .groupBy("vec_id").agg(
+          max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+        .groupBy("cid")
+        .agg(graft.functions.VectorAggregators.vecMean(col("embedding")).as("ce"))
+    }
     val assign = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("ce")).as("ccos"))
