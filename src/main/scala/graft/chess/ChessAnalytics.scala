@@ -58,4 +58,23 @@ object ChessAnalytics {
   /** Opening family frequencies (test.ipynb cell 15: GROUP BY + count). */
   def openingFamilyCounts(dimOpenings: DataFrame): DataFrame =
     dimOpenings.groupBy(col("opening_family")).count().orderBy(desc("count"))
+
+  /** Register the star schema and the analytic rollups as SQL temp views,
+    * so any SQL client of the session (the Power BI role in the reference)
+    * can query `fact_games`, `dim_*`, `win_rate_by_family`, … directly.
+    */
+  def registerViews(pipe: ChessPipeline): Unit = {
+    val fact = pipe.fact
+    fact.createOrReplaceTempView("fact_games")
+    pipe.dimOpenings.createOrReplaceTempView("dim_openings")
+    pipe.dimDate.createOrReplaceTempView("dim_date")
+    pipe.dimResults.createOrReplaceTempView("dim_results")
+    pipe.dimTimeControl.createOrReplaceTempView("dim_time_control")
+    winRateByOpeningFamily(fact, pipe.dimOpenings, pipe.dimResults)
+      .createOrReplaceTempView("win_rate_by_family")
+    winRateByColorAndClass(fact, pipe.dimTimeControl, pipe.dimResults)
+      .createOrReplaceTempView("win_rate_by_color_class")
+    monthlyTrend(fact, pipe.dimResults).createOrReplaceTempView("monthly_trend")
+    ratingByDay(fact).createOrReplaceTempView("rating_by_day")
+  }
 }

@@ -130,4 +130,61 @@ class ChessPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     assume(new java.io.File(sampleJson).exists())
     pipe.watermark() shouldBe defined
   }
+
+  test("registered SQL views answer the dashboard queries") {
+    assume(new java.io.File(sampleJson).exists())
+    pipe.fact.count() // ensure built
+    ChessAnalytics.registerViews(pipe)
+    spark.sql("SELECT count(*) FROM fact_games").head.getLong(0) shouldBe 514L
+    val top = spark.sql(
+      """SELECT f.opening_family, f.games FROM win_rate_by_family f
+        |ORDER BY f.games DESC LIMIT 1""".stripMargin).head
+    top.getLong(1) should be > 0L
+    // star join in SQL against the views (the Power BI query shape)
+    val joined = spark.sql(
+      """SELECT d.weekday, count(*) AS games
+        |FROM fact_games f JOIN dim_date d ON f.game_date = d.game_date
+        |GROUP BY d.weekday""".stripMargin)
+    joined.agg(org.apache.spark.sql.functions.sum("games")).head.getLong(0) shouldBe 514L
+  }
+
+  test("second month: dims append incrementally, only its partition is added") {
+    assume(new java.io.File(sampleJson).exists())
+    pipe.fact.count() // month 1 built
+    val datesBefore = pipe.dimDate.count()
+    val openingsBefore = pipe.dimOpenings.count()
+
+    // synthesize a distinct 2024-02 batch from the sample: new game urls,
+    // PGN Date/EndDate headers shifted one month
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sampleJson)), "UTF-8")
+    val feb = raw
+      .replace("game/live/", "game/live/9")
+      .replace("[Date \\\"2024.01.", "[Date \\\"2024.02.")
+      .replace("[EndDate \\\"2024.01.", "[EndDate \\\"2024.02.")
+      .replace("[EndDate \\\"2024.02.31", "[EndDate \\\"2024.02.28")
+      .replace("[Date \\\"2024.02.31", "[Date \\\"2024.02.28")
+      .replace("[Date \\\"2024.02.29", "[Date \\\"2024.02.28")
+      .replace("[Date \\\"2024.02.30", "[Date \\\"2024.02.28")
+      .replace("[EndDate \\\"2024.02.29", "[EndDate \\\"2024.02.28")
+      .replace("[EndDate \\\"2024.02.30", "[EndDate \\\"2024.02.28")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/bronze/2024-02-games.json"),
+      feb.getBytes("UTF-8"))
+
+    pipe.runMonth(2024, 2, ts("2024-03-01 00:00:00"))
+
+    pipe.fact.count() shouldBe 1028L
+    // month-1 rows kept their original audit stamp (untouched partitions)
+    pipe.fact.filter($"game_month" === "2024-01")
+      .select("last_updated").distinct().collect()
+      .map(_.getTimestamp(0)) should not contain ts("2024-03-01 00:00:00")
+    // dims appended, not duplicated
+    pipe.dimDate.count() should be > datesBefore
+    pipe.dimDate.count() shouldBe pipe.dimDate.select("game_date").distinct().count()
+    pipe.dimOpenings.count() shouldBe openingsBefore // same openings reappear
+    val months = new java.io.File(s"$root/gold/fact-games.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    months should contain("game_month=2024-02")
+  }
 }
