@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class PrefixJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private def withStrategy[T](f: => T): T = {
+    spark.experimental.extraStrategies = Seq(PrefixJoinStrategy)
+    try f finally spark.experimental.extraStrategies = Nil
+  }
+
+  test("PrefixJoinExec replaces BroadcastNestedLoopJoin and matches its results") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val w = split($"text", " ")
+    val sample = docs.filter($"doc_id" % 20 === 0)
+    val dict = sample.select(concat_ws(" ", slice(w, 1, 2)).as("p"))
+      .union(sample.filter(F.size(w) >= 3).select(concat_ws(" ", slice(w, 1, 3)).as("p")))
+      .distinct()
+
+    def query() = docs.join(dict, $"text".startsWith($"p"), "left")
+      .groupBy($"doc_id")
+      .agg(max_by($"p", F.length($"p")).as("opening"),
+        max(F.length($"p")).cast("long").as("opening_len"))
+
+    val baseline = query().orderBy("doc_id").collect()
+    val (plan, fast) = withStrategy {
+      val df = query()
+      (df.queryExecution.executedPlan.toString, df.orderBy("doc_id").collect())
+    }
+    plan should include("PrefixJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    fast shouldBe baseline
+  }
+
+  test("inner prefix join and left rows with no match") {
+    val left = Seq((1L, "abc def"), (2L, "xyz"), (3L, "")).toDF("id", "text")
+    val dict = Seq("a", "abc", "abc d", "zzz").toDF("p")
+    val outer = withStrategy {
+      left.join(dict, $"text".startsWith($"p"), "left")
+        .select($"id", $"p").orderBy($"id", $"p").collect()
+    }
+    outer.map(r => (r.getLong(0), Option(r.getString(1)))) shouldBe Array(
+      (1L, Some("a")), (1L, Some("abc")), (1L, Some("abc d")),
+      (2L, None), (3L, None))
+    val inner = withStrategy {
+      left.join(dict, $"text".startsWith($"p"), "inner")
+        .select($"id", $"p").orderBy($"id", $"p").collect()
+    }
+    inner.map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+      (1L, "a"), (1L, "abc"), (1L, "abc d"))
+  }
+
+  test("multi-byte characters join on whole-char boundaries only") {
+    val left = Seq((1L, "héllo world")).toDF("id", "text")
+    val dict = Seq("h", "hé", "hél", "no").toDF("p")
+    val out = withStrategy {
+      left.join(dict, $"text".startsWith($"p"), "inner")
+        .select($"p").orderBy($"p").collect().map(_.getString(0))
+    }
+    out shouldBe Array("h", "hé", "hél")
+  }
+}
