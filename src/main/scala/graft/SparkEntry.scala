@@ -250,6 +250,41 @@ object SparkEntry {
           max(length(col("p"))).cast("long").as("opening_len"))
     }),
 
+    // A8 (beyond reference): PIVOT — orders count per status × priority
+    "a8_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map("1-URGENT" -> "p1", "2-HIGH" -> "p2",
+          "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        // pivot yields null for absent combinations; normalize to 0 to
+        // match conditional-aggregation semantics
+        .select(col("o_orderstatus") +: Seq("p1", "p2", "p3", "p4", "p5")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)),
+
+    // F13 (beyond reference): array algebra — sort/contains/slice/zip fold
+    "f13_array_ops" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        array_join(slice(sort_array(array_distinct(w)), 1, 3), ",").as("first3_sorted"),
+        array_contains(w, "the").as("has_the"),
+        size(array_intersect(w, array(lit("the"), lit("a"), lit("of")))).cast("long")
+          .as("n_common"),
+        aggregate(transform(w, t => length(t).cast("long")), lit(0L), _ + _)
+          .as("total_chars"))
+    }),
+
+    // F14 (beyond reference): JSON path extraction over the props column
+    "f14_json_ops" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.tag").as("tag"),
+        get_json_object(col("props"), "$.missing").as("missing"))),
+
     // J6 (beyond reference): semi-join — customers with at least one order
     "j6_semi_join" -> ((s, d) =>
       Tables.customer(s, d)
@@ -616,6 +651,33 @@ object SparkEntry {
         | CAST(max(strlen(t.p)) AS BIGINT) AS opening_len
         |FROM documents d LEFT JOIN dict t ON starts_with(d.text, t.p)
         |GROUP BY d.doc_id""".stripMargin,
+
+    "a8_pivot" ->
+      """SELECT o_orderstatus,
+        | count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        | count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        | count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "f13_array_ops" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        | array_to_string(list_sort(list_distinct(w))[1:3], ',') AS first3_sorted,
+        | list_contains(w, 'the') AS has_the,
+        | CAST(len(list_filter(list_distinct(w), x -> x IN ('the', 'a', 'of'))) AS BIGINT)
+        |   AS n_common,
+        | CAST(list_aggregate(list_transform(w, x -> CAST(strlen(x) AS BIGINT)), 'sum')
+        |   AS BIGINT) AS total_chars
+        |FROM t""".stripMargin,
+
+    "f14_json_ops" ->
+      """SELECT event_id,
+        | TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | json_extract_string(props, '$.tag') AS tag,
+        | json_extract_string(props, '$.missing') AS missing
+        |FROM events""".stripMargin,
 
     "j6_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
