@@ -135,6 +135,9 @@ object Similarity {
         .groupBy("cid")
         .agg(graft.functions.VectorAggregators.vecMean(col("embedding")).as("ce"))
     }
+    // nlist rows, consumed by both the corpus and the query assignment —
+    // cache so the refine chain isn't re-executed per consumer
+    if (refineSteps > 0) centroids = centroids.cache()
     val assign = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("ce")).as("ccos"))
