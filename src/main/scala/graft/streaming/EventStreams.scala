@@ -64,6 +64,26 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: the static side is broadcast and re-resolved
+    * per micro-batch (a dim refresh is picked up without restarting).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join: pair each left event with right events of
+    * the same key arriving within `windowSeconds` AFTER it. Both sides
+    * watermarked so join state is bounded and purged.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   windowSeconds: Long, lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).as("l")
+    val r = right.withWatermark("ts", lateness).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   // ---- custom state: sessionization ------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

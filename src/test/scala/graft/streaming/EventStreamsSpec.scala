@@ -75,6 +75,38 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     q.stop()
   }
 
+  test("enrich: stream-static broadcast join per micro-batch") {
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    input.addData(ev(1, "2024-01-01 10:00:00", user = 1L),
+      ev(2, "2024-01-01 10:01:00", user = 3L))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_test").orderBy("event_id").collect()
+    rows.map(r => Option(r.getAs[String]("tier"))) shouldBe Array(Some("gold"), None)
+    q.stop()
+  }
+
+  test("intervalJoin pairs events within the window, drops outside it") {
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF().select($"user_id", $"ts", $"event_id".as("click_id")),
+      buys.toDF().select($"user_id", $"ts", $"event_id".as("buy_id")),
+      "user_id", windowSeconds = 600)
+      .select($"click_id", $"buy_id")
+    val q = joined.writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    clicks.addData(ev(1, "2024-01-01 10:00:00"))
+    buys.addData(ev(100, "2024-01-01 10:05:00"), // within 10 min -> pairs
+      ev(101, "2024-01-01 11:00:00"))            // outside -> dropped
+    q.processAllAvailable()
+    val rows = spark.table("ij_test").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 100L))
+    q.stop()
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val input = MemoryStream[Event]
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
