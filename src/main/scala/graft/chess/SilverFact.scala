@@ -17,8 +17,10 @@ object SilverFact {
 
   def transform(bronze: DataFrame): DataFrame = {
     val h = ChessFunctions.pgnHeader(col("pgn"), _: String)
-    val pgnDate = to_date(regexp_replace(h("Date"), "\\.", "/"), "yyyy/MM/dd")
-    val endDate = to_date(regexp_replace(h("EndDate"), "\\.", "/"), "yyyy/MM/dd")
+    // try_* variants: a malformed or absent header yields null instead of
+    // an ANSI parse error — one bad game must not fail a 100 TB batch
+    val pgnDate = try_to_date(regexp_replace(h("Date"), "\\.", "/"), "yyyy/MM/dd")
+    val endDate = try_to_date(regexp_replace(h("EndDate"), "\\.", "/"), "yyyy/MM/dd")
     val plies = ChessFunctions.pgnMoves(col("pgn"))
     bronze.select(
       col("url").as("game_url"),
@@ -40,10 +42,10 @@ object SilverFact {
       h("Timezone").as("pgn_timezone"),
       h("ECO").as("pgn_eco"),
       h("ECOUrl").as("pgn_eco_url"),
-      to_timestamp(concat_ws(" ", pgnDate.cast("string"), h("StartTime")),
-        "yyyy-MM-dd HH:mm:ss").as("start_time"),
-      to_timestamp(concat_ws(" ", endDate.cast("string"), h("EndTime")),
-        "yyyy-MM-dd HH:mm:ss").as("end_time"),
+      try_to_timestamp(concat_ws(" ", pgnDate.cast("string"), h("StartTime")),
+        lit("yyyy-MM-dd HH:mm:ss")).as("start_time"),
+      try_to_timestamp(concat_ws(" ", endDate.cast("string"), h("EndTime")),
+        lit("yyyy-MM-dd HH:mm:ss")).as("end_time"),
       endDate.as("end_game_date"),
       array_join(plies, " ").as("pgn_raw"),
       ChessFunctions.addMoveNumbers(plies).as("pgn_trans"))
