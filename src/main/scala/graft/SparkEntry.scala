@@ -250,6 +250,16 @@ object SparkEntry {
           max(length(col("p"))).cast("long").as("opening_len"))
     }),
 
+    // A9 (beyond reference): UNPIVOT/melt — wide measures to long form
+    "a9_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("quantity"), col("l_discount").as("discount"),
+          col("l_tax").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount"), col("tax")),
+          "measure", "value")),
+
     // A8 (beyond reference): PIVOT — orders count per status × priority
     "a8_pivot" -> ((s, d) =>
       Tables.orders(s, d)
@@ -651,6 +661,14 @@ object SparkEntry {
         | CAST(max(strlen(t.p)) AS BIGINT) AS opening_len
         |FROM documents d LEFT JOIN dict t ON starts_with(d.text, t.p)
         |GROUP BY d.doc_id""".stripMargin,
+
+    "a9_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""".stripMargin,
 
     "a8_pivot" ->
       """SELECT o_orderstatus,

@@ -59,6 +59,14 @@ object ChessAnalytics {
   def openingFamilyCounts(dimOpenings: DataFrame): DataFrame =
     dimOpenings.groupBy(col("opening_family")).count().orderBy(desc("count"))
 
+  /** Movetext line search (test.ipynb cell 14: `pgn_trans LIKE '%1. e4 e6%'`):
+    * games whose numbered movetext contains the given line fragment.
+    */
+  def searchGamesByLine(fact: DataFrame, line: String): DataFrame =
+    fact.filter(col("game_pgn").contains(line))
+      .select(col("game_url"), col("game_date"), col("my_color"),
+        col("my_result"), col("opening_url"))
+
   /** Register the star schema and the analytic rollups as SQL temp views,
     * so any SQL client of the session (the Power BI role in the reference)
     * can query `fact_games`, `dim_*`, `win_rate_by_family`, … directly.

@@ -131,6 +131,13 @@ class ChessPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     pipe.watermark() shouldBe defined
   }
 
+  test("searchGamesByLine finds games opening 1. d4 e5 (notebook cell 14)") {
+    assume(new java.io.File(sampleJson).exists())
+    val hits = ChessAnalytics.searchGamesByLine(pipe.fact, "1. d4 e5")
+    hits.count() should be > 0L
+    hits.columns should contain("game_url")
+  }
+
   test("registered SQL views answer the dashboard queries") {
     assume(new java.io.File(sampleJson).exists())
     pipe.fact.count() // ensure built
