@@ -250,6 +250,42 @@ object SparkEntry {
           max(length(col("p"))).cast("long").as("opening_len"))
     }),
 
+    // G1 (beyond reference): generator — positional token explode
+    "g1_posexplode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))),
+
+    // F15 (beyond reference): string function breadth
+    "f15_string_ops" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        translate(col("p_name"), "ae", "@3").as("leeted"),
+        reverse(col("p_brand")).as("rev_brand"),
+        element_at(split(col("p_name"), " "), 2).as("second_word"),
+        repeat(substring(col("p_brand"), 1, 2), 3).as("brand_echo"))),
+
+    // F16 (beyond reference): date arithmetic breadth
+    "f16_date_ops" -> ((s, d) => {
+      val dt = col("o_orderdate")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        last_day(dt).as("month_end"),
+        date_trunc("month", dt).cast("date").as("month_start"),
+        date_add(dt, 10).as("plus10"),
+        add_months(dt, 2).as("plus2m"),
+        make_date(year(dt), month(dt), dayofmonth(dt)).as("remade"))
+    }),
+
+    // A10 (beyond reference): CUBE with grouping marker
+    "a10_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
+
     // A9 (beyond reference): UNPIVOT/melt — wide measures to long form
     "a9_unpivot" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -661,6 +697,38 @@ object SparkEntry {
         | CAST(max(strlen(t.p)) AS BIGINT) AS opening_len
         |FROM documents d LEFT JOIN dict t ON starts_with(d.text, t.p)
         |GROUP BY d.doc_id""".stripMargin,
+
+    "g1_posexplode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE doc_id < 50)
+        |SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |    i -> struct_pack(pos := i - 1, tok := w[i]))) AS u FROM t)""".stripMargin,
+
+    "f15_string_ops" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS upper_name,
+        | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+        | translate(p_name, 'ae', '@3') AS leeted,
+        | reverse(p_brand) AS rev_brand,
+        | split_part(p_name, ' ', 2) AS second_word,
+        | repeat(substr(p_brand, 1, 2), 3) AS brand_echo
+        |FROM part""".stripMargin,
+
+    "f16_date_ops" ->
+      """SELECT o_orderkey,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 10 DAY AS DATE) AS plus10,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        | make_date(year(CAST(o_orderdate AS DATE)), month(CAST(o_orderdate AS DATE)),
+        |           day(CAST(o_orderdate AS DATE))) AS remade
+        |FROM orders""".stripMargin,
+
+    "a10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "a9_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
