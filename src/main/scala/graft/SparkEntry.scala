@@ -115,6 +115,28 @@ object SparkEntry {
         .unionByName(Tables.supplier(s, d)
           .select(col("s_nationkey").as("nationkey"), lit("supplier").as("src")))),
 
+    // U3 (beyond reference): INTERSECT / EXCEPT set operations
+    "u3_intersect_except" -> ((s, d) => {
+      val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      custNations.intersect(suppNations).withColumn("op", lit("both"))
+        .unionByName(custNations.except(suppNations).withColumn("op", lit("cust_only")))
+    }),
+
+    // W3 (beyond reference): window frames + rank family
+    "w3_frames_ranks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        round(avg(col("value")).over(w.rowsBetween(-2, 0)), 6).as("mov_avg3"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        first(col("event_id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_event"),
+        rank().over(w).cast("long").as("rnk"),
+        percent_rank().over(w).as("pct_rank"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     // P7: searched CASE derivations
     "p7_case_pivot" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -595,6 +617,30 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
         |UNION ALL
         |SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier""".stripMargin,
+
+    "u3_intersect_except" ->
+      """SELECT nationkey, 'both' AS op FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | INTERSECT
+        | SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS op FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | EXCEPT
+        | SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "w3_frames_ranks" ->
+      """SELECT user_id, event_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+        | lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
+        | first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event,
+        | CAST(rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rnk,
+        | percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pct_rank,
+        | CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |   AS quartile
+        |FROM events""".stripMargin,
 
     "p7_case_pivot" ->
       """SELECT o_orderkey, o_orderstatus,
