@@ -439,6 +439,12 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, d) => Dedup.simhashSignatures(Tables.documents(s, d))),
 
+    // near-dup pairs -> duplicate clusters (connected components): the
+    // keep-one-per-cluster endgame of corpus dedup
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.jaccardPairs(Tables.documents(s, d), k = 5, threshold = 0.5))),
+
     // threshold 0.4 sits just under the corpus's max same-bucket cosine so
     // the oracle comparison is non-vacuous (0.95 matches zero rows on the
     // synthetic quasi-random embeddings at every sf)
@@ -884,6 +890,23 @@ object SparkEntry {
          | inter / (sa.n + sb.n - inter) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
          |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |       FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT da, db FROM pr
+         |          JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION SELECT db, da FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component
+         |FROM reach GROUP BY src""".stripMargin,
 
     "dedup_minhash_lsh" -> {
       val mins = (0 until 16).map(i => s"min(md5('$i:' || s)) AS m$i").mkString(", ")

@@ -166,6 +166,48 @@ object Dedup {
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash16(col("text")).as("simhash"))
 
+  /** Duplicate clusters from a near-dup pair list: connected components by
+    * iterative min-label propagation. Each vertex starts labeled with
+    * itself; every round each vertex takes the minimum label in its
+    * neighborhood; converged when no label changes. Rounds needed =
+    * graph diameter (near-dup clusters are tiny, so 3-5 rounds); each
+    * round is two hash joins + one aggregation — all shuffle-partitioned
+    * by vertex id, no driver-side graph state.
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (doc_id, component) where
+    * component = min doc_id reachable — the canonical "keep" id.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) after every step: iterative algorithms must
+    // truncate lineage, or each round's logical plan nests all previous
+    // rounds and analysis/optimization time compounds
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("component")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("n_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
     * an LSH-style blocking key (sign of the first `signBits` components) so
     * the self-join is bucketed rather than a full cross product.
