@@ -189,6 +189,10 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var i = 0
+    // labels can only decrease, so the label sum is a strictly decreasing
+    // convergence witness — one cheap aggregate per round instead of a
+    // change-detection join
+    var prevSum = labels.agg(sum(col("component"))).head.getLong(0)
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -199,10 +203,10 @@ object Dedup {
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") =!= col("old")).limit(1).count()
+      val nextSum = next.agg(sum(col("component"))).head.getLong(0)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     labels

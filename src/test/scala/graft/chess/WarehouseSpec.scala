@@ -14,6 +14,18 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
   private val url = "jdbc:derby:memory:chessdw;create=true"
   private def props = new java.util.Properties()
 
+  test("warehouse DDL creates the star schema idempotently") {
+    val ddlUrl = "jdbc:derby:memory:chessddl;create=true"
+    Warehouse.createSchema(ddlUrl)
+    Warehouse.createSchema(ddlUrl) // rerun must be a no-op
+    // the empty tables exist and are queryable through the JDBC source
+    val dim = spark.read.jdbc(ddlUrl, "chess_dw.dim_results", props)
+    dim.columns.map(_.toLowerCase) shouldBe Array("result_code", "result", "description")
+    dim.count() shouldBe 0L
+    spark.read.jdbc(ddlUrl, "chess_dw.fact_games", props)
+      .columns.map(_.toLowerCase) should contain("game_url")
+  }
+
   test("JDBC sink full-replace write + JDBC source read-back") {
     val dim = Dims.results(spark)
     dim.write.mode("overwrite").jdbc(url, "dim_results", props)
