@@ -479,6 +479,39 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.minShingleFingerprint(col("text"), 5).as("min_shingle_fp"))),
 
+    // char-n-gram language ID + Gopher-style quality rule flags
+    "text_quality_flags" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.langIdCharNgram(col("text")).as("lang_ngram"),
+          TextAnalysis.gopherFlags(col("text")).as("g"))
+        .select(col("doc_id"), col("lang_ngram"),
+          col("g.ok_word_count"), col("g.ok_mean_word_len"),
+          col("g.ok_symbol_ratio"), col("g.ok_alpha_fraction"), col("g.keep"))),
+
+    // repetition detection: top 2-gram share per document (Gopher-style
+    // duplicate-n-gram fraction)
+    "text_repetition" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.shinglesAll(col("text"), 2)).as("g"))
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_2gram_count"))
+        .withColumn("rep_ratio",
+          col("top_2gram_count").cast("double") / col("n_2grams").cast("double"))
+    }),
+
+    // PII-ish pattern counts (emails / urls / long digit runs)
+    "text_pii_flags" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit("https?://[^ ]+"), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"),
+          lit("[0-9]{6,}"), lit(0))).cast("long").as("n_long_digit_runs"))),
+
     "text_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -1020,6 +1053,59 @@ object SparkEntry {
          |          ' +', ' ', 'g'))) AS fingerprint,
          | mins.min_shingle_fp AS min_shingle_fp
          |FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id""".stripMargin,
+
+    "text_quality_flags" -> {
+      val langScores = TextAnalysis.CharNgramMarkers.map { case (l, m) =>
+        s"len(regexp_extract_all(lower(text), '${m.mkString("|")}')) AS s_$l"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id, text, w,
+         |  len(w) AS nw,
+         |  CASE WHEN len(w) > 0
+         |   THEN CAST(list_aggregate(list_transform(w, x -> strlen(x)), 'sum') AS DOUBLE)
+         |        / len(w) ELSE 0.0 END AS mean_len,
+         |  len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_w,
+         |  CASE WHEN strlen(text) > 0
+         |   THEN (strlen(text) - strlen(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         |        / strlen(text) ELSE 0.0 END AS sym_ratio,
+         |  $langScores
+         | FROM t),
+         |f AS (SELECT doc_id,
+         |  CASE WHEN s_zh > s_en AND s_zh > s_es AND s_zh > s_fr AND s_zh > s_de THEN 'zh'
+         |       WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+         |       WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+         |       WHEN s_es > s_en THEN 'es'
+         |       ELSE 'en' END AS lang_ngram,
+         |  nw BETWEEN 5 AND 100000 AS ok_word_count,
+         |  mean_len BETWEEN 2.0 AND 12.0 AS ok_mean_word_len,
+         |  sym_ratio < 0.2 AS ok_symbol_ratio,
+         |  CASE WHEN nw > 0 THEN alpha_w / nw >= 0.7 ELSE false END AS ok_alpha_fraction
+         | FROM m)
+         |SELECT doc_id, lang_ngram, ok_word_count, ok_mean_word_len,
+         | ok_symbol_ratio, ok_alpha_fraction,
+         | ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+         |  AND ok_alpha_fraction AS keep
+         |FROM f""".stripMargin
+    },
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |                    i -> array_to_string(w[i:i+1], ' '))) AS g
+        |      FROM t WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+        | max(c) AS top_2gram_count,
+        | CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "text_pii_flags" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+')) AS BIGINT)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_digit_runs
+        |FROM documents""".stripMargin,
 
     "text_rolling_hash" -> {
       def rh(expr: String) =

@@ -26,7 +26,9 @@ object TextOps {
     * i -> concat_ws(" ", slice(split(text, " "), i, k))))` exactly
     * (Spark split keeps empty tokens; concat_ws joins them back).
     */
-  def shingles(text: UTF8String, k: Int): ArrayData = {
+  def shingles(text: UTF8String, k: Int): ArrayData = shingles(text, k, true)
+
+  def shingles(text: UTF8String, k: Int, distinct: Boolean): ArrayData = {
     val s = text.toString
     // Spark's split(text, " ") is regex-based with limit -1: single-space
     // split keeping empty tokens, but trailing empties are KEPT by Java's
@@ -34,7 +36,9 @@ object TextOps {
     val toks = s.split(" ", -1)
     val n = toks.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](math.min(n, 1024))
+    val seen =
+      if (distinct) new java.util.LinkedHashSet[UTF8String](math.min(n, 1024))
+      else new java.util.ArrayList[UTF8String](n)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < n) {
@@ -131,7 +135,8 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleArray(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(k >= 1, "shingle size must be >= 1")
   override def prettyName: String = "shingle_array"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -143,10 +148,10 @@ case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
     }
 
   override def nullSafeEval(t: Any): Any =
-    TextOps.shingles(t.asInstanceOf[UTF8String], k)
+    TextOps.shingles(t.asInstanceOf[UTF8String], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingles($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingles($c, $k, $distinct)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -173,6 +178,8 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 object TextFunctions {
   import org.apache.spark.sql.GraftShims.{column, expression}
   def shingle_array(text: Column, k: Int): Column = column(ShingleArray(expression(text), k))
+  def shingle_array_all(text: Column, k: Int): Column =
+    column(ShingleArray(expression(text), k, distinct = false))
   def simhash16(text: Column): Column = column(SimHash16(expression(text)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
 }

@@ -35,6 +35,10 @@ object TextAnalysis {
   def shingles(text: Column, k: Int): Column =
     graft.functions.TextFunctions.shingle_array(text, k)
 
+  /** All k-shingles including duplicates (repetition analysis). */
+  def shinglesAll(text: Column, k: Int): Column =
+    graft.functions.TextFunctions.shingle_array_all(text, k)
+
   /** Reference formulation of [[shingles]] via composed built-ins. */
   def shinglesComposed(text: Column, k: Int): Column = {
     val w = words(text)
@@ -109,6 +113,54 @@ object TextAnalysis {
         (when(s > bestScore, lit(l)).otherwise(bestLang),
           greatest(s, bestScore))
     }._1
+  }
+
+  /** Character-n-gram language ID: counts occurrences of language-typical
+    * trigrams (non-overlapping regex matches, identical semantics in the
+    * SQL oracle) and takes the arg-max with the same deterministic tie
+    * order as [[langId]]. The n-gram flavor degrades gracefully on
+    * unsegmented text where word markers fail.
+    */
+  val CharNgramMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion"),
+    "es" -> Seq("que", "ado", "los", "cio"),
+    "fr" -> Seq("les", "ent", "eur", "ais"),
+    "de" -> Seq("der", "ein", "sch", "ung"),
+    "zh" -> Seq("ng1", "ng4", "shi", "zh"))
+
+  def charNgramScore(text: Column, ngrams: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit(ngrams.mkString("|")), lit(0))).cast("long")
+
+  def langIdCharNgram(text: Column): Column = {
+    val scores = CharNgramMarkers.map { case (l, m) => l -> charNgramScore(text, m) }
+    scores.tail.foldLeft((when(lit(true), lit(scores.head._1)), scores.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang), greatest(s, bestScore))
+    }._1
+  }
+
+  /** Gopher-style quality rules (Rae et al. 2021, §A1.1 style): each a
+    * boolean flag plus the conjunction `keep`. Thresholds simplified but
+    * the rule *shapes* (word count band, mean-word-length band, symbol
+    * ratio, alpha-word fraction) match the published filters.
+    */
+  def gopherFlags(text: Column): Column = {
+    val w = words(text)
+    val nWords = size(w)
+    val meanLen = meanWordLen(text)
+    val alphaWords = size(filter(w, t => t.rlike("[a-zA-Z]")))
+    val symbolRatio = punctRatio(text)
+    val okWordCount = nWords.between(5, 100000)
+    val okMeanLen = meanLen.between(2.0, 12.0)
+    val okSymbols = symbolRatio < 0.2
+    val okAlpha = when(nWords > 0,
+      alphaWords.cast("double") / nWords.cast("double") >= 0.7).otherwise(lit(false))
+    struct(
+      okWordCount.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbols.as("ok_symbol_ratio"),
+      okAlpha.as("ok_alpha_fraction"),
+      (okWordCount && okMeanLen && okSymbols && okAlpha).as("keep"))
   }
 
   /** Content fingerprint: md5 of the normalized text (lowercased, punctuation
