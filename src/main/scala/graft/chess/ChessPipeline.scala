@@ -50,19 +50,28 @@ class ChessPipeline(spark: SparkSession, root: String, username: String) {
   }
 
   /** EP2 dims: initial build or incremental append per existence probe
-    * (S10 + J2 + U1).
+    * (S10 + J2 + U1). The four builds are independent jobs submitted
+    * concurrently (the reference fans them out as parallel Airflow tasks,
+    * collect_chess_data_dag.py:108) — Spark's scheduler interleaves their
+    * stages across the cluster.
     */
   def buildDims(silver: DataFrame): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     def upsert(rel: String, fresh: DataFrame, key: String): Unit = {
       val next =
         if (exists(rel)) Dims.incremental(fresh, readGold(rel), key) else fresh
       writeGold(next, rel)
     }
-    upsert("gold/dim_openings.parquet", Dims.openingsFromSilver(silver), "pgn_eco_url")
-    upsert("gold/dim_date.parquet", Dims.dateFromSilver(silver), "game_date")
-    upsert("gold/dim_time_control.parquet", Dims.timeControlFromSilver(silver), "time_control")
-    if (!exists("gold/dim_results.parquet")) // write-once static seed (quirk 1)
-      writeGold(Dims.results(spark), "gold/dim_results.parquet")
+    val builds = Seq(
+      Future(upsert("gold/dim_openings.parquet", Dims.openingsFromSilver(silver), "pgn_eco_url")),
+      Future(upsert("gold/dim_date.parquet", Dims.dateFromSilver(silver), "game_date")),
+      Future(upsert("gold/dim_time_control.parquet",
+        Dims.timeControlFromSilver(silver), "time_control")),
+      Future(if (!exists("gold/dim_results.parquet")) // write-once seed (quirk 1)
+        writeGold(Dims.results(spark), "gold/dim_results.parquet")))
+    Await.result(Future.sequence(builds), Duration.Inf)
   }
 
   /** EP2 fact: gold projection → star join → merge into the cumulative
