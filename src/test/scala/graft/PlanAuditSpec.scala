@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan assertions: the properties the scale design depends on
+  * (pushdown, pruning, partial aggregation, broadcast strategy choice)
+  * are checked, not eyeballed.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("p5: string predicates are pushed into the parquet scan") {
+    val p = plan("p5_like_filter")
+    p should include("PushedFilters")
+    p should include("StringContains(p_name,widget)")
+    p should include("StringStartsWith(p_brand")
+  }
+
+  test("a1: scan is pruned to referenced columns and aggregation is partial") {
+    val p = plan("a1_groupby_agg")
+    p should not include "l_shipdate" // unreferenced column absent from scan
+    "HashAggregate".r.findAllIn(p).length should be >= 2 // partial + final
+  }
+
+  test("j1_a1: star rollup uses broadcast hash joins, no sort-merge") {
+    val p = plan("j1_a1_star_rollup")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("j2: NOT IN incremental path plans as a broadcast anti join") {
+    plan("j2_anti_join") should include("LeftAnti")
+  }
+
+  test("w1: window dedup exchanges once on the partition key") {
+    val p = plan("w1_window_dedup")
+    p should include("Window")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("custom vector expression participates in whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = emb.select(graft.functions.VectorFunctions.vec_cosine(
+      col("embedding"), col("embedding")).as("c")).filter(col("c") > 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("vec_cosine")
+    p should include("*") // WholeStageCodegen marker on the project/filter
+  }
+}

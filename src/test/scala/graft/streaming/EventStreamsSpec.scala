@@ -107,6 +107,32 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     q.stop()
   }
 
+  test("checkpointed file-sink stream resumes exactly-once across restarts") {
+    val srcDir = java.nio.file.Files.createTempDirectory("ckpt-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ckpt-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-meta").toString
+    val events = graft.Tables.events(spark, sf0001)
+
+    def runOnce(): Unit = {
+      val q = EventStreams.readEventStream(spark, srcDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    events.filter($"event_id" % 2 === 0).write.mode("append").parquet(srcDir)
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    afterFirst shouldBe events.filter($"event_id" % 2 === 0).count()
+
+    // restart with more input: only the new file is processed (no dupes)
+    events.filter($"event_id" % 2 === 1).write.mode("append").parquet(srcDir)
+    runOnce()
+    spark.read.parquet(outDir).count() shouldBe events.count()
+    spark.read.parquet(outDir).select("event_id").distinct().count() shouldBe events.count()
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val input = MemoryStream[Event]
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
