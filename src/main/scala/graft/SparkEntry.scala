@@ -115,6 +115,36 @@ object SparkEntry {
         .unionByName(Tables.supplier(s, d)
           .select(col("s_nationkey").as("nationkey"), lit("supplier").as("src")))),
 
+    // TPC-H-shaped analytics (beyond reference): the classic plan shapes
+    // Q3: filtered 3-way join -> agg -> deterministic top-k
+    "q3_shipping_priority" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < "1995-03-15")
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > "1995-03-15")
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(revenue), 2).as("rev"))
+        .orderBy(desc("rev"), col("l_orderkey")).limit(10)),
+
+    // Q13: outer-join count distribution (double aggregation)
+    "q13_custdist" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))),
+
+    // Q18: HAVING over a grouped sum, joined back to the fact
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.orders(s, d).join(big, col("o_orderkey") === col("bk"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("total_qty"))
+    }),
+
     // U3 (beyond reference): INTERSECT / EXCEPT set operations
     "u3_intersect_except" -> ((s, d) => {
       val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -656,6 +686,32 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
         |UNION ALL
         |SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey AS bk, sum(l_quantity) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |SELECT o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = bk""".stripMargin,
 
     "u3_intersect_except" ->
       """SELECT nationkey, 'both' AS op FROM (
