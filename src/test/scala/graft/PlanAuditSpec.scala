@@ -42,6 +42,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
   }
 
+  test("AQE re-plans the executed join at runtime (coalesced shuffle read)") {
+    val li = Tables.lineitem(spark, sf0001)
+    val ord = Tables.orders(spark, sf0001)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid static broadcast so the join starts as a shuffle join, then
+      // let AQE optimize the exchanges from runtime statistics
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      p should include("AdaptiveSparkPlan isFinalPlan=true")
+      p should include("AQEShuffleRead")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("custom vector expression participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf0001)
     val df = emb.select(graft.functions.VectorFunctions.vec_cosine(
