@@ -84,6 +84,18 @@ object EventStreams {
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** Stream → warehouse bridge: per-micro-batch JDBC append via
+    * `foreachBatch` (JDBC has no native streaming sink). The batchId is
+    * recorded so a retried micro-batch can be made idempotent downstream
+    * (delete-then-insert or merge keyed on batch_id).
+    */
+  def jdbcSink(events: DataFrame, jdbcUrl: String, table: String,
+               props: java.util.Properties): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("append").jdbc(jdbcUrl, table, props)
+    }
+
   // ---- custom state: sessionization ------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

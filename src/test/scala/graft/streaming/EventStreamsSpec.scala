@@ -133,6 +133,21 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     spark.read.parquet(outDir).select("event_id").distinct().count() shouldBe events.count()
   }
 
+  test("jdbcSink lands micro-batches in the warehouse with batch ids") {
+    val input = MemoryStream[Event]
+    val url = "jdbc:derby:memory:streamdw;create=true"
+    val props = new java.util.Properties()
+    val q = EventStreams.jdbcSink(input.toDF(), url, "stream_events", props).start()
+    input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+    q.processAllAvailable()
+    input.addData(ev(3, "2024-01-01 10:02:00"))
+    q.processAllAvailable()
+    val landed = spark.read.jdbc(url, "stream_events", props)
+    landed.count() shouldBe 3L
+    landed.select("batch_id").distinct().count() shouldBe 2L // two micro-batches
+    q.stop()
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val input = MemoryStream[Event]
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
