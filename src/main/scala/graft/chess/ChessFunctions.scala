@@ -60,12 +60,18 @@ object ChessFunctions {
   /** UD6 `format_time_control` (udfs.py:153-171): "base+inc" → "min|inc",
     * "base" → "min", with floor integer division of base seconds by 60
     * (quirk 5: int(int("90")/60) == 1).
+    *
+    * Daily games use "1/86400"-style controls (moves-per-period), which the
+    * reference UDF crashes on. A bad value must not fail a 100 TB batch, so
+    * we diverge deliberately: `try_cast` passes the raw string through
+    * unformatted instead of raising `CAST_INVALID_INPUT` under ANSI mode.
     */
   def formatTimeControl(tc: Column): Column = {
-    val base = split(tc, "\\+").getItem(0).cast("long")
+    val base = split(tc, "\\+").getItem(0).try_cast("long")
     val minutes = floor(base / lit(60)).cast("long").cast("string")
-    when(tc.contains("+"),
-      concat(minutes, lit("|"), split(tc, "\\+").getItem(1)))
+    when(base.isNull, tc)
+      .when(tc.contains("+"),
+        concat(minutes, lit("|"), split(tc, "\\+").getItem(1)))
       .otherwise(minutes)
   }
 

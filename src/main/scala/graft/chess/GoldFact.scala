@@ -64,19 +64,24 @@ object GoldFact {
   }
 
   /** Latest-wins merge of a new batch into the cumulative fact (U2a + W1):
-    * UNION ALL then row_number over game_url ordered by last_updated desc.
-    * `game_url` tie-break added beneath last_updated for determinism when
-    * the same month is re-run within one batch timestamp.
+    * UNION ALL then row_number over game_url ordered by last_updated desc,
+    * then by a source ordinal preferring the new batch. The reference's
+    * ROW_NUMBER orders by last_updated alone, so a same-month re-run inside
+    * one batch timestamp picks an arbitrary survivor; the ordinal makes the
+    * merge deterministic (new batch wins ties) — a documented improvement,
+    * not parity.
     *
     * Scale note (SURVEY.md §7.4/6): this is O(history) per merge by design
     * parity; on a partitioned gold table the union+window prunes to the
     * months present in the new batch before shuffling.
     */
   def merge(previous: DataFrame, batch: DataFrame): DataFrame = {
-    val w = Window.partitionBy("game_url").orderBy(desc("last_updated"))
-    previous.unionByName(batch)
+    val w = Window.partitionBy("game_url")
+      .orderBy(desc("last_updated"), desc("src_ord"))
+    previous.withColumn("src_ord", lit(0))
+      .unionByName(batch.withColumn("src_ord", lit(1)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn", "src_ord")
   }
 }

@@ -99,13 +99,26 @@ object Dedup {
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
     * `sh` is an exploded (doc_id, s) shingle table.
+    *
+    * `maxBucket` is the band-bucket df-cut, mirroring [[jaccardPairs]]'s
+    * `maxPostings`: the self-join is quadratic in the largest bucket, so one
+    * degenerate bucket (a flood of empty/boilerplate docs all hashing to the
+    * same band value) would hand a single reducer O(bucket^2) pairs at scale.
+    * Buckets that large carry no near-dup signal (LSH theory: a bucket
+    * holding a large fraction of the corpus is indistinguishable from
+    * chance), so they are dropped before the join, bounding candidate count
+    * by bands * maxBucket^2 / 2 regardless of corpus skew.
     */
-  def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int): DataFrame = {
-    // one row per doc per band — small; persisted so the self-join below
-    // doesn't run the 16-way min-aggregation once per side
+  def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int,
+                    maxBucket: Long = 100000L): DataFrame = {
     val bandsDf = lshBands(minhashSignaturesFromShingles(sh, numPerm), numPerm, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandsDf.as("a").join(bandsDf.as("b"),
+    val capped = bandsDf.withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    // self-join of an identical subtree: ReuseExchange computes the band
+    // aggregation once and both join inputs read the same shuffle files —
+    // no persist, so a long-lived session accumulates no cached blocks here
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -115,9 +128,16 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard
     * verification of candidates only (the scale path: verification cost is
     * proportional to candidates, not to n^2).
+    *
+    * Lifecycle: the verified-pair result is computed eagerly, persisted
+    * (CacheManager-registered, so `unpersist()`/`spark.catalog.clearCache()`
+    * releases it), and the shingle intermediate is unpersisted before
+    * returning. Repeated invocations in a long-lived session therefore hold
+    * at most the (small) result — not the exploded shingle table, which at
+    * corpus scale dwarfs executor memory.
     */
   def minhashLshDedup(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, maxBucket: Long = 100000L): DataFrame = {
     // the exploded shingle table feeds signatures, both sides of the
     // intersection join, and the size table — materialize it once instead
     // of re-exploding (and re-reading) the corpus four times. Hash-
@@ -127,9 +147,9 @@ object Dedup {
     // signature and size groupBys reuse this partitioning shuffle-free.
     val sh = shingleTable(docs, k).repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(sh, numPerm, bands)
+    val cand = lshCandidates(sh, numPerm, bands, maxBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    cand
+    val result = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
@@ -139,6 +159,10 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize while the shingle cache is alive
+    sh.unpersist(blocking = false)
+    result
   }
 
   /** 16-bit SimHash from the high bit of each hex nibble of md5(token):
@@ -177,39 +201,72 @@ object Dedup {
     * Input: (doc_a, doc_b) pairs. Output: (doc_id, component) where
     * component = min doc_id reachable — the canonical "keep" id.
     */
+  /** Eager localCheckpoint plus the ids of the RDD blocks it pinned.
+    * localCheckpoint storage lives outside the CacheManager —
+    * `spark.catalog.clearCache()` does NOT release it — so iterative
+    * algorithms must free superseded checkpoints explicitly or a long-lived
+    * session accumulates dead blocks until executors spill and thrash.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  private def freeCheckpoints(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager) after every step: iterative algorithms must
     // truncate lineage, or each round's logical plan nests all previous
-    // rounds and analysis/optimization time compounds
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
+    // rounds and analysis/optimization time compounds. Each round frees the
+    // checkpoint it supersedes (see checkpointTracked).
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id")))
+    // empty pair list: no vertices, nothing to propagate (and no aggregate
+    // to probe — a sum-based witness would NPE here on the null sum)
+    var converged = labels.isEmpty
     var i = 0
-    // labels can only decrease, so the label sum is a strictly decreasing
-    // convergence witness — one cheap aggregate per round instead of a
-    // change-detection join
-    var prevSum = labels.agg(sum(col("component"))).head.getLong(0)
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("n_min"), col("component")))
-            .as("component"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("component"))).head.getLong(0)
+      // `lowered` rides along in the same pass so convergence detection is a
+      // scan of the just-materialized checkpoint, not an extra join; a
+      // count-of-changes witness (unlike sum-of-labels) cannot overflow Long
+      // however large the id space
+      val (next, nextIds) = checkpointTracked(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("n_min"), col("component")))
+              .as("component"),
+            (coalesce(col("n_min"), col("component")) < col("component"))
+              .as("lowered")))
+      converged = next.filter(col("lowered")).isEmpty
+      freeCheckpoints(labels, labelIds)
       labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      labelIds = nextIds
       i += 1
     }
-    labels
+    // hand the (small: one row per doc appearing in any pair) result to the
+    // CacheManager so callers release it with unpersist()/clearCache(), and
+    // free every remaining checkpoint block. localCheckpoint data is not
+    // fault-tolerant anyway, so the risk profile is unchanged — this just
+    // makes every block this operator pinned releasable by public API.
+    val out = labels.select(col("doc_id"), col("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    freeCheckpoints(labels, labelIds)
+    freeCheckpoints(edges, edgeIds)
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to

@@ -135,9 +135,17 @@ object Similarity {
         .groupBy("cid")
         .agg(graft.functions.VectorAggregators.vecMean(col("embedding")).as("ce"))
     }
-    // nlist rows, consumed by both the corpus and the query assignment —
-    // cache so the refine chain isn't re-executed per consumer
-    if (refineSteps > 0) centroids = centroids.cache()
+    // nlist rows, consumed by both the corpus and the query assignment.
+    // Materialize them on the driver and re-emit as a local relation: nlist
+    // is driver-bounded by construction (like a broadcast dim), the refine
+    // chain runs exactly once, and — unlike a cache() here — nothing stays
+    // pinned in executor storage after the call (a cached plan would leak a
+    // block per invocation in a long-lived session).
+    centroids = {
+      val rows = centroids.collect()
+      corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), centroids.schema)
+    }
     val assign = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("ce")).as("ccos"))

@@ -67,6 +67,15 @@ case class PrefixJoinExec(left: SparkPlan, right: SparkPlan,
         val t = leftKeyEval(lrow).getUTF8String(0)
         val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         if (t != null) {
+          // the empty-string prefix matches every left row (startsWith(x, "")
+          // is true even for x = ""), but the byte-length loop below starts
+          // at 1 — probe the empty key separately or the rewrite silently
+          // drops rows BroadcastNestedLoopJoin would emit
+          val emptyBucket = dict.get(UTF8String.EMPTY_UTF8)
+          if (emptyBucket != null) {
+            val it = emptyBucket.iterator()
+            while (it.hasNext) out += proj(joined(lrow, it.next())).copy()
+          }
           val bytes = t.getBytes
           val bound = math.min(bytes.length, maxL)
           var l = 1

@@ -72,6 +72,15 @@ class ChessFunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     df.collect().map(_.getString(0)) shouldBe Array("2|1", "10", "1", "5|5")
   }
 
+  test("formatTimeControl: daily '1/86400' controls pass through instead of failing the batch") {
+    // the reference UDF raises on moves-per-period strings; under Spark ANSI
+    // a plain cast would abort the whole job — documented deviation: bad
+    // values survive unformatted
+    val df = Seq("1/86400", "600", "abc").toDF("tc")
+      .select(ChessFunctions.formatTimeControl($"tc"))
+    df.collect().map(_.getString(0)) shouldBe Array("1/86400", "10", "abc")
+  }
+
   // ---- F1/F2 PGN extraction against the real sample ---------------------
 
   private val samplePath = "/root/reference/dev_files/Data/2024-01/games.json"

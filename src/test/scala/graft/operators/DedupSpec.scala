@@ -46,6 +46,47 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.foreach(_.getDouble(2) should be >= 0.9)
   }
 
+  test("lshCandidates band df-cut: generous cap is a no-op, tight cap bounds degenerate buckets") {
+    val sh = Dedup.shingleTable(docs, 3).repartition($"doc_id")
+    val uncapped = Dedup.lshCandidates(sh, 16, 8, maxBucket = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    val generous = Dedup.lshCandidates(sh, 16, 8, maxBucket = 1000L)
+      .as[(Long, Long)].collect().toSet
+    generous shouldBe uncapped // cap above any real bucket changes nothing
+    // degenerate corpus: 100 identical docs -> every band puts all 100 in one
+    // bucket -> uncapped candidate count is 100*99/2; a df-cut drops the
+    // bucket entirely (it carries no near-dup signal), bounding the join
+    val flood = (1L to 100L).map(i => (i, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val fsh = Dedup.shingleTable(flood, 3).repartition($"doc_id")
+    Dedup.lshCandidates(fsh, 16, 8, maxBucket = Long.MaxValue).count() shouldBe 4950L
+    Dedup.lshCandidates(fsh, 16, 8, maxBucket = 10L).count() shouldBe 0L
+  }
+
+  test("dedup operators pin no storage across repeated invocations (cache-leak lifecycle)") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val baseline = sc.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      val pairs = Dedup.minhashLshDedup(docs, k = 3, numPerm = 16, bands = 8, threshold = 0.9)
+      pairs.count()
+      val clusters = Dedup.duplicateClusters(pairs)
+      clusters.count()
+      // results are CacheManager-registered by contract; release them the
+      // public way (a bench/ETL loop calls clearCache between queries)
+      pairs.unpersist(blocking = true)
+      clusters.unpersist(blocking = true)
+      // nothing else — no shingle cache, no bands cache, no localCheckpoint
+      // blocks — may survive the call
+      sc.getPersistentRDDs.size shouldBe baseline
+    }
+  }
+
+  test("duplicateClusters on an empty pair list returns an empty labeling (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    Dedup.duplicateClusters(empty).count() shouldBe 0L
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sigs = Dedup.simhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

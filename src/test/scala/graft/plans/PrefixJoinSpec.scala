@@ -55,6 +55,22 @@ class PrefixJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
       (1L, "a"), (1L, "abc"), (1L, "abc d"))
   }
 
+  test("empty-string prefix matches every left row, exactly like startsWith") {
+    // startsWith(x, "") is true for all non-null x (including x = ""), so a
+    // dict containing "" must join to every left row — the byte-length probe
+    // loop alone would never look the empty key up
+    val left = Seq((1L, "abc"), (2L, "")).toDF("id", "text")
+    val dict = Seq("", "ab", "zzz").toDF("p")
+    def rows(joinType: String) = left.join(dict, $"text".startsWith($"p"), joinType)
+      .select($"id", $"p").orderBy($"id", $"p").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val (baseInner, baseOuter) = (rows("inner"), rows("left"))
+    val (fastInner, fastOuter) = withStrategy { (rows("inner"), rows("left")) }
+    fastInner shouldBe baseInner
+    fastOuter shouldBe baseOuter
+    fastInner shouldBe Seq((1L, Some("")), (1L, Some("ab")), (2L, Some("")))
+  }
+
   test("multi-byte characters join on whole-char boundaries only") {
     val left = Seq((1L, "héllo world")).toDF("id", "text")
     val dict = Seq("h", "hé", "hél", "no").toDF("p")
