@@ -618,6 +618,38 @@ object SparkEntry {
       }
     }),
 
+    // ---- chess silver/gold full-table oracles: the engine's bronze→silver
+    // and silver→gold semantics hash-compared column-for-column against a
+    // DuckDB re-derivation from the raw 514-game JSON (the reference
+    // transform IS DuckDB SQL — python_scripts.py:169-205, 533-598) --------
+
+    "chess_silver" -> ((s, _) => {
+      val sample = "/root/reference/dev_files/Data/2024-01/games.json"
+      if (!new java.io.File(sample).exists()) s.emptyDataFrame
+      else graft.chess.SilverFact.transform(
+        s.read.schema(graft.chess.Schemas.bronze).option("multiLine", true).json(sample))
+    }),
+
+    "chess_gold" -> ((s, _) => {
+      val sample = "/root/reference/dev_files/Data/2024-01/games.json"
+      if (!new java.io.File(sample).exists()) s.emptyDataFrame
+      else {
+        val silver = graft.chess.SilverFact.transform(
+          s.read.schema(graft.chess.Schemas.bronze).option("multiLine", true).json(sample))
+        // explicit UTC instant: the session timezone is UTC in Verify, and a
+        // Timestamp.valueOf would shift with the JVM default zone
+        val batchTs = java.sql.Timestamp.from(
+          java.time.LocalDateTime.parse("2024-02-01T00:00:00")
+            .toInstant(java.time.ZoneOffset.UTC))
+        graft.chess.GoldFact.starJoin(
+          graft.chess.GoldFact.project(silver, "Rhythmbear1", batchTs),
+          graft.chess.Dims.dateFromSilver(silver),
+          graft.chess.Dims.openingsFromSilver(silver),
+          graft.chess.Dims.results(s),
+          graft.chess.Dims.timeControlFromSilver(silver))
+      }
+    }),
+
     // ---- streaming semantics (batch-equivalent tumbling window) ---------
 
     "stream_tumbling_agg" -> ((s, d) =>
@@ -1211,6 +1243,106 @@ object SparkEntry {
     "stream_tumbling_agg" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_epoch,
         | event_type, count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Full-fidelity re-derivation of the reference silver transform
+    // (python_scripts.py:169-205) from the raw sample JSON, including the
+    // add_move_numbers UDF (udfs.py:53-75) as a DuckDB list_transform.
+    "chess_silver" ->
+      """WITH e AS (
+        | SELECT url AS game_url, time_control, rated, time_class, rules,
+        |  white.rating AS white_rating, white.result AS white_result,
+        |  black.rating AS black_rating, black.result AS black_result,
+        |  regexp_extract(pgn, '\[Event "(.*?)"', 1) AS pgn_event,
+        |  regexp_extract(pgn, '\[Site "(.*?)"', 1) AS pgn_site,
+        |  CAST(try_strptime(replace(regexp_extract(pgn, '\[Date "(.*?)"', 1), '.', '/'), '%Y/%m/%d') AS DATE) AS game_date,
+        |  regexp_extract(pgn, '\[White "(.*?)"', 1) AS pgn_white_user,
+        |  regexp_extract(pgn, '\[Black "(.*?)"', 1) AS pgn_black_user,
+        |  regexp_extract(pgn, '\[Result "(.*?)"', 1) AS pgn_result,
+        |  regexp_extract(pgn, '\[CurrentPosition "(.*?)"', 1) AS pgn_current_position,
+        |  regexp_extract(pgn, '\[Timezone "(.*?)"', 1) AS pgn_timezone,
+        |  regexp_extract(pgn, '\[ECO "(.*?)"', 1) AS pgn_eco,
+        |  regexp_extract(pgn, '\[ECOUrl "(.*?)"', 1) AS pgn_eco_url,
+        |  regexp_extract(pgn, '\[StartTime "(.*?)"', 1) AS st,
+        |  regexp_extract(pgn, '\[EndTime "(.*?)"', 1) AS et,
+        |  CAST(try_strptime(replace(regexp_extract(pgn, '\[EndDate "(.*?)"', 1), '.', '/'), '%Y/%m/%d') AS DATE) AS end_game_date,
+        |  regexp_extract_all(pgn, '\. (.*?) \{\[', 1) AS m
+        | FROM read_json_auto('/root/reference/dev_files/Data/2024-01/games.json'))
+        |SELECT game_url, time_control, rated, time_class, rules,
+        | white_rating, white_result, black_rating, black_result,
+        | pgn_event, pgn_site, game_date, pgn_white_user, pgn_black_user,
+        | pgn_result, pgn_current_position, pgn_timezone, pgn_eco, pgn_eco_url,
+        | try_strptime(strftime(game_date, '%Y-%m-%d') || ' ' || st, '%Y-%m-%d %H:%M:%S') AS start_time,
+        | try_strptime(strftime(end_game_date, '%Y-%m-%d') || ' ' || et, '%Y-%m-%d %H:%M:%S') AS end_time,
+        | end_game_date,
+        | array_to_string(m, ' ') AS pgn_raw,
+        | array_to_string(list_transform(range(1, CAST((len(m)+1)//2 AS INT) + 1),
+        |   i -> CAST(i AS VARCHAR) || '. ' || m[2*i-1] || ' ' ||
+        |     CASE WHEN m[2*i] IS NOT NULL THEN m[2*i] || ' ' ELSE '' END), '') AS pgn_trans
+        |FROM e""".stripMargin,
+
+    // Reference gold projection + star join (python_scripts.py:533-575):
+    // format_time_control / get_pgn_depth UDFs inlined; dim_date and
+    // dim_openings reduced to their key-determining columns (opening name /
+    // family / variation are pure functions of pgn_eco_url, so DISTINCT
+    // (url, eco) reproduces the dim's exact row multiplicity).
+    "chess_gold" ->
+      """WITH e AS (
+        | SELECT url AS game_url, time_control, time_class,
+        |  white.rating AS white_rating, white.result AS white_result,
+        |  black.rating AS black_rating, black.result AS black_result,
+        |  CAST(try_strptime(replace(regexp_extract(pgn, '\[Date "(.*?)"', 1), '.', '/'), '%Y/%m/%d') AS DATE) AS game_date,
+        |  regexp_extract(pgn, '\[White "(.*?)"', 1) AS pgn_white_user,
+        |  regexp_extract(pgn, '\[Black "(.*?)"', 1) AS pgn_black_user,
+        |  regexp_extract(pgn, '\[CurrentPosition "(.*?)"', 1) AS pgn_current_position,
+        |  regexp_extract(pgn, '\[ECO "(.*?)"', 1) AS pgn_eco,
+        |  regexp_extract(pgn, '\[ECOUrl "(.*?)"', 1) AS pgn_eco_url,
+        |  regexp_extract(pgn, '\[StartTime "(.*?)"', 1) AS st,
+        |  regexp_extract(pgn, '\[EndTime "(.*?)"', 1) AS et,
+        |  CAST(try_strptime(replace(regexp_extract(pgn, '\[EndDate "(.*?)"', 1), '.', '/'), '%Y/%m/%d') AS DATE) AS end_game_date,
+        |  regexp_extract_all(pgn, '\. (.*?) \{\[', 1) AS m
+        | FROM read_json_auto('/root/reference/dev_files/Data/2024-01/games.json')
+        |), silver AS (
+        | SELECT *,
+        |  try_strptime(strftime(game_date, '%Y-%m-%d') || ' ' || st, '%Y-%m-%d %H:%M:%S') AS start_time,
+        |  try_strptime(strftime(end_game_date, '%Y-%m-%d') || ' ' || et, '%Y-%m-%d %H:%M:%S') AS end_time,
+        |  array_to_string(list_transform(range(1, CAST((len(m)+1)//2 AS INT) + 1),
+        |    i -> CAST(i AS VARCHAR) || '. ' || m[2*i-1] || ' ' ||
+        |      CASE WHEN m[2*i] IS NOT NULL THEN m[2*i] || ' ' ELSE '' END), '') AS pgn_trans,
+        |  CASE WHEN strpos(time_control, '+') > 0
+        |   THEN CAST(CAST(floor(CAST(split_part(time_control, '+', 1) AS BIGINT) / 60) AS BIGINT) AS VARCHAR)
+        |        || '|' || split_part(time_control, '+', 2)
+        |   ELSE CAST(CAST(floor(CAST(time_control AS BIGINT) / 60) AS BIGINT) AS VARCHAR) END AS fmt_tc
+        | FROM e
+        |), fct AS (
+        | SELECT game_url, game_date, start_time, end_time,
+        |  CAST(date_diff('second', start_time, end_time) AS BIGINT) AS game_duration_secs,
+        |  fmt_tc AS time_control,
+        |  CASE WHEN pgn_white_user = 'Rhythmbear1' THEN 'white' ELSE 'black' END AS my_color,
+        |  CASE WHEN pgn_white_user = 'Rhythmbear1' THEN pgn_white_user ELSE pgn_black_user END AS my_username,
+        |  CASE WHEN pgn_white_user = 'Rhythmbear1' THEN pgn_black_user ELSE pgn_white_user END AS opponent_username,
+        |  CASE WHEN pgn_white_user = 'Rhythmbear1' THEN white_rating ELSE black_rating END AS my_rating,
+        |  CASE WHEN pgn_white_user = 'Rhythmbear1' THEN black_rating ELSE white_rating END AS opponent_rating,
+        |  CASE WHEN pgn_white_user = 'Rhythmbear1' THEN white_result ELSE black_result END AS my_result,
+        |  CASE WHEN pgn_white_user = 'Rhythmbear1' THEN black_result ELSE white_result END AS opponent_result,
+        |  pgn_current_position AS game_fen,
+        |  pgn_eco_url AS opening_url,
+        |  pgn_trans AS game_pgn,
+        |  len(regexp_extract_all(pgn_trans, '\d+\.', 0)) AS moves,
+        |  TIMESTAMP '2024-02-01 00:00:00' AS last_updated
+        | FROM silver
+        |), dim_date AS (SELECT DISTINCT game_date FROM silver
+        |), dim_openings AS (SELECT DISTINCT pgn_eco_url, pgn_eco FROM silver
+        |), dim_results AS (SELECT * FROM (VALUES ('win'),('checkmated'),('agreed'),
+        |  ('repetition'),('timeout'),('resigned'),('stalemate'),('lose'),
+        |  ('insufficient'),('50move'),('abandoned'),('kingofthehill'),
+        |  ('threecheck'),('timevsinsufficient'),('bughousepartnerlose')) t(result_code)
+        |), dim_tc AS (SELECT DISTINCT fmt_tc AS time_control, time_class FROM silver)
+        |SELECT fact.* FROM fct AS fact
+        | LEFT JOIN dim_date dd ON fact.game_date = dd.game_date
+        | LEFT JOIN dim_openings dop ON fact.opening_url = dop.pgn_eco_url
+        | LEFT JOIN dim_results drm ON fact.my_result = drm.result_code
+        | LEFT JOIN dim_results dro ON fact.opponent_result = dro.result_code
+        | LEFT JOIN dim_tc dtc ON fact.time_control = dtc.time_control""".stripMargin
   )
 }
