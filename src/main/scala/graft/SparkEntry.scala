@@ -273,12 +273,27 @@ object SparkEntry {
     // A6: sketch aggregates — HLL++ count-distinct and quantile sketch.
     // Rows-only check: sketch estimates are engine-specific by nature;
     // SketchSpec bounds them against exact values instead.
+    // A6: sketch aggregates checked against their exact counterparts in the
+    // same query — the exact values hash-match DuckDB, the within-tolerance
+    // flags assert the sketches' error bounds (HLL rsd 0.02 -> 3-sigma 6%;
+    // percentile_approx at accuracy 10000 -> well under 1% here)
     "a6_sketch_agg" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("approx_median_price"))),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          expr("percentile(l_extendedprice, 0.5)").as("em"))
+        .select(
+          col("exact_parts"), col("exact_orders"),
+          (floor(col("em") * 100 + 0.5) / 100).as("exact_median_price"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.06)
+            .as("parts_within_3rsd"),
+          (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.06)
+            .as("orders_within_3rsd"),
+          (abs(col("am") - col("em")) <= col("em") * 0.01)
+            .as("median_within_1pct"))),
 
     // A2: count-distinct single and pair
     "a2_count_distinct" -> ((s, d) =>
@@ -497,6 +512,22 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+
+    // IVF cell assignment with unrefined (deterministic first-nlist)
+    // centroids: the exact-arithmetic kernel inside ann_ivf, isolated so it
+    // is oracle-checkable (the k-means refine is float-sum-order dependent
+    // and so only recall-tested). Rounded cosine + cid tie-break make the
+    // argmax cross-engine deterministic.
+    "ann_ivf_assign" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.orderBy("vec_id").limit(32)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cid"),
+          round(Similarity.cosine(col("embedding"), col("ce")), 6).as("ccos"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"))
     }),
 
     // ---- scale-path: text analysis --------------------------------------
@@ -1093,6 +1124,60 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cos_r, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 10""".stripMargin,
 
+    // Full LSH re-derivation: the md5-seeded plane matrix, sign-pattern
+    // buckets, <=2-bit multi-probe masks, and rounded-cosine re-rank are all
+    // deterministic, so the whole approximate operator is exactly
+    // reproducible in SQL (Similarity.planeMatrix / lshTopK).
+    "ann_lsh" ->
+      """WITH hx AS (
+        | SELECT t1.range AS p, t2.range AS d,
+        |        md5('plane:' || t1.range || ':' || t2.range) AS h
+        | FROM range(0,8) t1 CROSS JOIN range(0,64) t2),
+        |pv AS (
+        | SELECT p, d,
+        |  (((strpos('0123456789abcdef', substr(h,1,1))-1)*16
+        |    + (strpos('0123456789abcdef', substr(h,2,1))-1))*256
+        |   + ((strpos('0123456789abcdef', substr(h,3,1))-1)*16
+        |    + (strpos('0123456789abcdef', substr(h,4,1))-1))) / 65536.0 - 0.5 AS v
+        | FROM hx),
+        |planes AS (SELECT p, list(v ORDER BY d) AS pl FROM pv GROUP BY p),
+        |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |bits AS (
+        | SELECT e.vec_id,
+        |        CAST(sum(CASE WHEN list_dot_product(e.emb, p.pl) >= 0.0
+        |                      THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM eb e CROSS JOIN planes p GROUP BY e.vec_id),
+        |masks AS (SELECT range AS m FROM range(0,256) WHERE bit_count(range) <= 2),
+        |probes AS (
+        | SELECT b.vec_id AS query_id, xor(b.bucket, CAST(m.m AS BIGINT)) AS bucket
+        | FROM bits b CROSS JOIN masks m WHERE b.vec_id % 100 = 0),
+        |cand AS (
+        | SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+        | FROM probes p JOIN bits b USING (bucket) WHERE b.vec_id <> p.query_id),
+        |sc AS (
+        | SELECT c.query_id, c.neighbor_id,
+        |  round(list_dot_product(qe.emb, ne.emb) /
+        |    (sqrt(list_dot_product(qe.emb, qe.emb)) *
+        |     sqrt(list_dot_product(ne.emb, ne.emb))), 6) AS cos
+        | FROM cand c JOIN eb qe ON qe.vec_id = c.query_id
+        |             JOIN eb ne ON ne.vec_id = c.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER
+        |       (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    "ann_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings ORDER BY vec_id LIMIT 32),
+        |s AS (SELECT e.vec_id, c.cid,
+        |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce) /
+        |         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[]))) *
+        |          sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+        |      FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT vec_id, cid, row_number() OVER
+        |       (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s)
+        |SELECT vec_id, cid AS cell FROM r WHERE rn = 1""".stripMargin,
+
     "text_profile" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       val langScores = TextAnalysis.LangMarkers.map { case (l, m) =>
@@ -1231,6 +1316,36 @@ object SparkEntry {
 
     "p3_limit_preview" ->
       "SELECT * FROM region ORDER BY r_regionkey LIMIT 3",
+
+    "a6_sketch_agg" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | floor(median(l_extendedprice) * 100 + 0.5) / 100 AS exact_median_price,
+        | TRUE AS parts_within_3rsd, TRUE AS orders_within_3rsd,
+        | TRUE AS median_within_1pct
+        |FROM lineitem""".stripMargin,
+
+    // The decode stub's dimensions are pure md5-byte arithmetic
+    // (Multimodal.decodeMeta): width = 1 + ((b0 & 0x7f) << 4 | (b1 & 0x0f)),
+    // height the same over bytes 2/3 — re-derived here from md5 hex digits
+    // so the stub stays honest until real codecs replace it.
+    "mm_decode_profile" ->
+      """WITH t AS (SELECT doc_id AS asset_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS h FROM documents),
+        |d AS (SELECT asset_id, n_bytes, h,
+        |  strpos('0123456789abcdef', substr(h,1,1))-1 AS x1,
+        |  strpos('0123456789abcdef', substr(h,2,1))-1 AS x2,
+        |  strpos('0123456789abcdef', substr(h,4,1))-1 AS x4,
+        |  strpos('0123456789abcdef', substr(h,5,1))-1 AS x5,
+        |  strpos('0123456789abcdef', substr(h,6,1))-1 AS x6,
+        |  strpos('0123456789abcdef', substr(h,8,1))-1 AS x8
+        | FROM t)
+        |SELECT asset_id, n_bytes, h AS content_hash,
+        | CAST(1 + ((x1 % 8) * 16 + x2) * 16 + x4 AS INT) AS width,
+        | CAST(1 + ((x5 % 8) * 16 + x6) * 16 + x8 AS INT) AS height,
+        | CAST(3 AS INT) AS channels
+        |FROM d""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

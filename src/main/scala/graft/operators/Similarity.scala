@@ -97,10 +97,13 @@ object Similarity {
     val masks = (0 until (1 << planes)).filter(m => java.lang.Integer.bitCount(m) <= probeBits)
     val probes = qb.select(col("query_id"), col("qe"),
       explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m.toLong))): _*)).as("bucket"))
+    // rank on the cosine rounded to 6 decimals with neighbor_id tie-break —
+    // the same cross-engine-deterministic convention as [[bruteForceTopK]],
+    // which is what makes this operator oracle-comparable
     val cand = probes.join(bucketed, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
       .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

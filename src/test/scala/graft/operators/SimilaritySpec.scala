@@ -42,4 +42,31 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     info(s"ivf recall@10 = $recall")
     recall should be >= 0.5 // nprobe/nlist = 1/4 of cells scanned
   }
+
+  test("planted clusters: lshTopK recall >= 0.6 and ivfTopK recall >= 0.7") {
+    // the quasi-random synthetic corpus above is ANN's worst case (every
+    // neighbor near the decision boundary); real embedding corpora are
+    // clustered, which is the regime these operators are built for — plant
+    // 20 tight clusters and require the recall the theory predicts there
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- centers.indices; m <- 0 until 25 } yield {
+      val v = Array.tabulate(dim)(i => centers(c)(i) + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 1000 + m).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 1000 === 0) // one query per cluster
+    val b = Similarity.bruteForceTopK(corpus, qs, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(corpus, qs, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, qs, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lshRecall = (b intersect lsh).size.toDouble / b.size
+    val ivfRecall = (b intersect ivf).size.toDouble / b.size
+    info(s"planted-cluster recall@10: lsh = $lshRecall, ivf = $ivfRecall")
+    lshRecall should be >= 0.6
+    ivfRecall should be >= 0.7
+  }
 }
