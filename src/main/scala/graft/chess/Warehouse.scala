@@ -10,6 +10,16 @@ import java.sql.{Connection, DriverManager}
   * full-replace writes and the DDL drifts from the loaded frames for two
   * aspirational columns (`dim_date.date_id`/`is_weekend`,
   * `dim_users` never populated) — reproduced for schema parity.
+  *
+  * KNOWN ENVIRONMENT CONSTRAINT: the reference attaches a live PostgreSQL
+  * server (test.ipynb cells 21-23, python_scripts.py:639-645); this sandbox
+  * has none, so every JDBC spec runs against embedded Derby. The engine
+  * code is dialect-agnostic (`DataFrameWriter.jdbc` + this ANSI DDL —
+  * switching is a URL/driver change), but Postgres-specific behavior
+  * (type mapping, `if_exists="replace"` table rewrites under concurrent
+  * readers) is deliberately NOT simulated. When a PG container becomes
+  * available, add a round-trip spec against it rather than trusting Derby
+  * parity.
   */
 object Warehouse {
 

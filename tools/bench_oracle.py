@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Baseline tracker: time every oracle SQL in DuckDB over the same parquet
+the Spark bench reads, and emit per-query Spark/DuckDB ratios.
+
+The reference publishes no performance numbers (BASELINE.md), so the only
+reproducible baseline is the oracle engine itself executing the identical
+semantics on identical data. Run after a bench:
+
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_sf001"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+      2>&1 | grep '"metric"' | sed 's/^\[info\] //' > /tmp/bench.json
+  python3 tools/bench_oracle.py /root/testdata/sf0.1 /tmp/verify_sf001 \
+      /tmp/bench.json BENCH_ORACLE.json
+
+Per-query timing is min-of-2 (same convention as graft.Bench). Queries whose
+oracle reads fixed sample files rather than the sf dir (chess_*) are timed
+too but flagged `fixed_input` since they don't scale with sf.
+"""
+import json, sys, time
+
+import duckdb
+
+sfdir, oracledir = sys.argv[1], sys.argv[2]
+bench_path = sys.argv[3] if len(sys.argv) > 3 else None
+out_path = sys.argv[4] if len(sys.argv) > 4 else None
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{oracledir}/oracle_sql.json"))
+bench = {}
+if bench_path:
+    bench = json.load(open(bench_path)).get("queries", {})
+
+rows = []
+total_duck = 0.0
+for name, sql in sorted(oracle.items()):
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        try:
+            con.sql(sql).fetchall()
+        except Exception as e:
+            times = None
+            print(f"ERR  {name}: {e}")
+            break
+        times.append(time.perf_counter() - t0)
+    if times is None:
+        continue
+    duck = min(times)
+    total_duck += duck
+    spark = bench.get(name)
+    rows.append({
+        "query": name,
+        "duckdb_sec": round(duck, 4),
+        "spark_sec": round(spark, 4) if spark is not None else None,
+        "ratio": round(spark / duck, 2) if spark and duck > 0 else None,
+        "fixed_input": name.startswith("chess_"),
+    })
+
+scaled = [r for r in rows if r["spark_sec"] is not None and not r["fixed_input"]]
+total_spark = sum(r["spark_sec"] for r in scaled)
+total_duck_scaled = sum(r["duckdb_sec"] for r in scaled)
+summary = {
+    "sf_dir": sfdir,
+    "queries": rows,
+    "benched_total_spark_sec": round(total_spark, 3),
+    "benched_total_duckdb_sec": round(total_duck_scaled, 3),
+    "overall_ratio": round(total_spark / total_duck_scaled, 2)
+    if total_duck_scaled > 0 else None,
+    "timing": "min-of-2 per engine",
+}
+
+for r in sorted(scaled, key=lambda r: -(r["ratio"] or 0))[:15]:
+    print(f'{r["query"]:28s} spark {r["spark_sec"]:7.3f}  duck {r["duckdb_sec"]:7.3f}  ratio {r["ratio"]}')
+print(f'\nTOTAL (benched, sf-scaled)     spark {total_spark:7.3f}  duck {total_duck_scaled:7.3f}  '
+      f'ratio {summary["overall_ratio"]}')
+
+if out_path:
+    json.dump(summary, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}")
