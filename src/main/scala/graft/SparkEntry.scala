@@ -432,7 +432,10 @@ object SparkEntry {
     // text near-dup via edit distance on normalized prefixes, within
     // exact-fingerprint-adjacent buckets (first 8 normalized chars)
     "text_edit_distance" -> ((s, d) => {
-      val norm = TextAnalysis.normalizedText(col("text"))
+      // normalize a bounded raw prefix, not the whole document: the 32-char
+      // fingerprint needs only the head, and at corpus scale running the
+      // normalization regexes over full multi-KB docs is the dominant cost
+      val norm = TextAnalysis.normalizedText(substring(col("text"), 1, 128))
       val t = Tables.documents(s, d).select(col("doc_id"),
         substring(norm, 1, 32).as("prefix"), substring(norm, 1, 8).as("bucket"))
       t.as("a").join(t.as("b"),
@@ -994,9 +997,9 @@ object SparkEntry {
     "text_edit_distance" ->
       """WITH t AS (
         | SELECT doc_id,
-        |  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |  substr(trim(regexp_replace(regexp_replace(lower(substr(text, 1, 128)), '[^a-z0-9 ]', '', 'g'),
         |              ' +', ' ', 'g')), 1, 32) AS prefix,
-        |  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |  substr(trim(regexp_replace(regexp_replace(lower(substr(text, 1, 128)), '[^a-z0-9 ]', '', 'g'),
         |              ' +', ' ', 'g')), 1, 8) AS bucket
         | FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1061,13 +1064,19 @@ object SparkEntry {
          |FROM reach GROUP BY src""".stripMargin,
 
     "dedup_minhash_lsh" -> {
-      val mins = (0 until 16).map(i => s"min(md5('$i:' || s)) AS m$i").mkString(", ")
+      // identical affine permutation family as Dedup.minhashSignatures:
+      // one md5 per shingle, numPerm (a*h+b) mod 2^31-1 transforms
+      val p = graft.operators.Dedup.MinhashPrime
+      val mins = graft.operators.Dedup.minhashCoeffs(16).zipWithIndex
+        .map { case ((a, b), i) => s"min((h31*$a + $b) % $p) AS m$i" }.mkString(", ")
       val bandRows = (0 until 4).map { b =>
-        val cols = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
+        val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(m$i AS VARCHAR)")
+          .mkString(" || '|' || ")
         s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
       }.mkString(" UNION ALL ")
       s"""WITH $ShinglesCte,
-         |sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % $p AS h31 FROM ds),
+         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
          |bands AS ($bandRows),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |         FROM bands a JOIN bands b

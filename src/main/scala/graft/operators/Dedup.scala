@@ -69,15 +69,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature columns m0..m{numPerm-1}: per-seed lexicographic
-    * minimum of md5(seed:shingle), computed over an exploded shingle table
-    * (doc_id, s). Partial (map-side) min aggregation shrinks the shuffle to
-    * one row per doc per partition. One row per doc.
+  /** Mersenne prime modulus for the affine MinHash permutation family. */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Deterministic (multiplier, offset) pairs for h_i = (a*h + b) mod p —
+    * shared by the Spark operator and the DuckDB oracle so both engines
+    * realize the identical permutation family.
+    */
+  def minhashCoeffs(numPerm: Int): Seq[(Long, Long)] =
+    (0 until numPerm).map { i =>
+      ((1103515245L * (i + 1) + 7L) % MinhashPrime,
+        (12345L + 104729L * i) % MinhashPrime)
+    }
+
+  /** MinHash signature columns m0..m{numPerm-1} over an exploded shingle
+    * table (doc_id, s): one md5 per shingle row (first 8 hex chars as a
+    * 32-bit base hash), then numPerm cheap affine permutations
+    * (a_i*h + b_i) mod 2^31-1 — the classic construction, ~numPerm times
+    * cheaper than hashing per permutation, which at corpus scale is the
+    * dominant cost of the whole pipeline. Partial (map-side) min
+    * aggregation shrinks the shuffle to one row per doc per partition.
     */
   def minhashSignaturesFromShingles(sh: DataFrame, numPerm: Int): DataFrame = {
-    val aggs = (0 until numPerm).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val withH = sh.select(col("doc_id"),
+      (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % MinhashPrime).as("h31"))
+    val aggs = minhashCoeffs(numPerm).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h31") * a + b) % MinhashPrime).as(s"m$i")
+    }
+    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   def minhashSignatures(docs: DataFrame, k: Int, numPerm: Int): DataFrame =
@@ -90,7 +109,7 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
@@ -111,18 +130,27 @@ object Dedup {
     */
   def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int,
                     maxBucket: Long = 100000L): DataFrame = {
+    // persist the one-row-per-doc-per-band table for the self-join: exchange
+    // reuse does NOT cover it once AQE broadcast-converts one side (the two
+    // sides end up in different query-stage shapes), so without a persist
+    // the whole signature aggregation runs twice. Lifecycle: candidates are
+    // materialized eagerly below and the band cache is dropped before
+    // returning — callers hold only the (small) CacheManager-registered
+    // candidate set.
     val bandsDf = lshBands(minhashSignaturesFromShingles(sh, numPerm), numPerm, bands)
-    val capped = bandsDf.withColumn("bn", count(lit(1)).over(
+      .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bn") <= maxBucket).drop("bn")
-    // self-join of an identical subtree: ReuseExchange computes the band
-    // aggregation once and both join inputs read the same shuffle files —
-    // no persist, so a long-lived session accumulates no cached blocks here
-    capped.as("a").join(capped.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bandsDf.unpersist(blocking = false)
+    out
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard
@@ -160,7 +188,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize while the shingle cache is alive
+    result.count() // materialize while the shingle + candidate caches are alive
+    cand.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     result
   }
@@ -224,9 +253,13 @@ object Dedup {
     // truncate lineage, or each round's logical plan nests all previous
     // rounds and analysis/optimization time compounds. Each round frees the
     // checkpoint it supersedes (see checkpointTracked).
+    // both edge directions from ONE pass over pairs: a union of two selects
+    // would execute the (potentially expensive) upstream pair pipeline twice
     val (edges, edgeIds) = checkpointTracked(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     var (labels, labelIds) = checkpointTracked(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("component", col("doc_id")))
