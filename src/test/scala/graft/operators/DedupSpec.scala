@@ -72,10 +72,13 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
       pairs.count()
       val clusters = Dedup.duplicateClusters(pairs)
       clusters.count()
+      val jp = Dedup.jaccardPairs(docs, k = 3, threshold = 0.4)
+      jp.count()
       // results are CacheManager-registered by contract; release them the
       // public way (a bench/ETL loop calls clearCache between queries)
       pairs.unpersist(blocking = true)
       clusters.unpersist(blocking = true)
+      jp.unpersist(blocking = true)
       // nothing else — no shingle cache, no bands cache, no localCheckpoint
       // blocks — may survive the call
       sc.getPersistentRDDs.size shouldBe baseline
