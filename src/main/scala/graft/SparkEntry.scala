@@ -493,6 +493,19 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.jaccardPairs(Tables.documents(s, d), k = 5, threshold = 0.5))),
 
+    // the dedup endgame: pairs -> clusters -> one survivor per cluster
+    // (longest text, ties to min doc_id), singletons pass through
+    "dedup_keep" -> ((s, d) =>
+      operators.Dedup.dedupCorpus(Tables.documents(s, d),
+          Dedup.jaccardPairs(Tables.documents(s, d), k = 5, threshold = 0.5))
+        .select(col("doc_id"), col("component"), col("n_in_cluster"))),
+
+    // deterministic stratified sample: fixed per-stratum quota by md5 rank —
+    // the balance-the-domains curation op (vs sample_hash's fixed fraction)
+    "sample_stratified" -> ((s, d) =>
+      operators.Sampling.stratified(Tables.orders(s, d), "o_orderstatus", "o_orderkey", 100)
+        .select(col("o_orderkey"), col("o_orderstatus"))),
+
     // threshold 0.4 sits just under the corpus's max same-bucket cosine so
     // the oracle comparison is non-vacuous (0.95 matches zero rows on the
     // synthetic quasi-random embeddings at every sf)
@@ -1062,6 +1075,40 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component
          |FROM reach GROUP BY src""".stripMargin,
+
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |       FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT da, db FROM pr
+         |          JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION SELECT db, da FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, length(d.text) AS len,
+         |         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |rk AS (SELECT doc_id, component,
+         |        row_number() OVER (PARTITION BY component ORDER BY len DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY component) AS n_in_cluster
+         |       FROM lab)
+         |SELECT doc_id, component, CAST(n_in_cluster AS BIGINT) AS n_in_cluster
+         |FROM rk WHERE rn = 1""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT o_orderkey, o_orderstatus FROM (
+        | SELECT o_orderkey, o_orderstatus, row_number() OVER (
+        |   PARTITION BY o_orderstatus
+        |   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 100""".stripMargin,
 
     "dedup_minhash_lsh" -> {
       // identical affine permutation family as Dedup.minhashSignatures:

@@ -306,6 +306,31 @@ object Dedup {
     out
   }
 
+  /** The user-facing endgame of corpus dedup: resolve near-dup pairs to
+    * clusters, keep ONE representative per cluster (longest text, ties to
+    * the smallest doc_id), pass singleton docs through untouched, and
+    * return the surviving rows with their cluster id and size. Lifecycle
+    * matches [[minhashLshDedup]]: eager, CacheManager-registered result,
+    * intermediates released before returning.
+    */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = duplicateClusters(pairs) // persisted by contract
+    val labeled = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(desc("len"), col("doc_id"))
+    val result = labeled.withColumn("len", length(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_in_cluster", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .filter(col("rn") === 1)
+      .select((docs.columns.map(col) :+ col("component") :+ col("n_in_cluster")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    labels.unpersist(blocking = false)
+    result
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
     * an LSH-style blocking key (sign of the first `signBits` components) so
     * the self-join is bucketed rather than a full cross product.

@@ -85,6 +85,16 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("dedupCorpus keeps one representative per cluster and passes singletons") {
+    val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.9) // only (1,2)
+    val out = Dedup.dedupCorpus(docs, pairs)
+    out.select($"doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L, 4L, 5L)
+    // equal-length dup pair -> min doc_id survives, cluster size recorded
+    out.filter($"doc_id" === 1L).head.getAs[Long]("n_in_cluster") shouldBe 2L
+    out.filter($"doc_id" === 5L).head.getAs[Long]("n_in_cluster") shouldBe 1L
+    out.unpersist(blocking = true)
+  }
+
   test("duplicateClusters on an empty pair list returns an empty labeling (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     Dedup.duplicateClusters(empty).count() shouldBe 0L
