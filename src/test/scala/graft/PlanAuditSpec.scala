@@ -42,6 +42,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
   }
 
+  test("chess_gold: all five dim joins broadcast, fact side never shuffles") {
+    assume(new java.io.File("/root/reference/dev_files/Data/2024-01/games.json").exists())
+    val p = plan("chess_gold")
+    // exchanges exist only under the dim-build distincts (pre-broadcast);
+    // the fact lineage itself is scan -> project -> 5 broadcast joins
+    "BroadcastHashJoin".r.findAllIn(p).length shouldBe 5
+    p should not include "SortMergeJoin"
+  }
+
+  test("sample_stratified: one shuffle on the stratum key, nothing else") {
+    val p = plan("sample_stratified")
+    p should include("Window")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should not include "Exchange rangepartitioning" // no global sort
+  }
+
+  test("ann_ivf_assign: centroid side broadcasts; corpus side is scan + partial agg") {
+    val p = plan("ann_ivf_assign")
+    p should include("BroadcastNestedLoopJoin") // crossJoin vs 32-row local relation
+    // max_by plans as ObjectHashAggregate/SortAggregate; partial + final
+    "Aggregate".r.findAllIn(p).length should be >= 2
+  }
+
   test("AQE re-plans the executed join at runtime (coalesced shuffle read)") {
     val li = Tables.lineitem(spark, sf0001)
     val ord = Tables.orders(spark, sf0001)
