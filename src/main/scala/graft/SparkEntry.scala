@@ -1480,7 +1480,9 @@ object SparkEntry {
         |  array_to_string(list_transform(range(1, CAST((len(m)+1)//2 AS INT) + 1),
         |    i -> CAST(i AS VARCHAR) || '. ' || m[2*i-1] || ' ' ||
         |      CASE WHEN m[2*i] IS NOT NULL THEN m[2*i] || ' ' ELSE '' END), '') AS pgn_trans,
-        |  CASE WHEN strpos(time_control, '+') > 0
+        |  CASE WHEN TRY_CAST(split_part(time_control, '+', 1) AS BIGINT) IS NULL
+        |   THEN time_control
+        |  WHEN strpos(time_control, '+') > 0
         |   THEN CAST(CAST(floor(CAST(split_part(time_control, '+', 1) AS BIGINT) / 60) AS BIGINT) AS VARCHAR)
         |        || '|' || split_part(time_control, '+', 2)
         |   ELSE CAST(CAST(floor(CAST(time_control AS BIGINT) / 60) AS BIGINT) AS VARCHAR) END AS fmt_tc

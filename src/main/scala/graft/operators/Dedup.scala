@@ -239,6 +239,11 @@ object Dedup {
     * `spark.catalog.clearCache()` does NOT release it — so iterative
     * algorithms must free superseded checkpoints explicitly or a long-lived
     * session accumulates dead blocks until executors spill and thrash.
+    *
+    * The before/after `getPersistentRDDs` diff assumes no CONCURRENT
+    * persist activity on the same SparkContext during this single call
+    * (true for the sequential driver loops this library targets); a foreign
+    * persist landing inside the window would be mis-tracked and freed.
     */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
