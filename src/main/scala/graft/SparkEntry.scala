@@ -550,6 +550,13 @@ object SparkEntry {
 
     "text_profile" -> ((s, d) => TextAnalysis.profile(Tables.documents(s, d))),
 
+    // train/eval n-gram contamination: every-50th doc stands in for the
+    // eval set; per train doc, distinct 5-gram overlap count and share
+    "text_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0), k = 5)
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -1233,6 +1240,18 @@ object SparkEntry {
         |r AS (SELECT vec_id, cid, row_number() OVER
         |       (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s)
         |SELECT vec_id, cid AS cell FROM r WHERE rn = 1""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH $ShinglesCte,
+         |ev AS (SELECT DISTINCT s FROM ds WHERE doc_id % 50 = 0),
+         |hits AS (SELECT ds.doc_id, count(*) AS contaminated_ngrams
+         |         FROM ds JOIN ev ON ds.s = ev.s GROUP BY ds.doc_id)
+         |SELECT z.doc_id,
+         | CAST(coalesce(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+         | z.n AS total_ngrams,
+         | CAST(coalesce(h.contaminated_ngrams, 0) AS DOUBLE) / CAST(z.n AS DOUBLE)
+         |   AS contaminated_share
+         |FROM sz z LEFT JOIN hits h ON z.doc_id = h.doc_id""".stripMargin,
 
     "text_profile" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")

@@ -178,6 +178,30 @@ object TextAnalysis {
   def minShingleFingerprint(text: Column, k: Int): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
 
+  /** Train/eval contamination check — the n-gram overlap test run before
+    * training so benchmark text is not silently memorized: for each train
+    * doc, how many of its distinct k-shingles appear anywhere in the eval
+    * set, and what share of the doc that is.
+    *
+    * Scale shape: the eval side's distinct shingles are tiny relative to
+    * the corpus and broadcast, so this is one narrow pass over the train
+    * shingle table + a map-side semi join — no corpus shuffle at all when
+    * the (doc_id-partitioned) shingle explode feeds the count directly.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, k: Int): DataFrame = {
+    val trainSh = Dedup.shingleTable(train, k)
+    val evalSh = Dedup.shingleTable(eval, k).select(col("s")).distinct()
+    val hits = trainSh.join(broadcast(evalSh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
+    trainSh.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"),
+        col("total_ngrams"),
+        (coalesce(col("contaminated_ngrams"), lit(0L)).cast("double") /
+          col("total_ngrams").cast("double")).as("contaminated_share"))
+  }
+
   /** Full per-document text-statistics projection. */
   def profile(docs: DataFrame): DataFrame =
     docs.select(

@@ -64,4 +64,20 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     df.columns should contain allOf ("doc_id", "n_tokens", "quality_score", "lang_pred")
     df.count() shouldBe 500L
   }
+
+  test("contamination: eval member fully contaminated, disjoint doc untouched") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),            // = eval doc
+      (2L, "alpha beta gamma delta epsilon something else"),  // partial overlap
+      (3L, "one two three four five six seven")               // disjoint
+    ).toDF("doc_id", "text")
+    val eval = train.filter($"doc_id" === 1L)
+    val out = TextAnalysis.contamination(train, eval, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    out(1L) shouldBe ((2L, 2L, 1.0)) // every 5-gram of the eval doc hits
+    out(1L)._3 shouldBe 1.0
+    out(2L)._1 shouldBe 1L // shares exactly "alpha beta gamma delta epsilon"
+    out(3L) shouldBe ((0L, 3L, 0.0))
+  }
 }
