@@ -704,6 +704,28 @@ object SparkEntry {
       }
     }),
 
+    // W4: Spark's native session_window (batch mode) — gap-merged sessions;
+    // distinct from w2's composed lag/cumsum formulation: this exercises the
+    // built-in operator (also usable under watermarks in streaming), oracled
+    // against an explicit lag-derivation with identical gap semantics
+    // (new session when the gap is >= 30 min; end = last event + gap)
+    "w4_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("total_value"))),
+
+    // per-source/lang corpus rollup: the curation dashboard every
+    // training-data pipeline keeps (doc counts, token mass, size profile)
+    "text_source_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          (floor(avg(col("n_chars")) * 100 + 0.5) / 100).as("avg_chars"))),
+
     // ---- streaming semantics (batch-equivalent tumbling window) ---------
 
     "stream_tumbling_agg" -> ((s, d) =>
@@ -1434,6 +1456,32 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_epoch,
         | event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "w4_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | FROM events),
+        |f AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |g AS (
+        | SELECT user_id, ts, value, sum(new_session) OVER
+        |   (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "text_source_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
+        |FROM documents GROUP BY source, lang""".stripMargin,
 
     // Full-fidelity re-derivation of the reference silver transform
     // (python_scripts.py:169-205) from the raw sample JSON, including the
