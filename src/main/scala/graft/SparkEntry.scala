@@ -472,6 +472,19 @@ object SparkEntry {
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // columnar-format breadth: write customer out as ORC, read it back,
+    // aggregate — the second columnar source/sink proven end-to-end under
+    // the oracle (which reads the identical rows from parquet)
+    "src_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString +
+        "/customer.orc"
+      graft.sources.Sources.writeOrc(Tables.customer(s, d), dir)
+      graft.sources.Sources.orc(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("c_acctbal")) * 100 + 0.5) / 100).as("total_acctbal"))
+    }),
+
     // ---- scale-path: deduplication ------------------------------------
 
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
@@ -1104,6 +1117,11 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component
          |FROM reach GROUP BY src""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "dedup_keep" ->
       s"""WITH RECURSIVE $ShinglesCte,

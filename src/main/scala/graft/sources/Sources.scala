@@ -31,6 +31,17 @@ object Sources {
     schema.fold(r.option("inferSchema", true))(r.schema).csv(path)
   }
 
+  /** ORC path scan (beyond reference: second columnar format, same
+    * pushdown/pruning contract as parquet — Spark's OrcScan supports
+    * predicate pushdown and column pruning natively).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (full replace). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(path)
+
   /** S6: JDBC table read; `partitionColumn` splits the read into
     * `numPartitions` parallel range queries — without it a warehouse read
     * is a single connection no matter the cluster size.

@@ -23,6 +23,20 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkFixture {
     games.count() shouldBe 514L
   }
 
+  test("ORC roundtrip preserves rows and keeps predicate pushdown working") {
+    val src = Sources.parquet(spark, s"$sf0001/customer.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("orc-rt").toString + "/customer.orc"
+    Sources.writeOrc(src, dir)
+    val back = Sources.orc(spark, dir)
+    back.count() shouldBe src.count()
+    import org.apache.spark.sql.functions.col
+    val filtered = back.filter(col("c_mktsegment") === "BUILDING")
+    val p = filtered.queryExecution.executedPlan.toString
+    p should include("PushedFilters")
+    p should include("c_mktsegment")
+    filtered.count() shouldBe src.filter(col("c_mktsegment") === "BUILDING").count()
+  }
+
   test("partitioned JDBC read splits into parallel range queries") {
     import spark.implicits._
     val url = "jdbc:derby:memory:srcdb;create=true"
