@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time individual queries by name (min-of-2 after a warm
+  * pass, same convention as [[Bench]]).
+  *
+  *   sbt "runMain graft.TimeOne dedup_minhash_lsh text_edit_distance"
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4).
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraStrategies = Seq(graft.plans.PrefixJoinStrategy)
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count() // warm
+      spark.catalog.clearCache()
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"TIME $name%-28s ${ts.min}%.3f s (min-of-2)")
+    }
+    spark.stop()
+  }
+}

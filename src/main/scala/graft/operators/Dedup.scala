@@ -180,10 +180,21 @@ object Dedup {
     val sh = shingleTable(docs, k).repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sh, numPerm, bands, maxBucket)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // verification touches only docs that appear in some candidate pair —
+    // semi-join the shingle table down to those ids first, so the pair-
+    // intersection join (and the size aggregation) runs over |cand docs|
+    // shingle rows, not the whole corpus. LSH exists precisely because
+    // candidates are a vanishing fraction of docs at scale, so this prunes
+    // almost everything; a doc's full shingle set survives the semi-join,
+    // so intersection counts and sizes are unchanged (exact verify).
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shCand.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val result = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .join(shCand.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shCand.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
@@ -193,6 +204,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize while the shingle + candidate caches are alive
+    shCand.unpersist(blocking = false)
     cand.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     result
