@@ -3,15 +3,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // custom planner strategy: prefix-match joins use PrefixJoinExec
-    spark.experimental.extraStrategies = Seq(graft.plans.PrefixJoinStrategy)
+    val spark = GraftSession.create(_
+      // sf0.1 inputs are sub-100MB: most shuffles carry a few MB, so let
+      // AQE coalesce them down to size (1-2 partitions) instead of
+      // preserving parallelism — fewer tasks per stage is the main lever
+      // against Spark's fixed per-task submission floor on tiny queries.
+      // At cluster scale the same configs are harmless: 100TB shuffles
+      // blow straight past the advisory size and keep full parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // local mode has no data locality to wait for; the 3s default can
+      // stall tiny stages behind a phantom locality preference
+      .config("spark.locality.wait", "0ms"))
     // chess_e2e reads the fixed-size reference sample, not the sf dir —
     // excluded so bench numbers reflect sf scaling only
     val benched = SparkEntry.queries.filterNot(_._1.startsWith("chess_"))

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory. Every entry point (Verify, Bench, TimeOne,
+  * demos, the shared test fixture) builds its session here, so the Graft
+  * planner extensions ([[graft.plans.PrefixJoinStrategy]] via
+  * [[graft.plans.GraftPlanExtensions]]) and the engine-parity configs
+  * (UTC session timezone) can never be silently lost — a plain
+  * `SparkSession.builder()` without the strategy would degrade prefix
+  * joins to BroadcastNestedLoopJoin without any error.
+  *
+  * External users embedding the library get the identical wiring with
+  * `--conf spark.sql.extensions=graft.plans.GraftPlanExtensions`.
+  */
+object GraftSession {
+
+  /** Build the standard Graft session. `configure` lets a caller layer
+    * entry-point-specific configs (bench tuning, warehouse dirs) on top of
+    * the canonical base; extensions are injected before `configure` runs
+    * and cannot be removed by it.
+    */
+  def create(configure: SparkSession.Builder => SparkSession.Builder = identity): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val base = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftPlanExtensions)
+    val spark = configure(base).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

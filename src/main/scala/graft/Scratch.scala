@@ -7,13 +7,7 @@ import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create()
 
     def t(name: String)(f: => Long): Unit = {
       // warm
@@ -25,19 +19,17 @@ object Scratch {
       println(f"STAGE $name%-28s ${ts.min}%.3f s")
     }
 
-    import graft.operators.Dedup
+    import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sfDir)
-    t("shingles_count") { Dedup.shingleTable(docs, 5).count() }
-    t("signatures") { Dedup.minhashSignaturesFromShingles(
-      Dedup.shingleTable(docs, 5).repartition(col("doc_id")), 16).count() }
-    t("candidates") {
-      val sh = Dedup.shingleTable(docs, 5).repartition(col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c = Dedup.lshCandidates(sh, 16, 4)
-      val n = c.count()
-      c.unpersist(false); sh.unpersist(false); n
+    val norm = TextAnalysis.normalizedText(substring(col("text"), 1, 128))
+    def tt = docs.select(col("doc_id"),
+      substring(norm, 1, 32).as("prefix"), substring(norm, 1, 8).as("bucket"))
+    t("normalize_scan") { tt.count() }
+    t("pairs_nojoin_dp") {
+      tt.as("a").join(tt.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")).count()
     }
-    t("full") { Dedup.minhashLshDedup(docs, 5, 16, 4, 0.8).count() }
+    t("full") { SparkEntry.queries("text_edit_distance")(spark, sfDir).count() }
     spark.stop()
   }
 }

@@ -17,15 +17,10 @@ object ChessDemo {
     val sample = "/root/reference/dev_files/Data/2024-01/games.json"
     val openingsCsv = "/root/reference/dev_files/Data/openings.csv"
 
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.create(_
       .master("local[8]")
       .appName("chess-demo")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.experimental.extraStrategies = Seq(graft.plans.PrefixJoinStrategy)
+      .config("spark.sql.shuffle.partitions", 8))
 
     // ingest: offline transport replays the bundled sample (swap for
     // ChessComClient.httpGet in a connected environment)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -76,6 +76,52 @@ object TextOps {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Banded Levenshtein with early exit: returns the exact edit distance
+    * when it is <= maxDist, otherwise maxDist+1 (so a `<= maxDist` filter
+    * behaves identically to filtering the exact distance). Two-row DP that
+    * bails as soon as the row minimum exceeds maxDist — valid because DP
+    * values are non-decreasing along any path and every path to (n,m)
+    * crosses each row. Char-based (UTF-16 units), which matches both
+    * Spark's `levenshtein` and DuckDB's for the BMP text this library
+    * normalizes to; the length-difference pre-check rejects most
+    * cross-bucket pairs in O(1).
+    */
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Long = {
+    val s = a.toString
+    val t = b.toString
+    val n = s.length
+    val m = t.length
+    if (math.abs(n - m) > maxDist) return maxDist + 1L
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var rowMin = i
+      val sc = s.charAt(i - 1)
+      j = 1
+      while (j <= m) {
+        var v = prev(j - 1) + (if (sc == t.charAt(j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > maxDist) return maxDist + 1L
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    val d = prev(m)
+    if (d > maxDist) maxDist + 1L else d.toLong
   }
 
   /** 16-bit SimHash over distinct single-space tokens: bit b is set when
@@ -175,8 +221,39 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bounded edit distance: exact Levenshtein when <= maxDist, else
+  * maxDist+1. Replaces the built-in `levenshtein` (which always runs the
+  * full unbanded DP) in near-dup filters where any distance above the
+  * threshold is discarded anyway.
+  */
+case class BoundedLevenshtein(left: Expression, right: Expression, maxDist: Int)
+    extends BinaryExpression {
+  require(maxDist >= 0, "maxDist must be >= 0")
+  override def prettyName: String = "bounded_levenshtein"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextOps.boundedLevenshtein(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextOps.boundedLevenshtein($a, $b, $maxDist)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftShims.{column, expression}
+  def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
+    column(BoundedLevenshtein(expression(a), expression(b), maxDist))
   def shingle_array(text: Column, k: Int): Column = column(ShingleArray(expression(text), k))
   def shingle_array_all(text: Column, k: Int): Column =
     column(ShingleArray(expression(text), k, distinct = false))

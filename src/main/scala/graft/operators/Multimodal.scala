@@ -55,11 +55,37 @@ object Multimodal {
 
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
 
-  /** STUB decode: *** replace with a real codec (javacv/ffmpeg JNI) ***.
-    * Deterministically fakes dimensions from the payload hash; everything
-    * around it (batched iteration, encoder, null payloads) is production
-    * shape. One kernel invocation per partition — at 100 TB this is the
-    * unit that amortizes codec init, exactly like an Arrow batch does.
+  /** Real image decode, JDK-only (`javax.imageio` — PNG/JPEG/GIF/BMP ship
+    * with the JRE; no native deps). Gated on the container magic bytes so
+    * non-image payloads skip reader probing entirely — at corpus scale the
+    * gate is what keeps a mixed binary column from paying decoder init per
+    * row. Returns (width, height, channels) or None when the payload is
+    * not a decodable image.
+    */
+  private[operators] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def hasImageMagic: Boolean = bytes.length >= 4 && {
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') || // PNG
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte && bytes(2) == 0xff.toByte) ||    // JPEG
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||         // GIF
+      (bytes(0) == 'B' && bytes(1) == 'M')                                                  // BMP
+    }
+    if (!hasImageMagic) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => (img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode kernel: REAL for images (ImageIO — true width/height/channels
+    * from the actual pixels), STUB for audio/video (*** replace with an
+    * ffmpeg/javacv JNI codec ***: deterministically fakes dimensions from
+    * the payload hash). Payloads carrying the image kind that fail to
+    * decode (e.g. the text-bytes bench carrier) also fall back to the
+    * deterministic hash path, so the kernel is total — a corrupt blob in a
+    * 100 TB corpus degrades to quarantine-able metadata instead of failing
+    * the stage. The batched iteration, encoder, and null handling are
+    * production shape; one kernel invocation per partition amortizes codec
+    * init exactly like an Arrow batch does.
     */
   def decodeMeta(assets: Dataset[MediaAsset]): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
@@ -68,11 +94,18 @@ object Multimodal {
       it.map { a =>
         val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
         val h = md5Bytes(bytes)
-        DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
-          width = 1 + ((h(0) & 0x7f) << 4 | (h(1) & 0x0f)),
-          height = 1 + ((h(2) & 0x7f) << 4 | (h(3) & 0x0f)),
-          channels = if (a.kind == "audio") 2 else 3,
-          est_duration_ms = if (a.kind == "image") 0L else bytes.length.toLong * 8)
+        val decoded = if (a.kind == "image") decodeImage(bytes) else None
+        decoded match {
+          case Some((w, hgt, c)) =>
+            DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
+              width = w, height = hgt, channels = c, est_duration_ms = 0L)
+          case None =>
+            DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
+              width = 1 + ((h(0) & 0x7f) << 4 | (h(1) & 0x0f)),
+              height = 1 + ((h(2) & 0x7f) << 4 | (h(3) & 0x0f)),
+              channels = if (a.kind == "audio") 2 else 3,
+              est_duration_ms = if (a.kind == "image") 0L else bytes.length.toLong * 8)
+        }
       }
     }
   }

@@ -7,15 +7,14 @@ import org.scalatest.{BeforeAndAfterAll, Suite}
   * `sbt test` fast; suites must not mutate global conf).
   */
 object SparkFixture {
-  lazy val spark: SparkSession = SparkSession.builder()
+  // GraftSession so specs exercise the exact session users get: planner
+  // extensions (PrefixJoinStrategy) injected by default, UTC timezone
+  lazy val spark: SparkSession = graft.GraftSession.create(_
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-    .getOrCreate()
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
 }
 
 trait SparkFixture extends BeforeAndAfterAll { self: Suite =>

@@ -43,6 +43,32 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     diff.count() shouldBe 0L
   }
 
+  test("bounded_levenshtein matches built-in levenshtein on real doc prefixes") {
+    val norm = TextAnalysis.normalizedText(substring($"text", 1, 128))
+    val t = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", substring(norm, 1, 32).as("p"), substring(norm, 1, 8).as("bk"))
+    val pairs = t.as("a").join(t.as("b"),
+      $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
+    val k = 8
+    val diff = pairs.select(
+      TextFunctions.bounded_levenshtein($"a.p", $"b.p", k).as("bounded"),
+      least(levenshtein($"a.p", $"b.p").cast("long"), lit(k + 1L)).as("capped"))
+      .filter($"bounded" =!= $"capped")
+    diff.count() shouldBe 0L
+  }
+
+  test("bounded_levenshtein edge cases and exactness below the bound") {
+    val cases = Seq(
+      ("", "", 0L), ("", "abc", 3L), ("abc", "", 3L),
+      ("kitten", "sitting", 3L), ("abcdef", "abcdef", 0L),
+      ("aaaaaaaaaa", "bbbbbbbbbb", 9L), // distance 10 > 8 → capped at 9
+      ("abcdefghij", "jihgfedcba", 9L)) // far apart → capped
+    val got = cases.map(_._1).zip(cases.map(_._2)).toDF("a", "b")
+      .select(TextFunctions.bounded_levenshtein($"a", $"b", 8))
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe cases.map(_._3)
+  }
+
   test("interpreted path matches codegen for both expressions") {
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     try {

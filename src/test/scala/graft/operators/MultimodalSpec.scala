@@ -33,6 +33,32 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     cross.filter($"content_hash" =!= $"expect_hash").count() shouldBe 0L
   }
 
+  test("decodeMeta decodes REAL image bytes via ImageIO: true dimensions and channels") {
+    // deterministic in-memory fixtures: a 17x9 RGB PNG and a 5x7 JPEG —
+    // real codec output, no committed binaries
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode(17, 9, "png")
+    val jpg = encode(5, 7, "jpg")
+    val media = Seq(
+      Multimodal.MediaAsset(1L, "image", png, "mem://png"),
+      Multimodal.MediaAsset(2L, "image", jpg, "mem://jpg"),
+      Multimodal.MediaAsset(3L, "image", "not an image".getBytes, "mem://txt"))
+      .toDS()
+    val meta = Multimodal.decodeMeta(media).collect().sortBy(_.asset_id)
+    (meta(0).width, meta(0).height, meta(0).channels) shouldBe ((17, 9, 3))
+    (meta(1).width, meta(1).height, meta(1).channels) shouldBe ((5, 7, 3))
+    // undecodable payload falls back to the deterministic hash path, total
+    meta(2).width should be > 0
+    meta(2).est_duration_ms shouldBe 0L
+  }
+
   test("extractFeatures yields fixed-dim embeddings consumable by Similarity") {
     val feats = Multimodal.extractFeatures(assets, dim = 64)
     feats.filter(F.size($"embedding") =!= 64).count() shouldBe 0L
