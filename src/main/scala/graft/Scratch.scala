@@ -19,17 +19,8 @@ object Scratch {
       println(f"STAGE $name%-28s ${ts.min}%.3f s")
     }
 
-    import graft.operators.TextAnalysis
-    val docs = Tables.documents(spark, sfDir)
-    val norm = TextAnalysis.normalizedText(substring(col("text"), 1, 128))
-    def tt = docs.select(col("doc_id"),
-      substring(norm, 1, 32).as("prefix"), substring(norm, 1, 8).as("bucket"))
-    t("normalize_scan") { tt.count() }
-    t("pairs_nojoin_dp") {
-      tt.as("a").join(tt.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")).count()
-    }
-    t("full") { SparkEntry.queries("text_edit_distance")(spark, sfDir).count() }
+    println(SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -546,9 +546,15 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
     }),
 
+    // refineSteps = 0: the k-means refine is float-sum-order dependent, so
+    // the oracled query runs the deterministic seed-centroid IVF — every
+    // other stage (assignment argmax, probe ranking, re-rank) is rounded
+    // and tie-broken, making the full neighbor list hash-comparable. The
+    // refined variant keeps its recall spec (SimilaritySpec).
     "ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10,
+        refineSteps = 0)
     }),
 
     // IVF cell assignment with unrefined (deterministic first-nlist)
@@ -1180,8 +1186,11 @@ object SparkEntry {
          |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % $p AS h31 FROM ds),
          |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
          |bands AS ($bandRows),
+         |bf AS (SELECT * FROM (SELECT doc_id, band, bh,
+         |        count(*) OVER (PARTITION BY band, bh) AS bn FROM bands) t
+         |       WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket}),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bands a JOIN bands b
+         |         FROM bf a JOIN bf b
          |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |pr AS (SELECT c.da, c.db, count(*) AS inter
          |       FROM cand c JOIN ds a ON a.doc_id = c.da
@@ -1275,6 +1284,41 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, row_number() OVER
         |       (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Full IVF re-derivation (refineSteps = 0 path of Similarity.ivfTopK):
+    // seed centroids = first 32 vec_ids; corpus/query cell assignment by
+    // rounded-cosine argmax (cid tie-break); nprobe=8 nearest cells per
+    // query; exact rounded re-rank in probed cells.
+    "ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings ORDER BY vec_id LIMIT 32),
+        |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT e.vec_id, c.cid,
+        |       round(list_dot_product(e.emb, c.ce) /
+        |         (sqrt(list_dot_product(e.emb, e.emb)) *
+        |          sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+        |      FROM eb e CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s) t
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        |  SELECT vec_id, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |  FROM s WHERE vec_id % 100 = 0) t WHERE rn <= 8),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |         FROM probes p JOIN assign a USING (cell)
+        |         WHERE a.vec_id <> p.query_id),
+        |sc AS (SELECT cd.query_id, cd.neighbor_id,
+        |        round(list_dot_product(qe.emb, ne.emb) /
+        |          (sqrt(list_dot_product(qe.emb, qe.emb)) *
+        |           sqrt(list_dot_product(ne.emb, ne.emb))), 6) AS cos
+        |       FROM cand cd JOIN eb qe ON qe.vec_id = cd.query_id
+        |                    JOIN eb ne ON ne.vec_id = cd.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER
+        |       (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
 
     "ann_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
@@ -1542,7 +1586,7 @@ object SparkEntry {
         | array_to_string(m, ' ') AS pgn_raw,
         | array_to_string(list_transform(range(1, CAST((len(m)+1)//2 AS INT) + 1),
         |   i -> CAST(i AS VARCHAR) || '. ' || m[2*i-1] || ' ' ||
-        |     CASE WHEN m[2*i] IS NOT NULL THEN m[2*i] || ' ' ELSE '' END), '') AS pgn_trans
+        |     coalesce(m[2*i], '')), ' ') AS pgn_trans
         |FROM e""".stripMargin,
 
     // Reference gold projection + star join (python_scripts.py:533-575):
@@ -1572,7 +1616,7 @@ object SparkEntry {
         |  try_strptime(strftime(end_game_date, '%Y-%m-%d') || ' ' || et, '%Y-%m-%d %H:%M:%S') AS end_time,
         |  array_to_string(list_transform(range(1, CAST((len(m)+1)//2 AS INT) + 1),
         |    i -> CAST(i AS VARCHAR) || '. ' || m[2*i-1] || ' ' ||
-        |      CASE WHEN m[2*i] IS NOT NULL THEN m[2*i] || ' ' ELSE '' END), '') AS pgn_trans,
+        |      coalesce(m[2*i], '')), ' ') AS pgn_trans,
         |  CASE WHEN TRY_CAST(split_part(time_control, '+', 1) AS BIGINT) IS NULL
         |   THEN time_control
         |  WHEN strpos(time_control, '+') > 0

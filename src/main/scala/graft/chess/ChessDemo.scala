@@ -29,7 +29,8 @@ object ChessDemo {
         java.nio.file.Paths.get(sample)), "UTF-8")}}""")
     client.ingestMonth(root, "rhythmbear1", 2024, 1)
 
-    val pipe = new ChessPipeline(spark, root, "Rhythmbear1")
+    val pipe = new ChessPipeline(spark, root, "Rhythmbear1",
+      openingsBook = Some(openingsCsv).filter(p => new java.io.File(p).exists()))
     pipe.runMonth(2024, 1, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
     ChessAnalytics.registerViews(pipe)
 

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
 object ChessFunctions {
 
   /** UD1 `add_move_numbers` (udfs.py:53-75): rebuild numbered PGN movetext
-    * from a ply array: pairs become "N. white black ", an odd trailing ply
-    * becomes "N. white " — the reference leaves a trailing space after every
-    * pair/half-pair, which we reproduce for bit-parity (SURVEY.md quirk 4).
+    * from a ply array. The reference builds per-move chunks
+    * `f"{n}. {white} {black-or-empty}"` and `' '.join`s them, so a full
+    * final pair ends WITHOUT a trailing space while an odd trailing ply
+    * keeps one (the f-string's space before the empty black survives) —
+    * both quirks reproduced here for bit-parity (SURVEY.md quirk 4).
     */
   def addMoveNumbers(moves: Column): Column = {
     // number of full-move slots = ceil(plies / 2); `get` (0-based) returns
@@ -25,9 +27,8 @@ object ChessFunctions {
       i => concat(
         (i + 1).cast("string"), lit(". "),
         get(moves, i * 2), lit(" "),
-        when(get(moves, i * 2 + 1).isNotNull,
-          concat(get(moves, i * 2 + 1), lit(" "))).otherwise(lit(""))))
-    when(size(moves) === 0, lit("")).otherwise(concat_ws("", numbered))
+        coalesce(get(moves, i * 2 + 1), lit(""))))
+    when(size(moves) === 0, lit("")).otherwise(concat_ws(" ", numbered))
   }
 
   /** UD3 `get_opening_family` (udfs.py:78-101): text before the first ":",

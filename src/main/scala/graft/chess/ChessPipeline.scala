@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * bronze/{yyyy}-{MM}-games.json, silver/fact-{yyyy}-{MM}-games.parquet,
   * gold/{fact-games,dim_*}.parquet.
   */
-class ChessPipeline(spark: SparkSession, root: String, username: String) {
+class ChessPipeline(spark: SparkSession, root: String, username: String,
+                    openingsBook: Option[String] = None) {
 
   private def path(rel: String) = s"$root/$rel"
 
@@ -64,8 +65,16 @@ class ChessPipeline(spark: SparkSession, root: String, username: String) {
         if (exists(rel)) Dims.incremental(fresh, readGold(rel), key) else fresh
       writeGold(next, rel)
     }
+    // with an openings book configured, dim_openings carries the csv's
+    // colon-form "Family: Variation" names (slug fallback for unmatched
+    // URLs); without one, the slug-only derivation
+    val openings = openingsBook match {
+      case Some(csv) => Dims.openingsFromSilverEnriched(silver,
+        OpeningMatcher.readBook(spark, csv))
+      case None => Dims.openingsFromSilver(silver)
+    }
     val builds = Seq(
-      Future(upsert("gold/dim_openings.parquet", Dims.openingsFromSilver(silver), "pgn_eco_url")),
+      Future(upsert("gold/dim_openings.parquet", openings, "pgn_eco_url")),
       Future(upsert("gold/dim_date.parquet", Dims.dateFromSilver(silver), "game_date")),
       Future(upsert("gold/dim_time_control.parquet",
         Dims.timeControlFromSilver(silver), "time_control")),

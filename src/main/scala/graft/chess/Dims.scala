@@ -32,6 +32,37 @@ object Dims {
       col("pgn_eco").as("eco_code")).distinct()
   }
 
+  /** [[openingsFromSilver]] enriched with the openings-book CSV (SURVEY
+    * §7.4.5): when a book line prefix-matches the URL's games, its
+    * colon-form "Family: Variation" name replaces the slug-derived one, so
+    * `opening_family`/`opening_variation` split meaningfully (slug names
+    * have no colon, so family == full name there). URLs with no book match
+    * keep the slug-only fallback — that remaining divergence from the
+    * reference's scraped names is the documented UD2 deviation.
+    */
+  def openingsFromSilverEnriched(silver: DataFrame, book: DataFrame): DataFrame = {
+    val matched = OpeningMatcher.matchOpenings(
+      silver.select(col("pgn_eco_url"), col("pgn_trans")), book)
+    // deepest book match per URL (every game under a URL opens identically
+    // up to the book's depth; longer games just match deeper lines), with a
+    // deterministic name tie-break
+    val best = matched.filter(col("opening_name").isNotNull)
+      .groupBy(col("pgn_eco_url").as("matched_url"))
+      .agg(max_by(col("opening_name"),
+        struct(col("opening_moves"), col("opening_name"))).as("csv_name"))
+    val slug = ChessFunctions.openingNameFromUrl(col("pgn_eco_url"))
+    val name = coalesce(col("csv_name"), slug)
+    silver.select(col("pgn_eco_url"), col("pgn_eco")).distinct()
+      .join(best, col("pgn_eco_url") === col("matched_url"), "left")
+      .select(
+        col("pgn_eco_url"),
+        name.as("opening_name"),
+        ChessFunctions.openingFamily(name).as("opening_family"),
+        ChessFunctions.openingVariation(name).as("opening_variation"),
+        col("pgn_eco").as("eco_code"))
+      .distinct()
+  }
+
   // ---- dim_date (python_scripts.py:326-366) -----------------------------
 
   def dateFromSilver(silver: DataFrame): DataFrame = {

@@ -76,6 +76,12 @@ object Dedup {
   /** Mersenne prime modulus for the affine MinHash permutation family. */
   val MinhashPrime: Long = 2147483647L
 
+  /** Band-bucket df-cut shared by [[lshCandidates]] AND the
+    * `dedup_minhash_lsh` DuckDB oracle SQL (SparkEntry.oracleSql mirrors
+    * it), so the two engines agree even on a corpus with a degenerate
+    * bucket above the cap. */
+  val DefaultMaxBucket: Long = 100000L
+
   /** Deterministic (multiplier, offset) pairs for h_i = (a*h + b) mod p —
     * shared by the Spark operator and the DuckDB oracle so both engines
     * realize the identical permutation family.
@@ -133,7 +139,7 @@ object Dedup {
     * by bands * maxBucket^2 / 2 regardless of corpus skew.
     */
   def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int,
-                    maxBucket: Long = 100000L): DataFrame = {
+                    maxBucket: Long = DefaultMaxBucket): DataFrame = {
     // persist the one-row-per-doc-per-band table for the self-join: exchange
     // reuse does NOT cover it once AQE broadcast-converts one side (the two
     // sides end up in different query-stage shapes), so without a persist
@@ -169,7 +175,7 @@ object Dedup {
     * corpus scale dwarfs executor memory.
     */
   def minhashLshDedup(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
-                      threshold: Double, maxBucket: Long = 100000L): DataFrame = {
+                      threshold: Double, maxBucket: Long = DefaultMaxBucket): DataFrame = {
     // the exploded shingle table feeds signatures, both sides of the
     // intersection join, and the size table — materialize it once instead
     // of re-exploding (and re-reading) the corpus four times. Hash-

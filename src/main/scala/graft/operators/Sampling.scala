@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Deterministic sampling for training-data curation.
   *
@@ -14,20 +15,75 @@ import org.apache.spark.sql.functions._
   * *fraction*; [[stratified]] keeps a fixed *quota per stratum*, the
   * balance-the-domains operation of corpus curation — a skewed stratum
   * cannot crowd out rare ones.
-  *
-  * Scale shape: one hash per row, one shuffle on the stratum key, per-group
-  * top-k via row_number (no global sort). A stratum larger than a single
-  * executor's window buffer spills; quotas are usually ≪ that.
   */
 object Sampling {
 
   /** Up to `quota` rows per distinct value of `stratum`, chosen by md5 rank
-    * of `key` (ties impossible: the key itself is the final tie-break).
+    * of `key`.
+    *
+    * PRECONDITION: `key` must be unique per row (a primary key). The rank
+    * order is (md5(key), key), so rows sharing a key value tie on both sort
+    * terms and `row_number` breaks the tie nondeterministically — the
+    * reproducibility guarantee holds only for unique keys.
+    *
+    * Two-phase at scale: a naive single window sorts every full stratum
+    * through one task — a 100 TB stratum spills through a single sort.
+    * Phase 1 computes per-stratum cardinalities (one row per stratum,
+    * broadcast back) and keeps only rows whose 32-bit md5 prefix falls
+    * under a threshold sized for ~`oversample`×quota expected survivors,
+    * so the exact window in phase 2 sorts a bounded set. Because the
+    * prefix filter admits a *prefix of the rank order* (md5 ascending),
+    * any stratum whose survivors still cover the quota yields exactly the
+    * single-phase sample; the rare stratum whose survivors fall short
+    * (adversarial hash distribution) is re-run over its full row set, so
+    * the result is identical to the single-phase definition in all cases.
     */
-  def stratified(df: DataFrame, stratum: String, key: String, quota: Int): DataFrame = {
-    val w = Window.partitionBy(stratum)
-      .orderBy(md5(col(key).cast("string")), col(key))
-    df.withColumn("rn", row_number().over(w))
+  def stratified(df: DataFrame, stratum: String, key: String, quota: Int,
+                 oversample: Double = 4.0): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val h = md5(col(key).cast("string"))
+    val sField = df.schema(stratum)
+
+    // phase 1: per-stratum cardinality. Driver collect is BOUNDED BY
+    // CONSTRUCTION — one row per stratum, and strata are curation domains
+    // (sources, languages, statuses), not data-sized. Collecting (same
+    // pattern as the 32 IVF centroids) lets the thresholds re-enter the
+    // plan as a LocalRelation instead of an aggregation subtree that the
+    // planner would otherwise duplicate in every branch referencing it.
+    val countRows = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n")).collect()
+    val thrRows = countRows.toSeq.map { r =>
+      val frac = math.min(1.0, oversample * quota / r.getLong(1).toDouble)
+      // md5-prefix threshold keeping an expected oversample×quota rows;
+      // fraction 1 ⇒ keep-all sentinel (top of the 32-bit prefix space)
+      val t = if (frac >= 1.0) "ffffffff"
+              else f"${(frac * 4294967296.0).toLong}%08x"
+      org.apache.spark.sql.Row(r.get(0), t)
+    }
+    val thr = spark.createDataFrame(thrRows.asJava, StructType(Seq(
+      sField.copy(name = "_stratum"), StructField("_thr", StringType))))
+
+    val pre = df.join(broadcast(thr), col(stratum) <=> col("_stratum"))
+      .filter(substring(h, 1, 8) <= col("_thr"))
+      .drop("_stratum", "_thr")
+
+    // exactness guard: the prefix filter admits a prefix of the rank
+    // order, so a stratum whose survivors still cover the quota yields
+    // exactly the single-phase sample; the rare stratum whose survivors
+    // fall short (adversarial hash distribution) is re-run over its full
+    // row set instead
+    val surv = pre.groupBy(col(stratum).as("_stratum2")).agg(count(lit(1)).as("_m"))
+    val under = thr.filter(col("_thr") =!= "ffffffff")
+      .join(surv, col("_stratum") <=> col("_stratum2"), "left")
+      .filter(coalesce(col("_m"), lit(0L)) < quota)
+      .select(col("_stratum"))
+
+    val input = pre.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
+      .unionByName(df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi"))
+
+    // phase 2: exact rank within the bounded survivor set
+    val w = Window.partitionBy(stratum).orderBy(h, col(key))
+    input.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= quota)
       .drop("rn")
   }

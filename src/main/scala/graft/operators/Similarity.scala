@@ -149,23 +149,28 @@ object Similarity {
       corpus.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), centroids.schema)
     }
+    // every ordering below ranks on the cosine rounded to 6 decimals with a
+    // deterministic tie-break (same convention as [[bruteForceTopK]] /
+    // [[lshTopK]]): with refineSteps = 0 the whole operator is then exactly
+    // reproducible cross-engine, which is what lets `ann_ivf` carry a full
+    // row-level DuckDB oracle rather than a recall bound
     val assign = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
-        cosine(col("embedding"), col("ce")).as("ccos"))
+        round(cosine(col("embedding"), col("ce")), 6).as("ccos"))
       .groupBy("vec_id").agg(
         max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
         first(col("embedding")).as("embedding"))
     val qAssign = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qe"), col("cid").as("cell"),
-        cosine(col("qe"), col("ce")).as("ccos"))
+        round(cosine(col("qe"), col("ce")), 6).as("ccos"))
     val wq = Window.partitionBy("query_id").orderBy(desc("ccos"), col("cell"))
     val probes = qAssign.withColumn("r", row_number().over(wq))
       .filter(col("r") <= nprobe).select(col("query_id"), col("qe"), col("cell"))
     val cand = probes.join(assign, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))

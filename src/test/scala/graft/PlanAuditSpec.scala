@@ -51,10 +51,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "SortMergeJoin"
   }
 
-  test("sample_stratified: one shuffle on the stratum key, nothing else") {
+  test("sample_stratified: window input is pre-filtered by the per-stratum md5 threshold") {
     val p = plan("sample_stratified")
     p should include("Window")
-    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    // the exact window consumes the thresholded survivor set, not the full
+    // table: the 32-bit md5-prefix cut appears below the Window as a
+    // broadcast join condition against the LocalRelation of thresholds
+    p.indexOf("Window") should be < p.indexOf("substring(md5(")
+    p should include("_thr")
     p should not include "Exchange rangepartitioning" // no global sort
   }
 

@@ -52,8 +52,10 @@ class ChessFunctionsPropSpec extends AnyFunSuite with Matchers with SparkFixture
         // numbered slots = ceil(plies/2); every slot is "N. "
         val nums = "(\\d+)\\. ".r.findAllMatchIn(pgn).map(_.group(1).toInt).toList
         nums shouldBe (1 to (moves.length + 1) / 2).toList
-        // stripping numbering recovers the plies; trailing space always kept
-        pgn should endWith(" ")
+        // reference ' '.join semantics: trailing space iff the ply count is
+        // odd (the f-string's space before the empty black survives)
+        if (moves.length % 2 == 1) pgn should endWith(" ")
+        else pgn should not endWith " "
         val stripped = pgn.split(" ").filterNot(_.matches("\\d+\\.")).toSeq
         stripped shouldBe moves
       }

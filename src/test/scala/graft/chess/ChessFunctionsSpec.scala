@@ -19,13 +19,14 @@ class ChessFunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   // ---- UD1 add_move_numbers (udfs.py:53-75) ----------------------------
 
-  test("addMoveNumbers pairs plies and keeps the reference's trailing space") {
+  test("addMoveNumbers pairs plies; full final pair ends without trailing space") {
     val out = Seq(Seq("e4", "e5", "Nf3", "Nc6")).toDF("m")
       .select(ChessFunctions.addMoveNumbers($"m")).head.getString(0)
-    out shouldBe "1. e4 e5 2. Nf3 Nc6 "
+    out shouldBe "1. e4 e5 2. Nf3 Nc6" // reference ' '.join: no trailing space
   }
 
-  test("addMoveNumbers odd ply count: trailing white move, trailing space (quirk 4)") {
+  test("addMoveNumbers odd ply count: trailing white move keeps its space (quirk 4)") {
+    // the reference f-string's space before the empty black survives
     val out = Seq(Seq("e4", "e5", "Nf3")).toDF("m")
       .select(ChessFunctions.addMoveNumbers($"m")).head.getString(0)
     out shouldBe "1. e4 e5 2. Nf3 "

@@ -31,6 +31,34 @@ class OpeningMatcherSpec extends AnyFunSuite with Matchers with SparkFixture {
     ("1. e4 b6 2. Nf3 Bb7 3. Nc3 g6 4. d4 Bg7 5. Bd3 Na6 6. O-O Nb4 7. e5 Nxd3 8. Qxd3 e6 9. Re1 Qe7 10. Bg5 f6",
       "Owen Defense", "B00"))
 
+  test("dim_openings enrichment: csv colon-form names split family/variation; slug fallback") {
+    assume(new java.io.File(openingsCsv).exists())
+    val book = OpeningMatcher.readBook(spark, openingsCsv)
+    // silver stand-in: cell-28 games under slug URLs, plus one URL whose
+    // movetext matches nothing in the book (slug-only fallback path)
+    val silver = (cases.zipWithIndex.map { case ((pgn, _, _), i) =>
+      (s"https://www.chess.com/openings/Case-$i", "X00", pgn)
+    } :+ (("https://www.chess.com/openings/Unknown-Line", "Z99", "1. z9 z9 2. z9 z9")))
+      .toDF("pgn_eco_url", "pgn_eco", "pgn_trans")
+    val dim = Dims.openingsFromSilverEnriched(silver, book)
+      .orderBy("pgn_eco_url").collect()
+
+    // case 1 (index 0): colon-form book name → meaningful split
+    val c0 = dim(0)
+    c0.getAs[String]("opening_name") shouldBe "Amar Opening: Paris Gambit, Gent Gambit"
+    c0.getAs[String]("opening_family") shouldBe "Amar Opening"
+    c0.getAs[String]("opening_variation") shouldBe " Paris Gambit, Gent Gambit"
+    // last notebook case (index 4): book name without colon → family ==
+    // name (reference UD3/UD4 semantics)
+    dim(4).getAs[String]("opening_name") shouldBe "Owen Defense"
+    dim(4).getAs[String]("opening_family") shouldBe "Owen Defense"
+    // unmatched URL: slug-derived fallback, documented deviation
+    val fb = dim(5)
+    fb.getAs[String]("opening_name") shouldBe "Unknown Line"
+    fb.getAs[String]("opening_family") shouldBe "Unknown Line"
+    fb.getAs[String]("eco_code") shouldBe "Z99"
+  }
+
   test("matcher reproduces the notebook's prototype cases (longest prefix)") {
     assume(new java.io.File(openingsCsv).exists())
     val book = OpeningMatcher.readBook(spark, openingsCsv)

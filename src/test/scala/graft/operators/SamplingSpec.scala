@@ -30,4 +30,34 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     val once = ids
     once shouldBe ids // independently re-planned job, identical rows
   }
+
+  test("two-phase equals the single-phase window definition exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey")
+    val single = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 40).drop("rn")
+      .select($"o_orderkey").as[Long].collect().sorted
+    val two = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 40)
+      .select($"o_orderkey").as[Long].collect().sorted
+    two shouldBe single
+  }
+
+  test("underfill fallback: a starving threshold still yields the exact sample") {
+    // oversample 0.01 drives the md5 threshold far below the quota, so
+    // every stratum takes the full-row fallback path — output must STILL
+    // equal the single-phase definition (exactness is unconditional)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey")
+    val single = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10).drop("rn")
+      .select($"o_orderkey").as[Long].collect().sorted
+    val starved = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 10,
+      oversample = 0.01)
+      .select($"o_orderkey").as[Long].collect().sorted
+    starved shouldBe single
+  }
 }

@@ -38,16 +38,22 @@ rows = []
 total_duck = 0.0
 for name, sql in sorted(oracle.items()):
     times = []
+    err = None
     for _ in range(2):
         t0 = time.perf_counter()
         try:
             con.sql(sql).fetchall()
         except Exception as e:
-            times = None
+            err = str(e).splitlines()[0]
             print(f"ERR  {name}: {e}")
             break
         times.append(time.perf_counter() - t0)
-    if times is None:
+    if err is not None:
+        # record the failure instead of silently dropping the query from
+        # rows/totals — an errored oracle must be visible in the output
+        rows.append({"query": name, "duckdb_sec": None, "spark_sec":
+                     bench.get(name), "ratio": None, "err": err,
+                     "fixed_input": name.startswith("chess_")})
         continue
     duck = min(times)
     total_duck += duck
@@ -56,11 +62,13 @@ for name, sql in sorted(oracle.items()):
         "query": name,
         "duckdb_sec": round(duck, 4),
         "spark_sec": round(spark, 4) if spark is not None else None,
-        "ratio": round(spark / duck, 2) if spark and duck > 0 else None,
+        "ratio": round(spark / duck, 2)
+        if spark is not None and duck > 0 else None,
         "fixed_input": name.startswith("chess_"),
     })
 
-scaled = [r for r in rows if r["spark_sec"] is not None and not r["fixed_input"]]
+scaled = [r for r in rows if r["spark_sec"] is not None
+          and r["duckdb_sec"] is not None and not r["fixed_input"]]
 total_spark = sum(r["spark_sec"] for r in scaled)
 total_duck_scaled = sum(r["duckdb_sec"] for r in scaled)
 summary = {
