@@ -11,6 +11,8 @@ object Bench {
       // At cluster scale the same configs are harmless: 100TB shuffles
       // blow straight past the advisory size and keep full parallelism.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       // local mode has no data locality to wait for; the 3s default can
       // stall tiny stages behind a phantom locality preference
       .config("spark.locality.wait", "0ms"))

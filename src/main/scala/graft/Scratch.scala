@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throwaway dev profiling main. Not part of the library surface. */
@@ -19,8 +19,29 @@ object Scratch {
       println(f"STAGE $name%-28s ${ts.min}%.3f s")
     }
 
-    println(SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString)
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.orderBy("vec_id").limit(32)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def cellOf(e: Column): Column =
+      -array_max(array(cents.map { case (cid, ce) =>
+        struct(round(Similarity.cosine(e, typedLit(ce)), 6).as("ccos"),
+          lit(-cid).as("negcid"))
+      }.toIndexedSeq: _*)).getField("negcid")
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    t("shingles") { Dedup.shingleTable(docs, 5).count() }
+    t("signatures") { Dedup.minhashSignaturesFromShingles(
+      Dedup.shingleTable(docs, 5).repartition(col("doc_id")), 16).count() }
+    t("candidates") {
+      val sh = Dedup.shingleTable(docs, 5).repartition(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = Dedup.lshCandidates(sh, 16, 4)
+      val n = c.count()
+      c.unpersist(false); sh.unpersist(false); n
+    }
+    t("full_minhash") { Dedup.minhashLshDedup(docs, 5, 16, 4, 0.8).count() }
     spark.stop()
   }
 }

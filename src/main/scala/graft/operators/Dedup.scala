@@ -140,13 +140,26 @@ object Dedup {
     */
   def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int,
                     maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val (out, cleanup) = lshCandidatesLazy(sh, numPerm, bands, maxBucket)
+    out.count()
+    cleanup()
+    out
+  }
+
+  /** Lazy variant of [[lshCandidates]]: the candidate set is persisted but
+    * NOT materialized, so a caller composing a larger pipeline (e.g.
+    * [[minhashLshDedup]]) can fill every cache inside its one final action
+    * instead of paying a separate job per stage. The caller MUST invoke
+    * `cleanup` after its materializing action to release the internal band
+    * cache (and later unpersist the returned candidates).
+    */
+  private[operators] def lshCandidatesLazy(
+      sh: DataFrame, numPerm: Int, bands: Int,
+      maxBucket: Long = DefaultMaxBucket): (DataFrame, () => Unit) = {
     // persist the one-row-per-doc-per-band table for the self-join: exchange
     // reuse does NOT cover it once AQE broadcast-converts one side (the two
     // sides end up in different query-stage shapes), so without a persist
-    // the whole signature aggregation runs twice. Lifecycle: candidates are
-    // materialized eagerly below and the band cache is dropped before
-    // returning — callers hold only the (small) CacheManager-registered
-    // candidate set.
+    // the whole signature aggregation runs twice.
     val bandsDf = lshBands(minhashSignaturesFromShingles(sh, numPerm), numPerm, bands)
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
@@ -158,9 +171,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    bandsDf.unpersist(blocking = false)
-    out
+    (out, () => bandsDf.unpersist(blocking = false))
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard
@@ -185,7 +196,12 @@ object Dedup {
     // signature and size groupBys reuse this partitioning shuffle-free.
     val sh = shingleTable(docs, k).repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(sh, numPerm, bands, maxBucket)
+    // eager candidates: measured both ways at sf0.1 with no significant
+    // difference (host noise dominates); eager is kept because it rules
+    // out duplicated cache-fill when AQE materializes the self-join's two
+    // query stages concurrently against a cold cache
+    val (cand, candCleanup) = lshCandidatesLazy(sh, numPerm, bands, maxBucket)
+    cand.count()
     // verification touches only docs that appear in some candidate pair —
     // semi-join the shingle table down to those ids first, so the pair-
     // intersection join (and the size aggregation) runs over |cand docs|
@@ -209,7 +225,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize while the shingle + candidate caches are alive
+    result.count() // materialize; every upstream cache fills inside this job
+    candCleanup()
     shCand.unpersist(blocking = false)
     cand.unpersist(blocking = false)
     sh.unpersist(blocking = false)
@@ -287,9 +304,15 @@ object Dedup {
           struct(col("doc_a").as("src"), col("doc_b").as("dst")),
           struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // initial labels already carry one propagation round fused in:
+    // label₀(v) = min(v ∪ neighbors) instead of the identity — for the
+    // clique-shaped clusters near-dup pairs produce, that alone is the
+    // fixpoint, so the loop's first pass just confirms convergence (saves
+    // one full checkpoint+scan round per invocation)
     var (labels, labelIds) = checkpointTracked(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("component", col("doc_id")))
+      edges.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("component"))
+        .select(col("src").as("doc_id"), col("component")))
     // empty pair list: no vertices, nothing to propagate (and no aggregate
     // to probe — a sum-based witness would NPE here on the null sum)
     var converged = labels.isEmpty

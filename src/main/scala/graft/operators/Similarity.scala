@@ -139,35 +139,56 @@ object Similarity {
         .agg(graft.functions.VectorAggregators.vecMean(col("embedding")).as("ce"))
     }
     // nlist rows, consumed by both the corpus and the query assignment.
-    // Materialize them on the driver and re-emit as a local relation: nlist
-    // is driver-bounded by construction (like a broadcast dim), the refine
-    // chain runs exactly once, and — unlike a cache() here — nothing stays
-    // pinned in executor storage after the call (a cached plan would leak a
-    // block per invocation in a long-lived session).
-    centroids = {
-      val rows = centroids.collect()
-      corpus.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), centroids.schema)
-    }
+    // Materialize them on the driver — nlist is driver-bounded by
+    // construction (like a broadcast dim) — and inline them as LITERAL
+    // arrays: cell assignment then becomes a narrow per-row projection
+    // (argmax over nlist codegen'd cosines), eliminating the
+    // crossJoin+groupBy shuffle of |corpus| rows entirely. The refine chain
+    // runs exactly once, and nothing stays pinned in executor storage after
+    // the call.
+    val cents: Array[(Long, Seq[Float])] = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
     // every ordering below ranks on the cosine rounded to 6 decimals with a
     // deterministic tie-break (same convention as [[bruteForceTopK]] /
     // [[lshTopK]]): with refineSteps = 0 the whole operator is then exactly
     // reproducible cross-engine, which is what lets `ann_ivf` carry a full
-    // row-level DuckDB oracle rather than a recall bound
-    val assign = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(cosine(col("embedding"), col("ce")), 6).as("ccos"))
-      .groupBy("vec_id").agg(
-        max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
-        first(col("embedding")).as("embedding"))
+    // row-level DuckDB oracle rather than a recall bound.
+    // struct default ordering = (ccos, -cid) lexicographic, so array_max is
+    // the highest cosine with ties to the smallest cid
+    def cellOf(emb: Column): Column =
+      -array_max(array(cents.map { case (cid, ce) =>
+        struct(round(cosine(emb, typedLit(ce)), 6).as("ccos"),
+          lit(-cid).as("negcid"))
+      }.toIndexedSeq: _*)).getField("negcid")
+
+    val assign = corpus.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding")).as("cell"))
+
+    // query side: |queries| is small by construction, so the nprobe-nearest
+    // cells go through a plain local-relation crossJoin + window (a literal
+    // sorted-array expression here costs more in per-query planning than
+    // the 60-row execution it saves)
+    val centLocal = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (cid, ce) =>
+        org.apache.spark.sql.Row(cid, ce) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
     val qAssign = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centLocal))
       .select(col("query_id"), col("qe"), col("cid").as("cell"),
         round(cosine(col("qe"), col("ce")), 6).as("ccos"))
     val wq = Window.partitionBy("query_id").orderBy(desc("ccos"), col("cell"))
     val probes = qAssign.withColumn("r", row_number().over(wq))
       .filter(col("r") <= nprobe).select(col("query_id"), col("qe"), col("cell"))
-    val cand = probes.join(assign, Seq("cell"))
+
+    // probes are |queries|×nprobe rows — broadcast them so the corpus side
+    // never shuffles before the final per-query window
+    val cand = assign.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qe"), col("embedding")), 6).as("cos"))

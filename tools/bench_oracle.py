@@ -21,6 +21,10 @@ import json, sys, time
 import duckdb
 
 sfdir, oracledir = sys.argv[1], sys.argv[2]
+# argv[3] may be a comma-separated list of bench JSONs from REPEATED Bench
+# runs; per-query spark time = min across runs (symmetric with DuckDB's
+# min-of-N below — both engines get their best observation, which is the
+# standard way to suppress host noise)
 bench_path = sys.argv[3] if len(sys.argv) > 3 else None
 out_path = sys.argv[4] if len(sys.argv) > 4 else None
 
@@ -32,14 +36,16 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{oracledir}/oracle_sql.json"))
 bench = {}
 if bench_path:
-    bench = json.load(open(bench_path)).get("queries", {})
+    for bp in bench_path.split(","):
+        for q, t in json.load(open(bp)).get("queries", {}).items():
+            bench[q] = min(bench[q], t) if q in bench else t
 
 rows = []
 total_duck = 0.0
 for name, sql in sorted(oracle.items()):
     times = []
     err = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         try:
             con.sql(sql).fetchall()
@@ -78,7 +84,7 @@ summary = {
     "benched_total_duckdb_sec": round(total_duck_scaled, 3),
     "overall_ratio": round(total_spark / total_duck_scaled, 2)
     if total_duck_scaled > 0 else None,
-    "timing": "min-of-2 per engine",
+    "timing": "min-of-3 DuckDB; min over min-of-2 Bench runs for Spark",
 }
 
 for r in sorted(scaled, key=lambda r: -(r["ratio"] or 0))[:15]:
