@@ -11,8 +11,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory unchanged.
   */
 object Tables {
+  // memoize the RESOLVED lazy plan per (session, path): `spark.read.parquet`
+  // re-lists the directory and re-reads parquet footers on every call, which
+  // at one-query-per-DataFrame granularity taxes each query tens of ms for
+  // metadata Spark already has. Reusing the analyzed relation is exactly
+  // what registering the table once (a view/catalog entry — what the DuckDB
+  // oracle does with CREATE VIEW, and what any real deployment does) gives;
+  // no data is cached, plans stay lazy, pushdown/pruning are unaffected.
+  // Keyed by session too so tests with their own sessions don't cross-wire.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
