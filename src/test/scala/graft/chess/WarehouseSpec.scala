@@ -14,6 +14,35 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
   private val url = "jdbc:derby:memory:chessdw;create=true"
   private def props = new java.util.Properties()
 
+  /** True when a PostgreSQL server answers on localhost:5432. The sandbox
+    * has none (see README "Known environment constraints"), so the PG
+    * round-trip below auto-cancels today — but the moment an environment
+    * provides one, the reference's real warehouse dialect is exercised
+    * with zero code changes.
+    */
+  private def pgAvailable: Boolean =
+    try {
+      val s = new java.net.Socket()
+      try { s.connect(new java.net.InetSocketAddress("127.0.0.1", 5432), 300); true }
+      finally s.close()
+    } catch { case _: Exception => false }
+
+  private def pgDriverPresent: Boolean =
+    try { Class.forName("org.postgresql.Driver"); true }
+    catch { case _: Throwable => false }
+
+  test("PostgreSQL round-trip (auto-cancels unless a server is present)") {
+    assume(pgAvailable, "no PostgreSQL server on localhost:5432")
+    assume(pgDriverPresent, "no PostgreSQL JDBC driver on the classpath")
+    val pgUrl = "jdbc:postgresql://127.0.0.1:5432/postgres?user=postgres"
+    val dim = Dims.results(spark)
+    dim.write.mode("overwrite").jdbc(pgUrl, "dim_results_pg", props)
+    val back = spark.read.jdbc(pgUrl, "dim_results_pg", props)
+    back.count() shouldBe 15L
+    back.orderBy("result_code").collect() shouldBe
+      dim.orderBy("result_code").collect()
+  }
+
   test("warehouse DDL creates the star schema idempotently") {
     val ddlUrl = "jdbc:derby:memory:chessddl;create=true"
     Warehouse.createSchema(ddlUrl)
