@@ -29,19 +29,12 @@ object Scratch {
         struct(round(Similarity.cosine(e, typedLit(ce)), 6).as("ccos"),
           lit(-cid).as("negcid"))
       }.toIndexedSeq: _*)).getField("negcid")
-    import graft.operators.Dedup
-    val docs = Tables.documents(spark, sfDir)
-    t("shingles") { Dedup.shingleTable(docs, 5).count() }
-    t("signatures") { Dedup.minhashSignaturesFromShingles(
-      Dedup.shingleTable(docs, 5).repartition(col("doc_id")), 16).count() }
-    t("candidates") {
-      val sh = Dedup.shingleTable(docs, 5).repartition(col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c = Dedup.lshCandidates(sh, 16, 4)
-      val n = c.count()
-      c.unpersist(false); sh.unpersist(false); n
+    for (q <- args) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.count()
+      println(s"===== $q =====")
+      println(df.queryExecution.executedPlan.toString.take(6000))
     }
-    t("full_minhash") { Dedup.minhashLshDedup(docs, 5, 16, 4, 0.8).count() }
     spark.stop()
   }
 }

@@ -116,16 +116,24 @@ object SparkEntry {
           .select(col("s_nationkey").as("nationkey"), lit("supplier").as("src")))),
 
     // TPC-H-shaped analytics (beyond reference): the classic plan shapes
-    // Q3: filtered 3-way join -> agg -> deterministic top-k
-    "q3_shipping_priority" -> ((s, d) =>
-      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    // Q3: filtered 3-way join -> agg -> deterministic top-k. The fact table
+    // (lineitem) STREAMS and the doubly-filtered customer⋈orders side is
+    // broadcast — left to its size estimates the planner inverts this and
+    // broadcasts the filtered fact (join-output stats are a row-count
+    // product, so the c⋈o side looks huge). At fact-×-fact scale where the
+    // date window no longer bounds c⋈o, drop the hint and let AQE pick the
+    // shuffle join from runtime sizes.
+    "q3_shipping_priority" -> ((s, d) => {
+      val co = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
         .filter(col("o_orderdate") < "1995-03-15")
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .filter(col("l_shipdate") > "1995-03-15")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Tables.lineitem(s, d).filter(col("l_shipdate") > "1995-03-15")
+        .join(broadcast(co), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(revenue), 2).as("rev"))
-        .orderBy(desc("rev"), col("l_orderkey")).limit(10)),
+        .orderBy(desc("rev"), col("l_orderkey")).limit(10)
+    }),
 
     // Q13: outer-join count distribution (double aggregation)
     "q13_custdist" -> ((s, d) =>
