@@ -62,6 +62,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "Exchange rangepartitioning" // no global sort
   }
 
+  test("q3: the fact table streams — lineitem never sits under a broadcast exchange") {
+    // regression guard: join-output size estimates once inverted the build
+    // side and broadcast the 300k-row filtered fact
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastExchange")
+    // the streamed (probe) side prints before its join's BroadcastExchange
+    // subtree; when the fact was mis-broadcast it printed inside one, after
+    p.indexOf("lineitem.parquet") should be < p.indexOf("BroadcastExchange")
+  }
+
   test("ann_ivf_assign: centroid side broadcasts; corpus side is scan + partial agg") {
     val p = plan("ann_ivf_assign")
     p should include("BroadcastNestedLoopJoin") // crossJoin vs 32-row local relation
