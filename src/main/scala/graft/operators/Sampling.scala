@@ -71,15 +71,22 @@ object Sampling {
     // order, so a stratum whose survivors still cover the quota yields
     // exactly the single-phase sample; the rare stratum whose survivors
     // fall short (adversarial hash distribution) is re-run over its full
-    // row set instead
+    // row set instead. Evaluated eagerly — another bounded (≤ #strata)
+    // driver action — so the common all-covered case keeps the final plan
+    // to a plain window over the survivor set with no guard branches.
     val surv = pre.groupBy(col(stratum).as("_stratum2")).agg(count(lit(1)).as("_m"))
-    val under = thr.filter(col("_thr") =!= "ffffffff")
+    val underRows = thr.filter(col("_thr") =!= "ffffffff")
       .join(surv, col("_stratum") <=> col("_stratum2"), "left")
       .filter(coalesce(col("_m"), lit(0L)) < quota)
-      .select(col("_stratum"))
+      .select(col("_stratum")).collect()
 
-    val input = pre.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
-      .unionByName(df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi"))
+    val input = if (underRows.isEmpty) pre else {
+      val under = spark.createDataFrame(
+        java.util.Arrays.asList(underRows: _*),
+        StructType(Seq(sField.copy(name = "_stratum"))))
+      pre.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
+        .unionByName(df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi"))
+    }
 
     // phase 2: exact rank within the bounded survivor set
     val w = Window.partitionBy(stratum).orderBy(h, col(key))

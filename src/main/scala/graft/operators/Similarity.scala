@@ -165,26 +165,42 @@ object Similarity {
     val assign = corpus.select(col("vec_id"), col("embedding"),
       cellOf(col("embedding")).as("cell"))
 
-    // query side: |queries| is small by construction, so the nprobe-nearest
-    // cells go through a plain local-relation crossJoin + window (a literal
-    // sorted-array expression here costs more in per-query planning than
-    // the 60-row execution it saves)
-    val centLocal = corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cents.map { case (cid, ce) =>
-        org.apache.spark.sql.Row(cid, ce) }: _*),
+    // query side: `queries` is broadcast-small by contract (bruteForceTopK
+    // broadcasts it outright, which already implies driver-collectable), so
+    // the nprobe-nearest cells are computed directly on the driver — no
+    // crossJoin, no window, no extra stages. Double cosine + round(6) +
+    // (ccos desc, cid asc) ordering mirror the executor/oracle arithmetic
+    // exactly.
+    val qRows = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      val c = if (d == 0.0) 0.0 else dot / d // same zero guard as VectorOps.cosine
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probeRows = qRows.flatMap { case (qid, qe) =>
+      cents.map { case (cid, ce) => (cid, cos6(qe, ce)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => org.apache.spark.sql.Row(qid, qe, cid) }
+    }
+    val probes = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.StructField("query_id",
           org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ce",
+        org.apache.spark.sql.types.StructField("qe",
           org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
-    val qAssign = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centLocal))
-      .select(col("query_id"), col("qe"), col("cid").as("cell"),
-        round(cosine(col("qe"), col("ce")), 6).as("ccos"))
-    val wq = Window.partitionBy("query_id").orderBy(desc("ccos"), col("cell"))
-    val probes = qAssign.withColumn("r", row_number().over(wq))
-      .filter(col("r") <= nprobe).select(col("query_id"), col("qe"), col("cell"))
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType))))
 
     // probes are |queries|×nprobe rows — broadcast them so the corpus side
     // never shuffles before the final per-query window
