@@ -69,6 +69,32 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe cases.map(_._3)
   }
 
+  test("bounded_levenshtein property: equals capped classic DP on random strings (incl. multibyte)") {
+    // independent reference implementation: the textbook full-matrix DP
+    def classic(a: String, b: String): Int = {
+      val (n, m) = (a.length, b.length)
+      val d = Array.tabulate(n + 1, m + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to n; j <- 1 to m)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(n)(m)
+    }
+    val rnd = new scala.util.Random(20260812)
+    val alphabet = "abcé日ß "
+    def randStr() = {
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val cases = Seq.fill(400)((randStr(), randStr()))
+    for (k <- Seq(0, 3, 8)) {
+      val got = cases.toDF("a", "b")
+        .select(TextFunctions.bounded_levenshtein($"a", $"b", k))
+        .collect().map(_.getLong(0))
+      val want = cases.map { case (a, b) => math.min(classic(a, b), k + 1).toLong }
+      got.toSeq shouldBe want
+    }
+  }
+
   test("interpreted path matches codegen for both expressions") {
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     try {
