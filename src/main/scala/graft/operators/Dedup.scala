@@ -100,13 +100,36 @@ object Dedup {
     * dominant cost of the whole pipeline. Partial (map-side) min
     * aggregation shrinks the shuffle to one row per doc per partition.
     */
-  def minhashSignaturesFromShingles(sh: DataFrame, numPerm: Int): DataFrame = {
-    val withH = sh.select(col("doc_id"),
-      (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % MinhashPrime).as("h31"))
+  def minhashSignaturesFromShingles(sh: DataFrame, numPerm: Int): DataFrame =
+    minhashSignaturesFromHashes(sh.select(col("doc_id"), shingleHash31(col("s"))), numPerm)
+
+  /** The 31-bit base hash of a shingle string: first 8 hex chars of md5,
+    * mod the Mersenne prime — shared by the Spark operators and every
+    * DuckDB oracle re-derivation.
+    */
+  def shingleHash31(s: Column): Column =
+    (conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashPrime).as("h31")
+
+  /** Exploded (doc_id, h31) hashed-shingle table: each distinct shingle of
+    * a document reduced to its 31-bit base hash AT THE SOURCE. Downstream,
+    * the cached table carries 8-byte longs instead of multi-10-byte
+    * strings, signatures reuse the hash without re-hashing, and verify
+    * intersections join on longs. The post-hash DISTINCT keeps per-doc
+    * multiplicity identical in both engines even under (vanishingly rare,
+    * ~n²/2³²) within-doc collisions; cross-doc collisions perturb
+    * intersection counts identically in the oracle, which applies the same
+    * md5-prefix hash.
+    */
+  def shingleHashes(docs: DataFrame, k: Int): DataFrame =
+    shingleTable(docs, k)
+      .select(col("doc_id"), shingleHash31(col("s")))
+      .distinct()
+
+  def minhashSignaturesFromHashes(shH: DataFrame, numPerm: Int): DataFrame = {
     val aggs = minhashCoeffs(numPerm).zipWithIndex.map { case ((a, b), i) =>
       min((col("h31") * a + b) % MinhashPrime).as(s"m$i")
     }
-    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    shH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   def minhashSignatures(docs: DataFrame, k: Int, numPerm: Int): DataFrame =
