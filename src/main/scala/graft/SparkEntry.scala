@@ -35,7 +35,10 @@ object SparkEntry {
       |                      i -> array_to_string(w[i:i+4], ' '))) AS s
       |       FROM t WHERE len(w) >= 5),
       |ds AS (SELECT DISTINCT doc_id, s FROM sh),
-      |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id)""".stripMargin
+      |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |hsd AS (SELECT DISTINCT doc_id,
+      |         ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h31 FROM ds),
+      |szh AS (SELECT doc_id, count(*) AS n FROM hsd GROUP BY doc_id)""".stripMargin
 
   // ---- queries ----------------------------------------------------------
 
@@ -1113,23 +1116,26 @@ object SparkEntry {
         | count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // intersections and sizes over the DISTINCT 31-bit shingle hashes —
+    // the identical reduction Dedup.docShingleHashes applies, so both
+    // engines agree bit-for-bit even under hash collisions
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte,
          |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |       FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       FROM hsd a JOIN hsd b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
          |       GROUP BY a.doc_id, b.doc_id)
          |SELECT da AS doc_a, db AS doc_b,
          | inter / (sa.n + sb.n - inter) AS jaccard
-         |FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |FROM pr JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
          |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |       FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       FROM hsd a JOIN hsd b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
          |       GROUP BY a.doc_id, b.doc_id),
          |pairs AS (SELECT da, db FROM pr
-         |          JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |          JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
          |          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
          |edges AS (SELECT da AS src, db AS dst FROM pairs
          |          UNION SELECT db, da FROM pairs),
@@ -1148,10 +1154,10 @@ object SparkEntry {
     "dedup_keep" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |       FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       FROM hsd a JOIN hsd b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
          |       GROUP BY a.doc_id, b.doc_id),
          |pairs AS (SELECT da, db FROM pr
-         |          JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |          JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
          |          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
          |edges AS (SELECT da AS src, db AS dst FROM pairs
          |          UNION SELECT db, da FROM pairs),
@@ -1191,8 +1197,7 @@ object SparkEntry {
         s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
       }.mkString(" UNION ALL ")
       s"""WITH $ShinglesCte,
-         |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % $p AS h31 FROM ds),
-         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $mins FROM hsd GROUP BY doc_id),
          |bands AS ($bandRows),
          |bf AS (SELECT * FROM (SELECT doc_id, band, bh,
          |        count(*) OVER (PARTITION BY band, bh) AS bn FROM bands) t
@@ -1201,12 +1206,12 @@ object SparkEntry {
          |         FROM bf a JOIN bf b
          |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |pr AS (SELECT c.da, c.db, count(*) AS inter
-         |       FROM cand c JOIN ds a ON a.doc_id = c.da
-         |       JOIN ds b ON b.doc_id = c.db AND b.s = a.s
+         |       FROM cand c JOIN hsd a ON a.doc_id = c.da
+         |       JOIN hsd b ON b.doc_id = c.db AND b.h31 = a.h31
          |       GROUP BY c.da, c.db)
          |SELECT da AS doc_a, db AS doc_b,
          | inter / (sa.n + sb.n - inter) AS jaccard
-         |FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |FROM pr JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
          |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin
     },
 

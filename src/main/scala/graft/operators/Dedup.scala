@@ -13,17 +13,24 @@ import org.apache.spark.sql.functions._
   *
   * Design notes for 100 TB:
   *  - Every pipeline is a sequence of narrow projections + hash shuffles on
-  *    content-derived keys (md5 / shingle / band hash), which distribute and
-  *    parallelize trivially; no driver-side state.
-  *  - The shingle inverted index joins docs on *shared shingles* rather than
+  *    content-derived keys (md5 / shingle hash / band hash), which distribute
+  *    and parallelize trivially; no driver-side state.
+  *  - Shingles are reduced to 8-byte longs AT THE SOURCE
+  *    ([[docShingleHashes]]): every downstream shuffle, join and
+  *    intersection carries longs, never multi-10-byte shingle strings.
+  *  - The per-doc shingle set travels as ONE array row per document, so
+  *    MinHash signatures are a narrow projection (16 `array_min`s — no
+  *    explode, no aggregation shuffle) and exact Jaccard verification is a
+  *    narrow `array_intersect` after joining candidate pairs to their two
+  *    arrays — no per-shingle pair join at all.
+  *  - The inverted posting index joins docs on *shared shingles* rather than
   *    crossing all pairs, so cost is proportional to actual collisions.
-  *    Hot shingles (stop-phrases) would skew the join at scale; cap them by
-  *    filtering postings lists longer than a bound before the self-join
-  *    (standard df-cut), which also removes useless candidates.
-  *  - MinHash uses md5(seed || shingle) minima, so signatures are computed
-  *    in one pass over an exploded shingle table with 16 per-seed `min`
-  *    partial aggregates (map-side combine shrinks the shuffle to one row
-  *    per doc).
+  *    Hot shingles (stop-phrases) would skew the join at scale; the df-cut
+  *    is a map-side-combining `groupBy.count` of over-cap keys followed by a
+  *    broadcast anti-join — NOT a `count(*) over (partition by key)` window,
+  *    which would route every posting of the hot key through one task's sort
+  *    before the filter could drop it (the guard becoming the bottleneck it
+  *    guards against).
   */
 object Dedup {
 
@@ -39,39 +46,12 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 
-  /** Distinct k-shingles per doc, exploded: (doc_id, shingle). */
+  /** Distinct k-shingles per doc, exploded: (doc_id, shingle). Used where
+    * the *string* shingle is the payload (e.g. contamination reports); the
+    * dedup pipelines below use the hashed-array form instead.
+    */
   def shingleTable(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), k)).as("s"))
-
-  /** Exact n-gram Jaccard near-dup pairs >= `threshold`, via inverted index:
-    * join docs that share at least one shingle, count the intersection,
-    * then Jaccard = inter / (|A| + |B| - inter). `maxPostings` drops
-    * degenerate stop-shingles shared by more than that many docs (df-cut)
-    * so one hot key cannot skew the shuffle at scale.
-    */
-  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
-                   maxPostings: Long = 1000000L): DataFrame = {
-    // deliberately lazy and persist-free: unlike the minhash pipeline there
-    // is no per-row hashing here, so re-deriving the shingle explode per
-    // consumer is cheaper than materializing it to cache (measured: a
-    // persist+eager variant was ~30% slower at sf0.1 and pins memory)
-    val sh = shingleTable(docs, k).repartition(col("doc_id"))
-    val pruned = sh.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("df") <= maxPostings).drop("df")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = pruned.as("a").join(pruned.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Mersenne prime modulus for the affine MinHash permutation family. */
   val MinhashPrime: Long = 2147483647L
@@ -92,48 +72,47 @@ object Dedup {
         (12345L + 104729L * i) % MinhashPrime)
     }
 
-  /** MinHash signature columns m0..m{numPerm-1} over an exploded shingle
-    * table (doc_id, s): one md5 per shingle row (first 8 hex chars as a
-    * 32-bit base hash), then numPerm cheap affine permutations
-    * (a_i*h + b_i) mod 2^31-1 — the classic construction, ~numPerm times
-    * cheaper than hashing per permutation, which at corpus scale is the
-    * dominant cost of the whole pipeline. Partial (map-side) min
-    * aggregation shrinks the shuffle to one row per doc per partition.
-    */
-  def minhashSignaturesFromShingles(sh: DataFrame, numPerm: Int): DataFrame =
-    minhashSignaturesFromHashes(sh.select(col("doc_id"), shingleHash31(col("s"))), numPerm)
-
   /** The 31-bit base hash of a shingle string: first 8 hex chars of md5,
     * mod the Mersenne prime — shared by the Spark operators and every
-    * DuckDB oracle re-derivation.
+    * DuckDB oracle re-derivation (`('0x' || substr(md5(s),1,8))::BIGINT %
+    * 2147483647`).
     */
   def shingleHash31(s: Column): Column =
-    (conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashPrime).as("h31")
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashPrime
 
-  /** Exploded (doc_id, h31) hashed-shingle table: each distinct shingle of
-    * a document reduced to its 31-bit base hash AT THE SOURCE. Downstream,
-    * the cached table carries 8-byte longs instead of multi-10-byte
-    * strings, signatures reuse the hash without re-hashing, and verify
-    * intersections join on longs. The post-hash DISTINCT keeps per-doc
-    * multiplicity identical in both engines even under (vanishingly rare,
-    * ~n²/2³²) within-doc collisions; cross-doc collisions perturb
-    * intersection counts identically in the oracle, which applies the same
-    * md5-prefix hash.
+  /** One row per document: its distinct k-shingle set reduced to 31-bit
+    * hashes, as an `array<long>` column `hs`. Docs too short to yield a
+    * shingle are dropped (they cannot near-dup by Jaccard; matches the
+    * oracle, whose shingle CTE also omits them).
+    *
+    * This is the hub of the dedup family: signatures, band buckets, posting
+    * lists and exact verification all derive from it with narrow ops, and a
+    * cached copy is one compact row per doc — not an exploded posting table
+    * that dwarfs executor memory at corpus scale. The post-hash
+    * `array_distinct` keeps per-doc multiplicity identical in both engines
+    * even under (vanishingly rare, ~n²/2³²) within-doc hash collisions;
+    * cross-doc collisions perturb intersection counts identically in the
+    * oracle, which applies the same md5-prefix hash.
     */
-  def shingleHashes(docs: DataFrame, k: Int): DataFrame =
-    shingleTable(docs, k)
-      .select(col("doc_id"), shingleHash31(col("s")))
-      .distinct()
+  def docShingleHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        array_distinct(transform(TextAnalysis.shingles(col("text"), k),
+          s => shingleHash31(s))).as("hs"))
+      .filter(size(col("hs")) > 0)
 
-  def minhashSignaturesFromHashes(shH: DataFrame, numPerm: Int): DataFrame = {
-    val aggs = minhashCoeffs(numPerm).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h31") * a + b) % MinhashPrime).as(s"m$i")
+  /** MinHash signature columns m0..m{numPerm-1} from the per-doc hashed
+    * shingle arrays: numPerm cheap affine permutations (a_i*h + b_i) mod
+    * 2^31-1 over the array, each reduced with `array_min` — a narrow
+    * projection, one row in, one row out. No explode, no aggregation
+    * shuffle: at corpus scale the signature stage costs exactly one pass
+    * over the cached arrays.
+    */
+  def minhashSignatures(arr: DataFrame, numPerm: Int): DataFrame = {
+    val sigCols = minhashCoeffs(numPerm).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => (h * a + b) % MinhashPrime)).as(s"m$i")
     }
-    shH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    arr.select((col("doc_id") +: sigCols): _*)
   }
-
-  def minhashSignatures(docs: DataFrame, k: Int, numPerm: Int): DataFrame =
-    minhashSignaturesFromShingles(shingleTable(docs, k), numPerm)
 
   /** LSH banding over the MinHash signature: band b hashes rows
     * [b*rowsPerBand, (b+1)*rowsPerBand). Output: (doc_id, band, bh).
@@ -149,110 +128,132 @@ object Dedup {
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
-  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
-    * `sh` is an exploded (doc_id, s) shingle table.
-    *
-    * `maxBucket` is the band-bucket df-cut, mirroring [[jaccardPairs]]'s
-    * `maxPostings`: the self-join is quadratic in the largest bucket, so one
-    * degenerate bucket (a flood of empty/boilerplate docs all hashing to the
-    * same band value) would hand a single reducer O(bucket^2) pairs at scale.
-    * Buckets that large carry no near-dup signal (LSH theory: a bucket
-    * holding a large fraction of the corpus is indistinguishable from
-    * chance), so they are dropped before the join, bounding candidate count
-    * by bands * maxBucket^2 / 2 regardless of corpus skew.
+  /** Drop rows of `df` whose `keyCols` value occurs more than `cap` times —
+    * the df-cut used on posting lists and band buckets. Implemented as a
+    * map-side-combining count of the (few, by definition) over-cap keys
+    * followed by a broadcast anti-join: the hot key never converges on one
+    * task, which is the whole point of the guard. The over-cap key set is
+    * bounded by |rows|/cap, so the broadcast is small by construction.
     */
-  def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int,
+  private def dropOverCapKeys(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+    val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select(keyCols.map(col): _*)
+    df.join(broadcast(hot), keyCols, "left_anti")
+  }
+
+  /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
+    * Lazy — the band table is persisted but not materialized, so a caller
+    * composing a larger pipeline fills every cache inside its one final
+    * action; the caller MUST invoke `cleanup` after that action.
+    *
+    * `maxBucket` is the band-bucket df-cut: the self-join is quadratic in
+    * the largest bucket, so one degenerate bucket (a flood of
+    * empty/boilerplate docs all hashing to the same band value) would hand
+    * a single reducer O(bucket^2) pairs at scale. Buckets that large carry
+    * no near-dup signal (LSH theory: a bucket holding a large fraction of
+    * the corpus is indistinguishable from chance), so they are dropped
+    * before the join, bounding candidate count by bands * maxBucket^2 / 2
+    * regardless of corpus skew.
+    */
+  private[graft] def lshCandidatesLazy(
+      arr: DataFrame, numPerm: Int, bands: Int,
+      maxBucket: Long = DefaultMaxBucket): (DataFrame, () => Unit) = {
+    // persist the one-row-per-doc-per-band table: it feeds the over-cap
+    // bucket count AND both sides of the self-join, and exchange reuse does
+    // not cover the self-join once AQE broadcast-converts one side (the two
+    // sides end up in different query-stage shapes)
+    val bandTable = lshBands(minhashSignatures(arr, numPerm), numPerm, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = dropOverCapKeys(bandTable, Seq("band", "bh"), maxBucket)
+    val out = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    (out, () => bandTable.unpersist(blocking = false))
+  }
+
+  /** Eager standalone variant of [[lshCandidatesLazy]] over a document
+    * table. Returns the persisted (CacheManager-registered) candidate set;
+    * the caller releases it with `unpersist()`.
+    */
+  def lshCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
                     maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val (out, cleanup) = lshCandidatesLazy(sh, numPerm, bands, maxBucket)
+    val arr = docShingleHashes(docs.repartition(col("doc_id")), k)
+    val (cand, cleanup) = lshCandidatesLazy(arr, numPerm, bands, maxBucket)
+    val out = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     cleanup()
     out
   }
 
-  /** Lazy variant of [[lshCandidates]]: the candidate set is persisted but
-    * NOT materialized, so a caller composing a larger pipeline (e.g.
-    * [[minhashLshDedup]]) can fill every cache inside its one final action
-    * instead of paying a separate job per stage. The caller MUST invoke
-    * `cleanup` after its materializing action to release the internal band
-    * cache (and later unpersist the returned candidates).
+  /** Exact Jaccard of candidate pairs against the per-doc hashed shingle
+    * arrays: join each pair to its two arrays (candidate side is small —
+    * AQE broadcasts it — so the array table never shuffles), then the
+    * intersection is a narrow `array_intersect`. Verification cost is
+    * proportional to candidates, not to the corpus.
     */
-  private[operators] def lshCandidatesLazy(
-      sh: DataFrame, numPerm: Int, bands: Int,
-      maxBucket: Long = DefaultMaxBucket): (DataFrame, () => Unit) = {
-    // persist the one-row-per-doc-per-band table for the self-join: exchange
-    // reuse does NOT cover it once AQE broadcast-converts one side (the two
-    // sides end up in different query-stage shapes), so without a persist
-    // the whole signature aggregation runs twice.
-    val bandsDf = lshBands(minhashSignaturesFromShingles(sh, numPerm), numPerm, bands)
-      .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bn") <= maxBucket).drop("bn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandsDf.as("a").join(bandsDf.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+  private def verifyPairs(cand: DataFrame, arr: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("hs").as("__ha")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("__hb")), "doc_b")
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__ha")) + size(col("__hb")) - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Exact n-gram Jaccard near-dup pairs >= `threshold`, via inverted
+    * posting index on hashed shingles: candidate pairs share at least one
+    * shingle hash; exact Jaccard is then computed from the per-doc arrays.
+    * `maxPostings` drops degenerate stop-shingles shared by more than that
+    * many docs from CANDIDATE GENERATION only (df-cut — a pair sharing
+    * nothing but over-cap shingles is missed, by design); scoring of
+    * surviving candidates is exact over the full shingle sets.
+    *
+    * Deliberately lazy and persist-free: callers materialize exactly once
+    * (a count, a write, or the cluster pass), and the shared subtree is a
+    * narrow projection off the document scan that recomputes cheaper than
+    * it caches at the explode-free row widths involved.
+    */
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                   maxPostings: Long = 1000000L): DataFrame = {
+    val arr = docShingleHashes(docs.repartition(col("doc_id")), k)
+    val posting = arr.select(col("doc_id"), explode(col("hs")).as("h31"))
+    val pruned = dropOverCapKeys(posting, Seq("h31"), maxPostings)
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.h31") === col("b.h31") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (out, () => bandsDf.unpersist(blocking = false))
+    verifyPairs(cand, arr, threshold)
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard
     * verification of candidates only (the scale path: verification cost is
     * proportional to candidates, not to n^2).
     *
-    * Lifecycle: the verified-pair result is computed eagerly, persisted
-    * (CacheManager-registered, so `unpersist()`/`spark.catalog.clearCache()`
-    * releases it), and the shingle intermediate is unpersisted before
-    * returning. Repeated invocations in a long-lived session therefore hold
-    * at most the (small) result — not the exploded shingle table, which at
-    * corpus scale dwarfs executor memory.
+    * Lifecycle: ONE materializing action fills every internal cache (the
+    * per-doc array table and the band table), the result is computed
+    * eagerly, persisted (CacheManager-registered, so `unpersist()`/
+    * `spark.catalog.clearCache()` releases it), and every intermediate is
+    * unpersisted before returning. Repeated invocations in a long-lived
+    * session therefore hold at most the (small) result.
     */
   def minhashLshDedup(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
                       threshold: Double, maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    // the exploded shingle table feeds signatures, both sides of the
-    // intersection join, and the size table — materialize it once instead
-    // of re-exploding (and re-reading) the corpus four times. Hash-
-    // repartition by doc_id: a narrow source (one input file = one
-    // partition locally; one task per file at scale) would otherwise leave
-    // every downstream partial aggregation single-task, and both the
-    // signature and size groupBys reuse this partitioning shuffle-free.
-    val sh = shingleTable(docs, k).repartition(col("doc_id"))
+    // the array table feeds the signature/band pipeline and both verify
+    // sides — materialize it once. Hash-repartition by doc_id first: a
+    // narrow source (one input file = one partition locally; one task per
+    // file at scale) would otherwise leave the md5-heavy shingle hashing
+    // single-task.
+    val arr = docShingleHashes(docs.repartition(col("doc_id")), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager candidates: measured both ways at sf0.1 with no significant
-    // difference (host noise dominates); eager is kept because it rules
-    // out duplicated cache-fill when AQE materializes the self-join's two
-    // query stages concurrently against a cold cache
-    val (cand, candCleanup) = lshCandidatesLazy(sh, numPerm, bands, maxBucket)
-    cand.count()
-    // verification touches only docs that appear in some candidate pair —
-    // semi-join the shingle table down to those ids first, so the pair-
-    // intersection join (and the size aggregation) runs over |cand docs|
-    // shingle rows, not the whole corpus. LSH exists precisely because
-    // candidates are a vanishing fraction of docs at scale, so this prunes
-    // almost everything; a doc's full shingle set survives the semi-join,
-    // so intersection counts and sizes are unchanged (exact verify).
-    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
+    val (cand, candCleanup) = lshCandidatesLazy(arr, numPerm, bands, maxBucket)
+    val result = verifyPairs(cand, arr, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shCand.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val result = cand
-      .join(shCand.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shCand.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize; every upstream cache fills inside this job
+    result.count() // the one action: every upstream cache fills inside it
     candCleanup()
-    shCand.unpersist(blocking = false)
-    cand.unpersist(blocking = false)
-    sh.unpersist(blocking = false)
+    arr.unpersist(blocking = false)
     result
   }
 

@@ -29,22 +29,22 @@ object Profile {
          i <- 1 to 3)
       time(s"$q run$i")(graft.SparkEntry.queries(q)(spark, sfDir).count())
 
+    import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
-    val sh = Dedup.shingleTable(docs, 5)
+    val arr = Dedup.docShingleHashes(docs.repartition(col("doc_id")), 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("shingleTable materialize")(println(s"  rows=${sh.count()}"))
-    val sigs = Dedup.minhashSignaturesFromShingles(sh, 16)
+    time("docShingleHashes materialize")(println(s"  rows=${arr.count()}"))
+    val sigs = Dedup.minhashSignatures(arr, 16)
     time("minhash signatures")(println(s"  rows=${sigs.count()}"))
-    val bands = Dedup.lshBands(Dedup.minhashSignaturesFromShingles(sh, 16), 16, 4)
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(arr, 16), 16, 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("bands materialize")(println(s"  rows=${bands.count()}"))
-    import org.apache.spark.sql.functions._
     val joined = bands.as("a").join(bands.as("b"),
       col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
     time("band self-join")(println(s"  rows=${joined.count()}"))
-    val cand = Dedup.lshCandidates(sh, 16, 4)
+    val cand = Dedup.lshCandidates(docs, 5, 16, 4)
     time("lsh candidates")(println(s"  rows=${cand.count()}"))
     val full = Dedup.minhashLshDedup(docs, k = 5, numPerm = 16, bands = 4, threshold = 0.8)
     time("full pipeline")(println(s"  rows=${full.count()}"))

@@ -81,6 +81,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     "Aggregate".r.findAllIn(p).length should be >= 2
   }
 
+  test("dedup candidate plans carry no Window node (df-cut is groupBy + anti-join)") {
+    // the df-cut must never route all postings of a hot shingle/bucket
+    // through one task's window sort — the guard would become the
+    // bottleneck it guards against at 100x
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      withClue(s"$q plan:") { p should not include "Window" }
+    }
+  }
+
   test("AQE re-plans the executed join at runtime (coalesced shuffle read)") {
     val li = Tables.lineitem(spark, sf0001)
     val ord = Tables.orders(spark, sf0001)

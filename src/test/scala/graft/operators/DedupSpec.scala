@@ -47,10 +47,9 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("lshCandidates band df-cut: generous cap is a no-op, tight cap bounds degenerate buckets") {
-    val sh = Dedup.shingleTable(docs, 3).repartition($"doc_id")
-    val uncapped = Dedup.lshCandidates(sh, 16, 8, maxBucket = Long.MaxValue)
+    val uncapped = Dedup.lshCandidates(docs, 3, 16, 8, maxBucket = Long.MaxValue)
       .as[(Long, Long)].collect().toSet
-    val generous = Dedup.lshCandidates(sh, 16, 8, maxBucket = 1000L)
+    val generous = Dedup.lshCandidates(docs, 3, 16, 8, maxBucket = 1000L)
       .as[(Long, Long)].collect().toSet
     generous shouldBe uncapped // cap above any real bucket changes nothing
     // degenerate corpus: 100 identical docs -> every band puts all 100 in one
@@ -58,9 +57,8 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     // bucket entirely (it carries no near-dup signal), bounding the join
     val flood = (1L to 100L).map(i => (i, "same boilerplate text everywhere"))
       .toDF("doc_id", "text")
-    val fsh = Dedup.shingleTable(flood, 3).repartition($"doc_id")
-    Dedup.lshCandidates(fsh, 16, 8, maxBucket = Long.MaxValue).count() shouldBe 4950L
-    Dedup.lshCandidates(fsh, 16, 8, maxBucket = 10L).count() shouldBe 0L
+    Dedup.lshCandidates(flood, 3, 16, 8, maxBucket = Long.MaxValue).count() shouldBe 4950L
+    Dedup.lshCandidates(flood, 3, 16, 8, maxBucket = 10L).count() shouldBe 0L
   }
 
   test("dedup operators pin no storage across repeated invocations (cache-leak lifecycle)") {
