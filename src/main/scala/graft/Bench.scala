@@ -43,10 +43,16 @@ object Bench {
     val p1 = timedPass()
     val p2 = timedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision and a compact sf label: the driver snapshots only the
+    // last ~2 KB of stdout, and a full-precision 75-query line overflowed
+    // that window (round 4 recorded a truncated, unparseable tail). Keep
+    // this line comfortably under 2000 chars so every timing survives.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"timing":"min-of-2 steady-state"}""")
+    val sfLabel = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","passes":2,"timing":"min2"}""")
     spark.stop()
   }
 }

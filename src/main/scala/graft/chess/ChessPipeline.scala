@@ -134,11 +134,37 @@ class ChessPipeline(spark: SparkSession, root: String, username: String,
     }
   }
 
-  /** One monthly batch end-to-end (the whole collect_chess_data DAG). */
+  /** Per-stage retry policy mirroring the reference DAG's task defaults
+    * (1 retry, 10 s delay — collect_chess_data_dag.py:16-19). Stages are
+    * idempotent (overwrite writes, existence-probe upserts), so a rerun
+    * after a transient failure converges to the same state.
+    */
+  var retries: Int = 1
+  var retryDelayMs: Long = 10000L
+
+  private def withRetry[T](stage: String)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Exception if attempt < retries =>
+          attempt += 1
+          System.err.println(
+            s"[chess-pipeline] $stage failed (attempt $attempt/${retries + 1}), " +
+              s"retrying in ${retryDelayMs} ms: ${e.getMessage}")
+          Thread.sleep(retryDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One monthly batch end-to-end (the whole collect_chess_data DAG), each
+    * stage under the task retry policy.
+    */
   def runMonth(year: Int, month: Int, lastUpdated: java.sql.Timestamp): Unit = {
-    val silver = buildSilver(year, month)
-    buildDims(silver)
-    buildFact(silver, lastUpdated)
+    val silver = withRetry("silver")(buildSilver(year, month))
+    withRetry("dims")(buildDims(silver))
+    withRetry("fact")(buildFact(silver, lastUpdated))
   }
 
   def fact: DataFrame = readGold("gold/fact-games.parquet")

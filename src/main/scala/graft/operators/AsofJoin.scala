@@ -40,10 +40,19 @@ object AsofJoin {
       .select(lPadded.columns.map(c =>
         if (leftCols.contains(c) && c != key && c != ts) lit(null).cast(left.schema(c).dataType).as(c)
         else col(c)): _*)
+    // deterministic tie-break among right rows sharing (key, ts): without
+    // it, `last(ignoreNulls)` picks whichever duplicate the sort happened
+    // to place last — retry/partitioning dependent. The winner is the row
+    // with the greatest xxhash64 of its carried values: arbitrary as a
+    // rule, but stable for any input and cheap for any carried type. Left
+    // rows sort after every right row at equal ts regardless (asof <=).
+    val tb = (df: DataFrame) =>
+      df.withColumn("__tb", when(col("__side") === 0,
+        xxhash64(valueCols.map(c => col(s"__r_$c")): _*)).otherwise(lit(0L)))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(lPadded.unionByName(r)) { (df, c) =>
+    val carried = valueCols.foldLeft(tb(lPadded.unionByName(r))) { (df, c) =>
       df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1)

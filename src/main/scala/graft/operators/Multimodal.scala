@@ -55,12 +55,24 @@ object Multimodal {
 
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
 
-  /** Real image decode, JDK-only (`javax.imageio` — PNG/JPEG/GIF/BMP ship
-    * with the JRE; no native deps). Gated on the container magic bytes so
-    * non-image payloads skip reader probing entirely — at corpus scale the
-    * gate is what keeps a mixed binary column from paying decoder init per
-    * row. Returns (width, height, channels) or None when the payload is
-    * not a decodable image.
+  /** Cap on declared pixel count (width × height). A decompression-bomb
+    * payload — tiny bytes declaring huge dimensions — must quarantine, not
+    * feed a downstream stage that would allocate width×height×channels.
+    */
+  private[operators] val MaxDeclaredPixels: Long = 512L * 1024 * 1024
+
+  /** Real image header decode, JDK-only (`javax.imageio` — PNG/JPEG/GIF/BMP
+    * ship with the JRE; no native deps). Gated on the container magic bytes
+    * so non-image payloads skip reader probing entirely — at corpus scale
+    * the gate is what keeps a mixed binary column from paying decoder init
+    * per row. Reads ONLY the header: `reader.getWidth/getHeight/
+    * getImageTypes` parse container metadata without allocating or
+    * decompressing a single pixel row, so a decompression bomb costs a few
+    * header bytes, and the per-row cost is parsing, not decoding. The
+    * in-memory `ImageInputStream` (cache disabled) avoids ImageIO's default
+    * per-call disk-cache file. Any failure — including `Error`s a malformed
+    * container can provoke in a reader — degrades to None (quarantine-able
+    * metadata), never a stage failure. Returns (width, height, channels).
     */
   private[operators] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     def hasImageMagic: Boolean = bytes.length >= 4 && {
@@ -71,13 +83,32 @@ object Multimodal {
     }
     if (!hasImageMagic) None
     else try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map(img => (img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
-    } catch { case _: Exception => None }
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxDeclaredPixels) None
+            else {
+              val types = reader.getImageTypes(0)
+              if (!types.hasNext) None
+              else Some((w, h, types.next().getColorModel.getNumComponents))
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Throwable => None }
   }
 
   /** Decode kernel: REAL for images (ImageIO — true width/height/channels
-    * from the actual pixels), STUB for audio/video (*** replace with an
+    * from the container header, pixel-decode-free), STUB for audio/video
+    * (*** replace with an
     * ffmpeg/javacv JNI codec ***: deterministically fakes dimensions from
     * the payload hash). Payloads carrying the image kind that fail to
     * decode (e.g. the text-bytes bench carrier) also fall back to the

@@ -119,9 +119,17 @@ object Similarity {
     * query joins only nprobe/nlist of the corpus through a hash join on
     * `cell`. Unlike hyperplane LSH, cells follow the data distribution, so
     * recall holds on clustered real-world embedding corpora.
+    *
+    * Sizing ceilings: centroids are inlined as literal arrays, so the cell
+    * expression grows O(nlist × dim) — beyond a few hundred centroids at
+    * dim 64 the generated code risks falling off whole-stage codegen;
+    * partition the corpus by a coarse first-level index before reaching for
+    * nlist that large. Queries are driver-collected (bounded by
+    * `maxQueries`); an oversized query set should be sharded by the caller.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
-              nprobe: Int = 8, refineSteps: Int = 1): DataFrame = {
+              nprobe: Int = 8, refineSteps: Int = 1,
+              maxQueries: Int = 100000): DataFrame = {
     // deterministic centroid seed: first nlist by vec_id, then optional
     // k-means refinement passes (assign → per-cell mean via the typed
     // VectorMeanAgg aggregator) — each pass is one broadcast scoring pass
@@ -138,16 +146,28 @@ object Similarity {
         .groupBy("cid")
         .agg(graft.functions.VectorAggregators.vecMean(col("embedding")).as("ce"))
     }
-    // nlist rows, consumed by both the corpus and the query assignment.
-    // Materialize them on the driver — nlist is driver-bounded by
-    // construction (like a broadcast dim) — and inline them as LITERAL
-    // arrays: cell assignment then becomes a narrow per-row projection
-    // (argmax over nlist codegen'd cosines), eliminating the
-    // crossJoin+groupBy shuffle of |corpus| rows entirely. The refine chain
-    // runs exactly once, and nothing stays pinned in executor storage after
-    // the call.
-    val cents: Array[(Long, Seq[Float])] = centroids.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // nlist centroid rows are consumed by both the corpus and the query
+    // assignment; the query set is broadcast-small by contract
+    // (bruteForceTopK broadcasts it outright). Materialize BOTH on the
+    // driver in a single union'd action — one Spark job, not two — and
+    // inline the centroids as LITERAL arrays: cell assignment then becomes
+    // a narrow per-row projection (argmax over nlist codegen'd cosines),
+    // eliminating the crossJoin+groupBy shuffle of |corpus| rows entirely.
+    // The refine chain runs exactly once, and nothing stays pinned in
+    // executor storage after the call.
+    //
+    // `maxQueries` guards the collect: the limit+1 bounds what can reach
+    // the driver even when the caller's "small" query set isn't, and the
+    // overflow fails fast with a clear message instead of an OOM.
+    val collected = centroids
+      .select(lit(0).as("__w"), col("cid").as("id"), col("ce").as("e"))
+      .unionByName(queries
+        .select(lit(1).as("__w"), col("vec_id").as("id"), col("embedding").as("e"))
+        .limit(maxQueries + 1))
+      .collect()
+    val cents: Array[(Long, Seq[Float])] = collected.filter(_.getInt(0) == 0)
+      .map(r => (r.getLong(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
 
     // every ordering below ranks on the cosine rounded to 6 decimals with a
     // deterministic tie-break (same convention as [[bruteForceTopK]] /
@@ -165,14 +185,17 @@ object Similarity {
     val assign = corpus.select(col("vec_id"), col("embedding"),
       cellOf(col("embedding")).as("cell"))
 
-    // query side: `queries` is broadcast-small by contract (bruteForceTopK
-    // broadcasts it outright, which already implies driver-collectable), so
-    // the nprobe-nearest cells are computed directly on the driver — no
-    // crossJoin, no window, no extra stages. Double cosine + round(6) +
-    // (ccos desc, cid asc) ordering mirror the executor/oracle arithmetic
-    // exactly.
-    val qRows = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // query side: the nprobe-nearest cells are computed directly on the
+    // driver — no crossJoin, no window, no extra stages. Double cosine +
+    // round(6) + (ccos desc, cid asc) ordering mirror the executor/oracle
+    // arithmetic exactly.
+    val qRows = collected.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1), r.getSeq[Float](2)))
+    require(qRows.length <= maxQueries,
+      s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
+        "path collects queries to the driver by design (they are assumed " +
+        "broadcast-small); raise maxQueries deliberately or pre-shard the " +
+        "query set and union the results")
     def cos6(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {

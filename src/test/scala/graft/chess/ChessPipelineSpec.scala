@@ -194,4 +194,35 @@ class ChessPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
       .filter(_.isDirectory).map(_.getName).sorted
     months should contain("game_month=2024-02")
   }
+
+  test("runMonth survives one transient bronze-read failure (task retry policy)") {
+    assume(new java.io.File(sampleJson).exists())
+    val dir = java.nio.file.Files.createTempDirectory("chess-retry").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/bronze"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sampleJson),
+      java.nio.file.Paths.get(s"$dir/bronze/2024-01-games.json"))
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new ChessPipeline(spark, dir, "Rhythmbear1") {
+      override def readBronze(year: Int, month: Int) = {
+        if (failures.getAndIncrement() == 0)
+          throw new java.io.IOException("injected transient bronze outage")
+        super.readBronze(year, month)
+      }
+    }
+    flaky.retryDelayMs = 10L // don't sleep 10 s in CI; policy default matches the DAG
+    flaky.runMonth(2024, 1, ts("2024-02-01 00:00:00"))
+    failures.get() should be >= 2 // first attempt failed, retry succeeded
+    flaky.fact.count() shouldBe 514L
+
+    // and with retries exhausted the failure propagates
+    val dead = new ChessPipeline(spark, dir, "Rhythmbear1") {
+      override def readBronze(year: Int, month: Int) =
+        throw new java.io.IOException("permanent outage")
+    }
+    dead.retries = 1
+    dead.retryDelayMs = 1L
+    an[java.io.IOException] should be thrownBy
+      dead.runMonth(2024, 1, ts("2024-02-01 00:00:00"))
+  }
 }

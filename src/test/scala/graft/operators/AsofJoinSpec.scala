@@ -32,6 +32,31 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
       ("e4", None))       // no refs for key
   }
 
+  test("leftAsof tie-breaks duplicate (key, ts) right rows deterministically") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1")).toDF("user_id", "ts", "name")
+    // three right rows at the identical instant: the winner must be the
+    // same row on every run and under any input partitioning/ordering
+    val dups = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0),
+      (1L, ts("2024-01-01 09:00:00"), 20.0),
+      (1L, ts("2024-01-01 09:00:00"), 30.0))
+    val expected = {
+      import org.apache.spark.sql.functions.xxhash64
+      val h = dups.toDF("user_id", "ts", "ref_value")
+        .select($"ref_value", xxhash64($"ref_value").as("h"))
+        .collect().maxBy(_.getLong(1))
+      h.getDouble(0)
+    }
+    for (perm <- dups.permutations.take(3); parts <- Seq(1, 3)) {
+      val right = perm.toDF("user_id", "ts", "ref_value").repartition(parts)
+      val out = AsofJoin.leftAsof(left, right, "user_id", "ts", Seq("ref_value"))
+        .collect()
+      withClue(s"perm=$perm parts=$parts:") {
+        out.head.getDouble(3) shouldBe expected
+      }
+    }
+  }
+
   test("leftAsof preserves all left rows and columns") {
     val ev = graft.Tables.events(spark, sf0001)
     val refs = ev.filter($"event_id" % 7 === 0)

@@ -59,6 +59,24 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     meta(2).est_duration_ms shouldBe 0L
   }
 
+  test("decodeImage quarantines a decompression-bomb header instead of decoding it") {
+    // take a real tiny PNG and patch its IHDR to declare 100000x100000
+    // (10^10 pixels): header-only parsing must return None (over the
+    // declared-pixel cap, or CRC-rejected) without allocating pixel memory
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bomb = bos.toByteArray.clone()
+    val dim = 100000
+    // IHDR data starts at offset 16: width (4B BE) then height (4B BE)
+    for ((off, v) <- Seq((16, dim), (20, dim)); i <- 0 until 4)
+      bomb(off + i) = ((v >>> (8 * (3 - i))) & 0xff).toByte
+    Multimodal.decodeImage(bomb) shouldBe None
+    // and the valid original still header-decodes fine
+    Multimodal.decodeImage(bos.toByteArray) shouldBe Some((4, 4, 3))
+  }
+
   test("extractFeatures yields fixed-dim embeddings consumable by Similarity") {
     val feats = Multimodal.extractFeatures(assets, dim = 64)
     feats.filter(F.size($"embedding") =!= 64).count() shouldBe 0L

@@ -33,6 +33,22 @@ class SkewToolsSpec extends AnyFunSuite with Matchers with SparkFixture {
     d.except(s).count() shouldBe 0L
   }
 
+  test("salt assignment is content-deterministic: stable under repartitioning and rerun") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"value")
+    def salts(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(8)))
+        .select($"event_id", $"__salt").as[(Long, Int)].collect().toMap
+    val a = salts(ev)
+    val b = salts(ev.repartition(7, $"value")) // different layout, same rows
+    a shouldBe b
+    // and the salt actually scatters a hot key across buckets
+    val hot = ev.withColumn("user_id", lit(1L))
+    val perKey = hot.withColumn("__salt", pmod(hash(hot.columns.map(col): _*), lit(8)))
+      .select($"__salt").distinct().count()
+    perKey should be > 1L
+  }
+
   test("keyHistogram surfaces the heaviest keys first") {
     val h = SkewTools.keyHistogram(graft.Tables.events(spark, sf0001), "event_type", 3)
       .collect()
