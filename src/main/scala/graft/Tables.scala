@@ -19,12 +19,28 @@ object Tables {
   // oracle does with CREATE VIEW, and what any real deployment does) gives;
   // no data is cached, plans stay lazy, pushdown/pruning are unaffected.
   // Keyed by session too so tests with their own sessions don't cross-wire.
+  //
+  // Like a registered view, the memoized relation snapshots the file
+  // listing: files added to or removed from the directory after first read
+  // are invisible until [[invalidate]] (the analogue of REFRESH TABLE).
+  // Entries of stopped sessions are pruned on every miss, so short-lived
+  // sessions don't pin their contexts for the JVM lifetime.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    cache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
+
+  /** Drop memoized relations (all of them, or those under `dir`) so the
+    * next read re-lists files — REFRESH TABLE for this memo.
+    */
+  def invalidate(dir: Option[String] = None): Unit = dir match {
+    case Some(d) => cache.keySet.removeIf { case (_, p) => p.startsWith(d) }
+    case None => cache.clear()
+  }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")

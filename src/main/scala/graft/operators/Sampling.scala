@@ -24,7 +24,16 @@ object Sampling {
     * PRECONDITION: `key` must be unique per row (a primary key). The rank
     * order is (md5(key), key), so rows sharing a key value tie on both sort
     * terms and `row_number` breaks the tie nondeterministically — the
-    * reproducibility guarantee holds only for unique keys.
+    * reproducibility guarantee holds only for unique keys. Rows with a NULL
+    * key rank FIRST within their stratum (nulls-first sort, the single-
+    * phase definition) and are routed straight to the exact phase-2 window
+    * — the md5-prefix cut cannot see them (null comparisons), so they
+    * bypass it rather than silently vanish.
+    *
+    * `maxStrata` bounds the driver state: strata are curation domains
+    * (sources, languages, statuses), one row each on the driver — a
+    * near-unique stratum column is a caller bug that would otherwise OOM
+    * the driver, so the collect is limited and overflow fails fast.
     *
     * Two-phase at scale: a naive single window sorts every full stratum
     * through one task — a 100 TB stratum spills through a single sort.
@@ -39,19 +48,28 @@ object Sampling {
     * the result is identical to the single-phase definition in all cases.
     */
   def stratified(df: DataFrame, stratum: String, key: String, quota: Int,
-                 oversample: Double = 4.0): DataFrame = {
+                 oversample: Double = 4.0, maxStrata: Int = 100000): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
     val h = md5(col(key).cast("string"))
     val sField = df.schema(stratum)
+    // null-key rows: invisible to the md5-prefix cut (null comparison),
+    // ranked first by the phase-2 window — split them out and reattach at
+    // the window input so the two-phase result equals the single-phase one
+    val nullKeys = df.filter(col(key).isNull)
 
-    // phase 1: per-stratum cardinality. Driver collect is BOUNDED BY
-    // CONSTRUCTION — one row per stratum, and strata are curation domains
-    // (sources, languages, statuses), not data-sized. Collecting (same
-    // pattern as the 32 IVF centroids) lets the thresholds re-enter the
-    // plan as a LocalRelation instead of an aggregation subtree that the
-    // planner would otherwise duplicate in every branch referencing it.
-    val countRows = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n")).collect()
+    // phase 1: per-stratum cardinality. Driver collect is bounded by the
+    // maxStrata limit (one row per stratum). Collecting (same pattern as
+    // the 32 IVF centroids) lets the thresholds re-enter the plan as a
+    // LocalRelation instead of an aggregation subtree that the planner
+    // would otherwise duplicate in every branch referencing it.
+    val countRows = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n"))
+      .limit(maxStrata + 1).collect()
+    require(countRows.length <= maxStrata,
+      s"Sampling.stratified: over $maxStrata distinct values of '$stratum' — " +
+        "per-stratum thresholds live on the driver by design; a near-unique " +
+        "stratum column defeats stratification (raise maxStrata only if the " +
+        "strata really are that many and that small)")
     val thrRows = countRows.toSeq.map { r =>
       val frac = math.min(1.0, oversample * quota / r.getLong(1).toDouble)
       // md5-prefix threshold keeping an expected oversample×quota rows;
@@ -80,11 +98,15 @@ object Sampling {
       .filter(coalesce(col("_m"), lit(0L)) < quota)
       .select(col("_stratum")).collect()
 
-    val input = if (underRows.isEmpty) pre else {
+    // reattach null-key rows: covered strata get them alongside their
+    // prefix survivors; re-run strata already carry them inside the full
+    // df branch (no duplication)
+    val input = if (underRows.isEmpty) pre.unionByName(nullKeys) else {
       val under = spark.createDataFrame(
         java.util.Arrays.asList(underRows: _*),
         StructType(Seq(sField.copy(name = "_stratum"))))
-      pre.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
+      pre.unionByName(nullKeys)
+        .join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
         .unionByName(df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi"))
     }
 

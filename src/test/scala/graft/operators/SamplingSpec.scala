@@ -44,6 +44,34 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     two shouldBe single
   }
 
+  test("null keys rank first (single-phase definition) instead of silently vanishing") {
+    import org.apache.spark.sql.functions._
+    // 30 rows per stratum, 3 of them with a NULL key: a 10-quota sample
+    // must contain all 3 nulls (nulls-first rank) + the 7 lowest md5 ranks
+    val rows = (for (s <- Seq("a", "b"); i <- 1 to 30) yield
+      (s, if (i <= 3) None else Some(s"$s-$i"))).toDF("src", "k")
+    val out = Sampling.stratified(rows, "src", "k", 10)
+    out.groupBy("src").count().collect().foreach(_.getLong(1) shouldBe 10L)
+    out.filter($"k".isNull).groupBy("src").count().collect()
+      .foreach(_.getLong(1) shouldBe 3L)
+    // and the non-null survivors are exactly the single-phase top-7
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src").orderBy(md5($"k".cast("string")), $"k")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"src", $"k").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)).getOrElse(""))).sorted
+    val single = pairs(rows.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10).drop("rn"))
+    pairs(out) shouldBe single
+  }
+
+  test("a near-unique stratum column fails fast instead of OOMing the driver") {
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.stratified(orders, "o_orderkey", "o_orderkey", 1, maxStrata = 100)
+    }
+    ex.getMessage should include("distinct values")
+  }
+
   test("underfill fallback: a starving threshold still yields the exact sample") {
     // oversample 0.01 drives the md5 threshold far below the quota, so
     // every stratum takes the full-row fallback path — output must STILL
