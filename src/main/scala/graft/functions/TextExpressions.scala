@@ -59,6 +59,81 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Distinct 31-bit md5-prefix hashes of the k-shingles, in
+    * first-occurrence order: the fused form of
+    * `array_distinct(transform(shingles(text, k),
+    * s -> conv(substring(md5(s), 1, 8), 16, 10) % 2147483647))` — one
+    * tight loop per row instead of an interpreted HOF lambda invoking the
+    * md5 expression per element, which profiling shows dominating the
+    * dedup pipelines. The first 8 hex chars of md5 are the first 4 digest
+    * bytes big-endian unsigned; dedup on the hash value subsumes dedup on
+    * the shingle (collisions merge identically in the DuckDB oracle, which
+    * applies the same reduction).
+    */
+  def shingleHashes31(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long](math.min(n, 1024))
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val prefix = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      seen.add(prefix % 2147483647L)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Canonical MinHash affine-permutation coefficients — the single source
+    * shared by [[minhashSigs]], `Dedup.minhashCoeffs` and every DuckDB
+    * oracle re-derivation.
+    */
+  def minhashCoeffA(i: Int): Long = (1103515245L * (i + 1) + 7L) % 2147483647L
+  def minhashCoeffB(i: Int): Long = (12345L + 104729L * i) % 2147483647L
+
+  /** The numPerm MinHash signature values of a hashed-shingle array:
+    * sig_p = min over h of (a_p*h + b_p) mod 2^31-1 — the fused form of
+    * numPerm `array_min(transform(hs, ...))` columns, whose HOF lambdas
+    * evaluate interpreted (numPerm × |hs| wrapper evals per row). One
+    * arithmetic loop; inputs are 31-bit so a*h stays well inside a long.
+    * Null for an empty array (parity with `array_min`).
+    */
+  def minhashSigs(hs: ArrayData, numPerm: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val out = new Array[Any](numPerm)
+    var p = 0
+    while (p < numPerm) {
+      val a = minhashCoeffA(p)
+      val b = minhashCoeffB(p)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (hs.getLong(i) * a + b) % 2147483647L
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(p) = mn
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial rolling hash over the string's codepoints:
     * h = fold(0)((h, cp) => (h * 31 + cp) mod 1e9+7). Codepoint-based (not
     * byte) and mod-bounded so the identical fold is expressible in ANSI-ish
@@ -202,6 +277,60 @@ case class ShingleArray(child: Expression, k: Int, distinct: Boolean = true)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Hashed-shingle set of a document as `array<long>` — see
+  * [[TextOps.shingleHashes31]]. The entry point of the dedup family
+  * ([[graft.operators.Dedup.docShingleHashes]]).
+  */
+case class ShingleHash31Array(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def prettyName: String = "shingle_hash31_array"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.shingleHashes31(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingleHashes31($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature array over a hashed-shingle array — see
+  * [[TextOps.minhashSigs]].
+  */
+case class MinhashSigArray(child: Expression, numPerm: Int) extends UnaryExpression {
+  require(numPerm >= 1, "numPerm must be >= 1")
+  override def prettyName: String = "minhash_sig_array"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<long> argument")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.minhashSigs(a.asInstanceOf[ArrayData], numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // minhashSigs returns null for an empty input array, so route through
+    // the nullable-result template (defineCodeGen assumes non-null)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextOps.minhashSigs($c, $numPerm);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SimHash16(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
   override def dataType: DataType = LongType
@@ -257,6 +386,10 @@ object TextFunctions {
   def shingle_array(text: Column, k: Int): Column = column(ShingleArray(expression(text), k))
   def shingle_array_all(text: Column, k: Int): Column =
     column(ShingleArray(expression(text), k, distinct = false))
+  def shingle_hash31_array(text: Column, k: Int): Column =
+    column(ShingleHash31Array(expression(text), k))
+  def minhash_sig_array(hs: Column, numPerm: Int): Column =
+    column(MinhashSigArray(expression(hs), numPerm))
   def simhash16(text: Column): Column = column(SimHash16(expression(text)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
 }

@@ -68,8 +68,7 @@ object Dedup {
     */
   def minhashCoeffs(numPerm: Int): Seq[(Long, Long)] =
     (0 until numPerm).map { i =>
-      ((1103515245L * (i + 1) + 7L) % MinhashPrime,
-        (12345L + 104729L * i) % MinhashPrime)
+      (graft.functions.TextOps.minhashCoeffA(i), graft.functions.TextOps.minhashCoeffB(i))
     }
 
   /** The 31-bit base hash of a shingle string: first 8 hex chars of md5,
@@ -96,18 +95,39 @@ object Dedup {
     */
   def docShingleHashes(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
+        graft.functions.TextFunctions.shingle_hash31_array(col("text"), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** Reference formulation of the [[docShingleHashes]] array via composed
+    * built-ins (equivalence-spec'd against the fused native expression).
+    */
+  private[graft] def docShingleHashesComposed(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
         array_distinct(transform(TextAnalysis.shingles(col("text"), k),
           s => shingleHash31(s))).as("hs"))
       .filter(size(col("hs")) > 0)
 
   /** MinHash signature columns m0..m{numPerm-1} from the per-doc hashed
     * shingle arrays: numPerm cheap affine permutations (a_i*h + b_i) mod
-    * 2^31-1 over the array, each reduced with `array_min` — a narrow
-    * projection, one row in, one row out. No explode, no aggregation
-    * shuffle: at corpus scale the signature stage costs exactly one pass
-    * over the cached arrays.
+    * 2^31-1 over the array, each reduced to its minimum — a narrow
+    * projection, one row in, one row out; the fused native
+    * [[graft.functions.MinhashSigArray]] expression computes all numPerm
+    * minima in one arithmetic loop (the composed
+    * `array_min(transform(...))` formulation below evaluates its HOF
+    * lambdas interpreted, numPerm × |hs| wrapper evals per row). No
+    * explode, no aggregation shuffle: at corpus scale the signature stage
+    * costs exactly one pass over the cached arrays.
     */
-  def minhashSignatures(arr: DataFrame, numPerm: Int): DataFrame = {
+  def minhashSignatures(arr: DataFrame, numPerm: Int): DataFrame =
+    arr.select(col("doc_id"),
+        graft.functions.TextFunctions.minhash_sig_array(col("hs"), numPerm).as("sig"))
+      .select(col("doc_id") +:
+        (0 until numPerm).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+
+  /** Reference formulation of [[minhashSignatures]] via composed built-ins
+    * (equivalence-spec'd against the fused native expression).
+    */
+  private[graft] def minhashSignaturesComposed(arr: DataFrame, numPerm: Int): DataFrame = {
     val sigCols = minhashCoeffs(numPerm).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), h => (h * a + b) % MinhashPrime)).as(s"m$i")
     }
@@ -212,9 +232,12 @@ object Dedup {
     * surviving candidates is exact over the full shingle sets.
     *
     * Deliberately lazy and persist-free: callers materialize exactly once
-    * (a count, a write, or the cluster pass), and the shared subtree is a
-    * narrow projection off the document scan that recomputes cheaper than
-    * it caches at the explode-free row widths involved.
+    * (a count, a write, or the cluster pass). With the fused native
+    * hash-array expression the shared subtree is cheap arithmetic off the
+    * document scan — measured at sf0.1, a persist+eager variant was ~30%
+    * SLOWER (cache writeback + an extra job exceed the saved recompute;
+    * the same trade-off measured in round 2 for the string-shingle
+    * formulation, re-measured for this one).
     */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxPostings: Long = 1000000L): DataFrame = {

@@ -34,6 +34,25 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .head.getSeq[String](0) shouldBe Seq("a  b", " b c")
   }
 
+  test("shingle_hash31_array matches the composed md5-transform formulation on real docs") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    Dedup.docShingleHashes(docs, 5)
+      .join(Dedup.docShingleHashesComposed(docs, 5)
+        .withColumnRenamed("hs", "hs_c"), "doc_id")
+      .filter($"hs" =!= $"hs_c").count() shouldBe 0L
+    Dedup.docShingleHashes(docs, 5).count() shouldBe
+      Dedup.docShingleHashesComposed(docs, 5).count()
+    // edge cases: short docs drop out, duplicate shingles collapse to one hash
+    val edge = Seq((1L, ""), (2L, "a b c d"), (3L, "a b c d e"),
+      (4L, "a b c d e a b c d e a b c d e")).toDF("doc_id", "text")
+    Dedup.docShingleHashes(edge, 5)
+      .join(Dedup.docShingleHashesComposed(edge, 5)
+        .withColumnRenamed("hs", "hs_c"), "doc_id")
+      .filter($"hs" =!= $"hs_c").count() shouldBe 0L
+    Dedup.docShingleHashes(edge, 5).select($"doc_id").as[Long].collect()
+      .sorted shouldBe Array(3L, 4L)
+  }
+
   test("simhash16 native matches composed bit-for-bit on real docs") {
     val docs = graft.Tables.documents(spark, sf0001)
     val diff = docs.select(
