@@ -134,6 +134,30 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** All unordered (a < b) pairs of a long array after sorting — see
+    * [[ArrayPairs]].
+    */
+  def arrayPairs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = a.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial rolling hash over the string's codepoints:
     * h = fold(0)((h, cp) => (h * 31 + cp) mod 1e9+7). Codepoint-based (not
     * byte) and mod-bounded so the identical fold is expressible in ANSI-ish
@@ -301,6 +325,36 @@ case class ShingleHash31Array(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All unordered pairs (a < b) of a long array, as array<struct<a,b>> —
+  * the bucket-local pair expansion of LSH candidate generation. Input ids
+  * are sorted first, so the output is deterministic whatever order
+  * `collect_list` delivered them in. Output size is m(m-1)/2: callers MUST
+  * bound m (the band df-cut) before expanding.
+  */
+case class ArrayPairs(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "array_pairs"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<long> argument")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.arrayPairs(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.arrayPairs($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature array over a hashed-shingle array — see
   * [[TextOps.minhashSigs]].
   */
@@ -390,6 +444,7 @@ object TextFunctions {
     column(ShingleHash31Array(expression(text), k))
   def minhash_sig_array(hs: Column, numPerm: Int): Column =
     column(MinhashSigArray(expression(hs), numPerm))
+  def array_pairs(ids: Column): Column = column(ArrayPairs(expression(ids)))
   def simhash16(text: Column): Column = column(SimHash16(expression(text)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
 }

@@ -162,35 +162,38 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
-    * Lazy — the band table is persisted but not materialized, so a caller
-    * composing a larger pipeline fills every cache inside its one final
-    * action; the caller MUST invoke `cleanup` after that action.
+    * Lazy — nothing is materialized or cached; a caller composing a larger
+    * pipeline pays the whole thing inside its one final action (the
+    * `cleanup` thunk is retained for signature stability and is a no-op).
     *
-    * `maxBucket` is the band-bucket df-cut: the self-join is quadratic in
+    * `maxBucket` is the band-bucket df-cut: pair expansion is quadratic in
     * the largest bucket, so one degenerate bucket (a flood of
     * empty/boilerplate docs all hashing to the same band value) would hand
-    * a single reducer O(bucket^2) pairs at scale. Buckets that large carry
+    * a single task O(bucket^2) pairs at scale. Buckets that large carry
     * no near-dup signal (LSH theory: a bucket holding a large fraction of
     * the corpus is indistinguishable from chance), so they are dropped
-    * before the join, bounding candidate count by bands * maxBucket^2 / 2
+    * before expansion, bounding candidate count by bands * maxBucket^2 / 2
     * regardless of corpus skew.
     */
   private[graft] def lshCandidatesLazy(
       arr: DataFrame, numPerm: Int, bands: Int,
       maxBucket: Long = DefaultMaxBucket): (DataFrame, () => Unit) = {
-    // persist the one-row-per-doc-per-band table: it feeds the over-cap
-    // bucket count AND both sides of the self-join, and exchange reuse does
-    // not cover the self-join once AQE broadcast-converts one side (the two
-    // sides end up in different query-stage shapes)
+    // one hash shuffle on (band, bh) gathers each bucket's doc ids as a
+    // list; the df-cut is then a plain size filter and pair expansion is a
+    // narrow native explode ([[graft.functions.ArrayPairs]]) — no self-join
+    // (two exchanges + join), no separate over-cap count pass. The list is
+    // bounded by the largest bucket: a degenerate bucket materializes its
+    // id list once in one task (8 bytes/doc) BEFORE the size filter drops
+    // it — for floods far beyond DefaultMaxBucket pre-cut with
+    // [[dropOverCapKeys]]; at the default cap the worst task holds 800 KB.
     val bandTable = lshBands(minhashSignatures(arr, numPerm), numPerm, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = dropOverCapKeys(bandTable, Seq("band", "bh"), maxBucket)
-    val out = kept.as("a").join(kept.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val out = bandTable.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(graft.functions.TextFunctions.array_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    (out, () => bandTable.unpersist(blocking = false))
+    (out, () => ())
   }
 
   /** Eager standalone variant of [[lshCandidatesLazy]] over a document
@@ -243,7 +246,15 @@ object Dedup {
                    maxPostings: Long = 1000000L): DataFrame = {
     val arr = docShingleHashes(docs.repartition(col("doc_id")), k)
     val posting = arr.select(col("doc_id"), explode(col("hs")).as("h31"))
+    // df-cut FIRST (count + anti-join — no list ever forms for an over-cap
+    // shingle, however hot), THEN gather each surviving posting list and
+    // expand pairs natively — one groupBy exchange instead of a two-sided
+    // self-join; surviving lists are bounded by maxPostings
     val pruned = dropOverCapKeys(posting, Seq("h31"), maxPostings)
+    // candidate generation stays a hash self-join here (unlike the LSH
+    // band path's list-gather): shingle posting lists are overwhelmingly
+    // singletons, so a collect_list pass aggregates ~|postings| tiny lists
+    // for nothing — measured slower than joining the two pruned sides
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.h31") === col("b.h31") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

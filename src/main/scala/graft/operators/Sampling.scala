@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic sampling for training-data curation.
   *
@@ -52,17 +52,21 @@ object Sampling {
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
     val h = md5(col(key).cast("string"))
+    // numeric 32-bit md5 prefix: same ordering as the lowercase fixed-width
+    // hex string, long-comparable against the thresholds
+    val hNum = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val keepAll = 4294967296L // > any 32-bit prefix — keep-all sentinel
     val sField = df.schema(stratum)
-    // null-key rows: invisible to the md5-prefix cut (null comparison),
-    // ranked first by the phase-2 window — split them out and reattach at
-    // the window input so the two-phase result equals the single-phase one
-    val nullKeys = df.filter(col(key).isNull)
 
     // phase 1: per-stratum cardinality. Driver collect is bounded by the
     // maxStrata limit (one row per stratum). Collecting (same pattern as
     // the 32 IVF centroids) lets the thresholds re-enter the plan as a
     // LocalRelation instead of an aggregation subtree that the planner
-    // would otherwise duplicate in every branch referencing it.
+    // would otherwise duplicate in every branch referencing it. (A fused
+    // variant computing counts AND survivor counts in one job was measured
+    // SLOWER at sf0.1 — the in-plan counts subtree gets evaluated twice,
+    // costing a third full scan; two small jobs with LocalRelation
+    // thresholds keep it at one scan each.)
     val countRows = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n"))
       .limit(maxStrata + 1).collect()
     require(countRows.length <= maxStrata,
@@ -71,42 +75,41 @@ object Sampling {
         "stratum column defeats stratification (raise maxStrata only if the " +
         "strata really are that many and that small)")
     val thrRows = countRows.toSeq.map { r =>
-      val frac = math.min(1.0, oversample * quota / r.getLong(1).toDouble)
+      val n = r.getLong(1).toDouble
       // md5-prefix threshold keeping an expected oversample×quota rows;
-      // fraction 1 ⇒ keep-all sentinel (top of the 32-bit prefix space)
-      val t = if (frac >= 1.0) "ffffffff"
-              else f"${(frac * 4294967296.0).toLong}%08x"
+      // fraction >= 1 ⇒ keep-all sentinel
+      val t = if (oversample * quota >= n) keepAll
+              else (oversample * quota / n * 4294967296.0).toLong
       org.apache.spark.sql.Row(r.get(0), t)
     }
     val thr = spark.createDataFrame(thrRows.asJava, StructType(Seq(
-      sField.copy(name = "_stratum"), StructField("_thr", StringType))))
-
+      sField.copy(name = "_stratum"), StructField("_thr", LongType))))
+    // null-key rows are admitted unconditionally: they are invisible to the
+    // md5-prefix cut (null comparison) but rank FIRST in the phase-2 window
+    // (nulls-first sort — the single-phase definition), so they must reach
+    // it rather than silently vanish; same scan, no extra branch
     val pre = df.join(broadcast(thr), col(stratum) <=> col("_stratum"))
-      .filter(substring(h, 1, 8) <= col("_thr"))
+      .filter(col(key).isNull || hNum <= col("_thr"))
       .drop("_stratum", "_thr")
 
     // exactness guard: the prefix filter admits a prefix of the rank
     // order, so a stratum whose survivors still cover the quota yields
     // exactly the single-phase sample; the rare stratum whose survivors
     // fall short (adversarial hash distribution) is re-run over its full
-    // row set instead. Evaluated eagerly — another bounded (≤ #strata)
+    // row set instead. Evaluated eagerly — a second bounded (≤ #strata)
     // driver action — so the common all-covered case keeps the final plan
     // to a plain window over the survivor set with no guard branches.
     val surv = pre.groupBy(col(stratum).as("_stratum2")).agg(count(lit(1)).as("_m"))
-    val underRows = thr.filter(col("_thr") =!= "ffffffff")
+    val underRows = thr.filter(col("_thr") =!= keepAll)
       .join(surv, col("_stratum") <=> col("_stratum2"), "left")
       .filter(coalesce(col("_m"), lit(0L)) < quota)
       .select(col("_stratum")).collect()
 
-    // reattach null-key rows: covered strata get them alongside their
-    // prefix survivors; re-run strata already carry them inside the full
-    // df branch (no duplication)
-    val input = if (underRows.isEmpty) pre.unionByName(nullKeys) else {
+    val input = if (underRows.isEmpty) pre else {
       val under = spark.createDataFrame(
         java.util.Arrays.asList(underRows: _*),
         StructType(Seq(sField.copy(name = "_stratum"))))
-      pre.unionByName(nullKeys)
-        .join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
+      pre.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
         .unionByName(df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi"))
     }
 
