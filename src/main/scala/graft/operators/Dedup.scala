@@ -245,11 +245,12 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxPostings: Long = 1000000L): DataFrame = {
     val arr = docShingleHashes(docs.repartition(col("doc_id")), k)
+    // hash-partition the posting table on h31 once: the df-cut count, the
+    // broadcast anti-join and both self-join sides are then satisfied by
+    // the same exchange (ReuseExchange collapses them), instead of paying
+    // a separate aggregation shuffle plus join exchanges
     val posting = arr.select(col("doc_id"), explode(col("hs")).as("h31"))
-    // df-cut FIRST (count + anti-join — no list ever forms for an over-cap
-    // shingle, however hot), THEN gather each surviving posting list and
-    // expand pairs natively — one groupBy exchange instead of a two-sided
-    // self-join; surviving lists are bounded by maxPostings
+      .repartition(col("h31"))
     val pruned = dropOverCapKeys(posting, Seq("h31"), maxPostings)
     // candidate generation stays a hash self-join here (unlike the LSH
     // band path's list-gather): shingle posting lists are overwhelmingly

@@ -87,10 +87,15 @@ object Sampling {
     // null-key rows are admitted unconditionally: they are invisible to the
     // md5-prefix cut (null comparison) but rank FIRST in the phase-2 window
     // (nulls-first sort — the single-phase definition), so they must reach
-    // it rather than silently vanish; same scan, no extra branch
+    // it rather than silently vanish; same scan, no extra branch.
+    // The survivor set (~oversample×quota rows per stratum — tiny by
+    // construction) is persisted: the guard probe below fills the cache,
+    // and the phase-2 window then reads it instead of re-scanning and
+    // re-hashing the full table a third time. Released before returning.
     val pre = df.join(broadcast(thr), col(stratum) <=> col("_stratum"))
       .filter(col(key).isNull || hNum <= col("_thr"))
       .drop("_stratum", "_thr")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exactness guard: the prefix filter admits a prefix of the rank
     // order, so a stratum whose survivors still cover the quota yields
@@ -113,10 +118,18 @@ object Sampling {
         .unionByName(df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi"))
     }
 
-    // phase 2: exact rank within the bounded survivor set
+    // phase 2: exact rank within the bounded survivor set. Lifecycle: the
+    // (small) result is computed eagerly and CacheManager-registered —
+    // the operator contract shared with the dedup family: caller releases
+    // via unpersist()/clearCache() — and the survivor cache is dropped
+    // before returning.
     val w = Window.partitionBy(stratum).orderBy(h, col(key))
-    input.withColumn("rn", row_number().over(w))
+    val result = input.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= quota)
       .drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    pre.unpersist(blocking = false)
+    result
   }
 }
