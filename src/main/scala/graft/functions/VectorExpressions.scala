@@ -130,10 +130,80 @@ object VectorOps {
   }
 }
 
+/** Nearest-centroid assignment against a FIXED centroid set carried inside
+  * the expression (not as literal subtrees): cell = cid of the centroid
+  * with the highest `round(cosine, 6)`, ties to the smallest cid — exactly
+  * the `array_max(array(struct(round(cos,6), -cid)...))` formulation it
+  * replaces, whose O(nlist × dim) literal tree slowed analysis and risked
+  * codegen fallback as nlist grows (the expression holds the matrix as one
+  * reference object, so plan size is O(1) in nlist).
+  */
+case class IvfArgmaxCell(child: Expression, cids: IndexedSeq[Long],
+                         cents: IndexedSeq[IndexedSeq[Float]]) extends UnaryExpression {
+  require(cids.nonEmpty && cids.length == cents.length,
+    "one cid per centroid, at least one")
+  override def prettyName: String = "ivf_argmax_cell"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> argument")
+    }
+
+  @transient private lazy val centArrays: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val cidArray: Array[Long] = cids.toArray
+
+  def argmax(a: ArrayData): Long = {
+    val dim = a.numElements()
+    val emb = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { emb(i) = a.getFloat(i); i += 1 }
+    var best = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < centArrays.length) {
+      val ce = centArrays(c)
+      val n = math.min(dim, ce.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      i = 0
+      while (i < n) {
+        val x = emb(i).toDouble; val y = ce(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y
+        i += 1
+      }
+      val d = math.sqrt(nx) * math.sqrt(ny)
+      val raw = if (d == 0.0) 0.0 else dot / d // same zero guard as VectorOps.cosine
+      // identical rounding to Spark's round(col, 6) and the DuckDB oracle
+      val cos = BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (cos > best || (cos == best && cidArray(c) < bestCid)) {
+        best = cos
+        bestCid = cidArray(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  override def nullSafeEval(a: Any): Any = argmax(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfArgmax", this, classOf[IvfArgmaxCell].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.argmax($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftShims.{column, expression}
   def vec_dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def vec_norm(a: Column): Column = column(VectorNorm(expression(a)))
   def vec_cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def ivf_argmax_cell(emb: Column, cids: Seq[Long], cents: Seq[Seq[Float]]): Column =
+    column(IvfArgmaxCell(expression(emb), cids.toIndexedSeq,
+      cents.map(_.toIndexedSeq).toIndexedSeq))
 }

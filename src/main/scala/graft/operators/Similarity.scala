@@ -174,13 +174,13 @@ object Similarity {
     // [[lshTopK]]): with refineSteps = 0 the whole operator is then exactly
     // reproducible cross-engine, which is what lets `ann_ivf` carry a full
     // row-level DuckDB oracle rather than a recall bound.
-    // struct default ordering = (ccos, -cid) lexicographic, so array_max is
-    // the highest cosine with ties to the smallest cid
+    // native argmax against the centroid matrix held as ONE reference
+    // object: highest round(cos, 6), ties to the smallest cid — plan size
+    // O(1) in nlist (the literal-array formulation grew the tree
+    // O(nlist × dim) and slowed analysis)
     def cellOf(emb: Column): Column =
-      -array_max(array(cents.map { case (cid, ce) =>
-        struct(round(cosine(emb, typedLit(ce)), 6).as("ccos"),
-          lit(-cid).as("negcid"))
-      }.toIndexedSeq: _*)).getField("negcid")
+      graft.functions.VectorFunctions.ivf_argmax_cell(emb,
+        cents.map(_._1), cents.map(_._2))
 
     val assign = corpus.select(col("vec_id"), col("embedding"),
       cellOf(col("embedding")).as("cell"))
