@@ -27,6 +27,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // InferFiltersFromGenerate turns explode(f(x)) into an inferred
+      // `size(f(x)) > 0` filter that predicate pushdown then sinks through
+      // repartitions into the scan — for the dedup pipelines that re-runs
+      // the (deliberately post-shuffle, parallel) native shingle-hash
+      // expression serially inside the single-file scan task. Explode
+      // already skips empty/null arrays by itself; the inference only
+      // MOVES that work, so excluding the rule costs nothing here.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .withExtensions(new graft.plans.GraftPlanExtensions)
     val spark = configure(base).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -94,9 +94,14 @@ object Dedup {
     * oracle, which applies the same md5-prefix hash.
     */
   def docShingleHashes(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
+    // drop shingle-less docs via the cheap precondition (fewer than k
+    // single-space tokens ⟺ empty shingle set), NOT `size(hs) > 0`: a
+    // filter on the hash array gets pushed below any repartition into the
+    // scan, forcing the md5 work onto the (often single) scan task — the
+    // token count predicate is what may sink there instead
+    docs.filter(size(split(col("text"), " ", -1)) >= k)
+      .select(col("doc_id"),
         graft.functions.TextFunctions.shingle_hash31_array(col("text"), k).as("hs"))
-      .filter(size(col("hs")) > 0)
 
   /** Reference formulation of the [[docShingleHashes]] array via composed
     * built-ins (equivalence-spec'd against the fused native expression).
@@ -255,8 +260,12 @@ object Dedup {
     // candidate generation stays a hash self-join here (unlike the LSH
     // band path's list-gather): shingle posting lists are overwhelmingly
     // singletons, so a collect_list pass aggregates ~|postings| tiny lists
-    // for nothing — measured slower than joining the two pruned sides
-    val cand = pruned.as("a").join(pruned.as("b"),
+    // for nothing — measured slower than joining the two pruned sides.
+    // SHUFFLE_HASH pins the strategy: left alone, AQE broadcast-converts
+    // one side, the two sides' query stages stop being identical, and
+    // ReuseExchange no longer collapses them — the whole posting subtree
+    // (scan, hash, explode, df-cut) would execute twice
+    val cand = pruned.as("a").hint("shuffle_hash").join(pruned.as("b").hint("shuffle_hash"),
         col("a.h31") === col("b.h31") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
