@@ -134,22 +134,30 @@ object TextOps {
     new GenericArrayData(out)
   }
 
-  /** All unordered (a < b) pairs of a long array after sorting — see
-    * [[ArrayPairs]].
+  /** All strictly-ordered (a < b) pairs of a long array after sort+dedup —
+    * see [[ArrayPairs]]. Equal values never pair (no (x, x) self-pairs),
+    * exactly the `a.id < b.id` predicate of the self-join this replaces.
     */
   def arrayPairs(a: ArrayData): ArrayData = {
-    val n = a.numElements()
-    val ids = new Array[Long](n)
+    val n0 = a.numElements()
+    val raw = new Array[Long](n0)
     var i = 0
-    while (i < n) { ids(i) = a.getLong(i); i += 1 }
-    java.util.Arrays.sort(ids)
+    while (i < n0) { raw(i) = a.getLong(i); i += 1 }
+    java.util.Arrays.sort(raw)
+    // in-place dedup of the sorted ids
+    var n = 0
+    i = 0
+    while (i < n0) {
+      if (n == 0 || raw(i) != raw(n - 1)) { raw(n) = raw(i); n += 1 }
+      i += 1
+    }
     val out = new Array[Any](n * (n - 1) / 2)
     var idx = 0
     i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        out(idx) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(raw(i), raw(j))
         idx += 1
         j += 1
       }
@@ -325,11 +333,12 @@ case class ShingleHash31Array(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** All unordered pairs (a < b) of a long array, as array<struct<a,b>> —
-  * the bucket-local pair expansion of LSH candidate generation. Input ids
-  * are sorted first, so the output is deterministic whatever order
-  * `collect_list` delivered them in. Output size is m(m-1)/2: callers MUST
-  * bound m (the band df-cut) before expanding.
+/** All strictly-ordered pairs (a < b) of a long array, as
+  * array<struct<a,b>> — the bucket-local pair expansion of LSH candidate
+  * generation. Input ids are sorted and deduped first, so the output is
+  * deterministic whatever order `collect_list` delivered them in and equal
+  * ids never self-pair. Output size is m(m-1)/2 over distinct ids: callers
+  * MUST bound m (the band df-cut) before expanding.
   */
 case class ArrayPairs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "array_pairs"

@@ -114,13 +114,31 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
-  test("interpreted path matches codegen for both expressions") {
+  test("interpreted path matches codegen for the native expressions") {
+    val docs = graft.Tables.documents(spark, sf0001).limit(50)
+    def snapshot(): (Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]) = {
+      val a = docs.select($"doc_id",
+          TextAnalysis.shingles($"text", 3).as("sh"),
+          Dedup.simhash16($"text").as("sim"),
+          TextFunctions.shingle_hash31_array($"text", 3).as("hs"))
+        .withColumn("sig", TextFunctions.minhash_sig_array($"hs", 8))
+        .orderBy("doc_id").collect()
+      val b = Seq(Seq(5L, 3L, 9L, 3L)).toDF("ids")
+        .select(TextFunctions.array_pairs($"ids").as("p")).collect()
+      (a, b)
+    }
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val (cg, cgPairs) = snapshot()
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      Seq("the quick brown fox jumps").toDF("text")
-        .select(TextAnalysis.shingles($"text", 2), Dedup.simhash16($"text"))
-        .head.getSeq[String](0).length shouldBe 4
+      val (interp, interpPairs) = snapshot()
+      interp shouldBe cg
+      interpPairs shouldBe cgPairs
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    // array_pairs sorts, dedups, and emits strictly a < b pairs — equal
+    // values never self-pair (the a.id < b.id predicate it replaces)
+    cgPairs.head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Seq((3L, 5L), (3L, 9L), (5L, 9L))
   }
 }
