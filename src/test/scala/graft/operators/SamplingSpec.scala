@@ -65,6 +65,18 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     pairs(out) shouldBe single
   }
 
+  test("stratified pins no storage after the caller releases the result") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val baseline = sc.getPersistentRDDs.size
+    (1 to 2).foreach { _ =>
+      val out = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 10)
+      out.count()
+      out.unpersist(blocking = true) // CacheManager-registered by contract
+      sc.getPersistentRDDs.size shouldBe baseline // survivor cache released internally
+    }
+  }
+
   test("a near-unique stratum column fails fast instead of OOMing the driver") {
     val ex = intercept[IllegalArgumentException] {
       Sampling.stratified(orders, "o_orderkey", "o_orderkey", 1, maxStrata = 100)
