@@ -114,6 +114,34 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("shingle_hash31_array property: equals the composed md5 formulation on random strings") {
+    val rnd = new scala.util.Random(20260812)
+    val alphabet = "ab é日  " // skewed toward spaces: empty tokens, runs
+    def randStr() = {
+      val len = rnd.nextInt(60)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val docs = Seq.fill(300)(randStr()).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 5)) {
+      val diff = Dedup.docShingleHashes(docs, k)
+        .join(Dedup.docShingleHashesComposed(docs, k)
+          .withColumnRenamed("hs", "hs_c"), Seq("doc_id"), "full")
+        .filter($"hs".isNull || $"hs_c".isNull || $"hs" =!= $"hs_c")
+      diff.count() shouldBe 0L
+    }
+  }
+
+  test("minhash_sig_array property: equals the composed array_min formulation") {
+    val rnd = new scala.util.Random(42)
+    val arrs = Seq.fill(200)(
+      Seq.fill(1 + rnd.nextInt(50))(rnd.nextLong().abs % 2147483647L))
+      .zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("doc_id", "hs")
+    val native = Dedup.minhashSignatures(arrs, 16).orderBy("doc_id").collect()
+    val composed = Dedup.minhashSignaturesComposed(arrs, 16).orderBy("doc_id").collect()
+    native shouldBe composed
+  }
+
   test("interpreted path matches codegen for the native expressions") {
     val docs = graft.Tables.documents(spark, sf0001).limit(50)
     def snapshot(): (Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]) = {

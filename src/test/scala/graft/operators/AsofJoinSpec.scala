@@ -57,6 +57,24 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("leftAsof multi-column carry stays consistent under duplicate-ts tie-break") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1")).toDF("user_id", "ts", "name")
+    val dups = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0, "a"),
+      (1L, ts("2024-01-01 09:00:00"), 20.0, "b"),
+      (1L, ts("2024-01-01 09:00:00"), 30.0, "c"))
+    val outs = (for (perm <- dups.permutations.take(3)) yield {
+      val right = perm.toDF("user_id", "ts", "ref_value", "ref_tag").repartition(2)
+      val r = AsofJoin.leftAsof(left, right, "user_id", "ts",
+        Seq("ref_value", "ref_tag")).head
+      (r.getDouble(3), r.getString(4))
+    }).toSeq
+    outs.distinct.size shouldBe 1 // same winner row every time
+    // both carried columns come from THE SAME right row (no column mixing)
+    val winner = outs.head
+    Map(10.0 -> "a", 20.0 -> "b", 30.0 -> "c")(winner._1) shouldBe winner._2
+  }
+
   test("leftAsof preserves all left rows and columns") {
     val ev = graft.Tables.events(spark, sf0001)
     val refs = ev.filter($"event_id" % 7 === 0)
