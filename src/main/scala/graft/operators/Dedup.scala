@@ -37,13 +37,21 @@ object Dedup {
   /** Exact-duplicate groups by content hash: one row per distinct content,
     * with the group size and the kept (minimum) doc_id.
     */
+  // both group-by-fingerprint dedups repartition the raw docs first: the
+  // fingerprint (md5 / regex-normalize+md5) is computed inside the partial
+  // aggregation, and without a repartition that partial agg runs inside
+  // the scan task — serial on a single-file table (one task per file at
+  // scale). The shuffle carries the raw text once; the hash work then
+  // parallelizes across the cluster.
   def exactGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("text_md5"))
+    docs.repartition(col("doc_id"))
+      .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 
   /** Exact duplicates after normalization (case/punct/whitespace). */
   def normalizedGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+    docs.repartition(col("doc_id"))
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 
   /** Distinct k-shingles per doc, exploded: (doc_id, shingle). Used where

@@ -118,27 +118,40 @@ object Multimodal {
     * production shape; one kernel invocation per partition amortizes codec
     * init exactly like an Arrow batch does.
     */
+  private def decodeOne(a: MediaAsset): DecodedMeta = {
+    val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
+    val h = md5Bytes(bytes)
+    val decoded = if (a.kind == "image") decodeImage(bytes) else None
+    decoded match {
+      case Some((w, hgt, c)) =>
+        DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
+          width = w, height = hgt, channels = c, est_duration_ms = 0L)
+      case None =>
+        DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
+          width = 1 + ((h(0) & 0x7f) << 4 | (h(1) & 0x0f)),
+          height = 1 + ((h(2) & 0x7f) << 4 | (h(3) & 0x0f)),
+          channels = if (a.kind == "audio") 2 else 3,
+          est_duration_ms = if (a.kind == "image") 0L else bytes.length.toLong * 8)
+    }
+  }
+
+  private def featuresOne(a: MediaAsset, dim: Int): Array[Float] = {
+    val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
+    val emb = new Array[Float](dim)
+    var h = md5Bytes(bytes)
+    var i = 0
+    while (i < dim) {
+      if (i % 16 == 0 && i > 0) h = md5Bytes(h)
+      emb(i) = ((h(i % 16) & 0xff) - 128) / 128.0f
+      i += 1
+    }
+    emb
+  }
+
   def decodeMeta(assets: Dataset[MediaAsset]): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
-      // per-partition init cost lives here (codec contexts, buffers)
-      it.map { a =>
-        val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
-        val h = md5Bytes(bytes)
-        val decoded = if (a.kind == "image") decodeImage(bytes) else None
-        decoded match {
-          case Some((w, hgt, c)) =>
-            DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
-              width = w, height = hgt, channels = c, est_duration_ms = 0L)
-          case None =>
-            DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
-              width = 1 + ((h(0) & 0x7f) << 4 | (h(1) & 0x0f)),
-              height = 1 + ((h(2) & 0x7f) << 4 | (h(3) & 0x0f)),
-              channels = if (a.kind == "audio") 2 else 3,
-              est_duration_ms = if (a.kind == "image") 0L else bytes.length.toLong * 8)
-        }
-      }
-    }
+    // per-partition init cost lives in mapPartitions (codec contexts)
+    assets.mapPartitions(_.map(decodeOne))
   }
 
   /** STUB feature extraction: deterministic `dim`-float embedding from the
@@ -147,20 +160,7 @@ object Multimodal {
     */
   def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 64): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
-      it.map { a =>
-        val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
-        val emb = new Array[Float](dim)
-        var h = md5Bytes(bytes)
-        var i = 0
-        while (i < dim) {
-          if (i % 16 == 0 && i > 0) h = md5Bytes(h)
-          emb(i) = ((h(i % 16) & 0xff) - 128) / 128.0f
-          i += 1
-        }
-        MediaFeatures(a.asset_id, emb)
-      }
-    }
+    assets.mapPartitions(_.map(a => MediaFeatures(a.asset_id, featuresOne(a, dim))))
   }
 
   /** STUB frame sampling: every video yields `n` evenly-spaced "frames"
@@ -191,11 +191,27 @@ object Multimodal {
     }
   }
 
-  /** Full multimodal profile as a DataFrame (join of meta + features). */
+  case class MediaProfile(asset_id: Long, kind: String, n_bytes: Long,
+                          content_hash: String, width: Int, height: Int,
+                          channels: Int, est_duration_ms: Long,
+                          embedding: Array[Float])
+
+  /** Full multimodal profile (meta + features) in ONE pass over the
+    * payload bytes — a join of [[decodeMeta]] and [[extractFeatures]]
+    * would scan and hash every asset twice and shuffle both sides on
+    * asset_id for the equi-join; at corpus scale the payload pass IS the
+    * cost, so the kernels are fused per partition instead.
+    */
   def profile(df: DataFrame, idCol: String, payloadCol: String,
               kind: String): DataFrame = {
     val assets = asAssets(df, idCol, payloadCol, kind)
-    decodeMeta(assets).toDF()
-      .join(extractFeatures(assets).toDF(), "asset_id")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val m = decodeOne(a)
+        MediaProfile(m.asset_id, m.kind, m.n_bytes, m.content_hash, m.width,
+          m.height, m.channels, m.est_duration_ms, featuresOne(a, 64))
+      }
+    }.toDF()
   }
 }
