@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    intersection carries longs, never multi-10-byte shingle strings.
   *  - The per-doc shingle set travels as ONE array row per document, so
   *    MinHash signatures are a narrow projection (16 `array_min`s — no
-  *    explode, no aggregation shuffle) and exact Jaccard verification is a
+  *    explode, no aggregation shuffle) and LSH-candidate verification is a
   *    narrow `array_intersect` after joining candidate pairs to their two
-  *    arrays — no per-shingle pair join at all.
+  *    arrays. The inverted-index path ([[jaccardPairs]]) gets intersection
+  *    sizes even cheaper: as the count of per-shared-shingle join hits.
   *  - The inverted posting index joins docs on *shared shingles* rather than
   *    crossing all pairs, so cost is proportional to actual collisions.
   *    Hot shingles (stop-phrases) would skew the join at scale; the df-cut
@@ -240,12 +241,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Exact n-gram Jaccard near-dup pairs >= `threshold`, via inverted
-    * posting index on hashed shingles: candidate pairs share at least one
-    * shingle hash; exact Jaccard is then computed from the per-doc arrays.
+    * posting index on hashed shingles. The posting self-join produces each
+    * co-occurring (doc_a, doc_b) once PER SHARED SHINGLE, so the
+    * aggregation that dedups candidates yields the intersection size for
+    * free (`|A ∩ B|` = shared-shingle count) — no re-join against the
+    * per-doc arrays and no `array_intersect` pass; union size then follows
+    * from the per-doc set sizes (`|A ∪ B| = |A| + |B| − |A ∩ B|`), joined
+    * in from a doc_id→size table that is tiny (two ints per doc) at any
+    * corpus scale and broadcast ONCE (identical subtree on both sides —
+    * ReuseExchange ships one copy).
+    *
     * `maxPostings` drops degenerate stop-shingles shared by more than that
-    * many docs from CANDIDATE GENERATION only (df-cut — a pair sharing
-    * nothing but over-cap shingles is missed, by design); scoring of
-    * surviving candidates is exact over the full shingle sets.
+    * many docs from the posting index (df-cut): a pair sharing nothing but
+    * over-cap shingles is missed, and over-cap shingles do not count
+    * toward intersections (set sizes remain full-universe, so reported
+    * jaccard is a lower bound for affected pairs — a shingle shared by
+    * millions of docs carries no near-dup signal, which is why it is cut).
     *
     * Deliberately lazy and persist-free: callers materialize exactly once
     * (a count, a write, or the cluster pass). With the fused native
@@ -273,11 +284,18 @@ object Dedup {
     // one side, the two sides' query stages stop being identical, and
     // ReuseExchange no longer collapses them — the whole posting subtree
     // (scan, hash, explode, df-cut) would execute twice
-    val cand = pruned.as("a").hint("shuffle_hash").join(pruned.as("b").hint("shuffle_hash"),
+    val inter = pruned.as("a").hint("shuffle_hash").join(pruned.as("b").hint("shuffle_hash"),
         col("a.h31") === col("b.h31") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyPairs(cand, arr, threshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("__inter"))
+    val sizes = arr.select(col("doc_id"), size(col("hs")).as("__n"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("__n").as("__na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("__n").as("__nb"))), "doc_b")
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard

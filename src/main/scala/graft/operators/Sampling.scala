@@ -88,48 +88,49 @@ object Sampling {
     // md5-prefix cut (null comparison) but rank FIRST in the phase-2 window
     // (nulls-first sort — the single-phase definition), so they must reach
     // it rather than silently vanish; same scan, no extra branch.
-    // The survivor set (~oversample×quota rows per stratum — tiny by
-    // construction) is persisted: the guard probe below fills the cache,
-    // and the phase-2 window then reads it instead of re-scanning and
-    // re-hashing the full table a third time. Released before returning.
     val pre = df.join(broadcast(thr), col(stratum) <=> col("_stratum"))
       .filter(col(key).isNull || hNum <= col("_thr"))
-      .drop("_stratum", "_thr")
+
+    // phase 2 + exactness guard IN ONE JOB: rank the survivor set (bounded
+    // — ~oversample×quota rows per stratum) and materialize the quota'd
+    // result directly. The prefix filter admits a prefix of the rank
+    // order, so a stratum whose survivors cover the quota yields exactly
+    // the single-phase sample. The guard needs no extra scan of `df`: after
+    // the `rn <= quota` cut a stratum holds min(survivors, quota) rows, so
+    // "survivors fell short" ⟺ "result rows < quota" — read off the CACHED
+    // (small) result with a ≤ #strata-row aggregation. Only a cut stratum
+    // (threshold below keep-all) can be short by hash adversity; those rare
+    // strata are re-run over their full row sets.
+    val w = Window.partitionBy(stratum).orderBy(h, col(key))
+    val ranked = pre
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .drop("rn", "_stratum", "_thr")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count()
+    val got: Map[Any, Long] = ranked.groupBy(col(stratum)).agg(count(lit(1)).as("_m"))
+      .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    // zero-survivor strata (no row left to count) fall out of `got` and are
+    // caught by the same `< quota` comparison against the phase-1 counts
+    val underRows = thrRows.filter { r =>
+      r.getLong(1) != keepAll && got.getOrElse(r.get(0), 0L) < quota.toLong
+    }.map(r => org.apache.spark.sql.Row(r.get(0)))
 
-    // exactness guard: the prefix filter admits a prefix of the rank
-    // order, so a stratum whose survivors still cover the quota yields
-    // exactly the single-phase sample; the rare stratum whose survivors
-    // fall short (adversarial hash distribution) is re-run over its full
-    // row set instead. Evaluated eagerly — a second bounded (≤ #strata)
-    // driver action — so the common all-covered case keeps the final plan
-    // to a plain window over the survivor set with no guard branches.
-    val surv = pre.groupBy(col(stratum).as("_stratum2")).agg(count(lit(1)).as("_m"))
-    val underRows = thr.filter(col("_thr") =!= keepAll)
-      .join(surv, col("_stratum") <=> col("_stratum2"), "left")
-      .filter(coalesce(col("_m"), lit(0L)) < quota)
-      .select(col("_stratum")).collect()
-
-    val input = if (underRows.isEmpty) pre else {
+    if (underRows.isEmpty) ranked
+    else {
+      // rare path: exact single-phase window over the full row set of the
+      // underfilled strata only, unioned with the covered strata's sample
       val under = spark.createDataFrame(
         java.util.Arrays.asList(underRows: _*),
         StructType(Seq(sField.copy(name = "_stratum"))))
-      pre.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
-        .unionByName(df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi"))
+      val rerun = df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= quota).drop("rn")
+      val result = ranked.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
+        .unionByName(rerun)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count()
+      ranked.unpersist(blocking = false)
+      result
     }
-
-    // phase 2: exact rank within the bounded survivor set. Lifecycle: the
-    // (small) result is computed eagerly and CacheManager-registered —
-    // the operator contract shared with the dedup family: caller releases
-    // via unpersist()/clearCache() — and the survivor cache is dropped
-    // before returning.
-    val w = Window.partitionBy(stratum).orderBy(h, col(key))
-    val result = input.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= quota)
-      .drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    pre.unpersist(blocking = false)
-    result
   }
 }
