@@ -37,6 +37,14 @@ object GraftSession {
       // MOVES that work, so excluding the rule costs nothing here.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // let AQE re-plan (notably: coalesce post-shuffle partitions of)
+      // plans that feed a persisted relation — off by default so cached
+      // data keeps a stable output partitioning for downstream reuse, but
+      // the eager persist-count-unpersist lifecycle our operators use
+      // (stratified sampling, LSH dedup, cluster labels) never relies on
+      // that partitioning, and without AQE the cached subtree runs every
+      // stage at full shuffle width however tiny the data
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .withExtensions(new graft.plans.GraftPlanExtensions)
     val spark = configure(base).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -88,8 +88,15 @@ object SparkEntry {
     // J4: role-playing dimension joined twice under different aliases
     "j4_roleplay_join" -> ((s, d) => {
       val nat = Tables.nation(s, d)
+      // fact×fact leg pinned to shuffle-hash: both sides exchange on the
+      // order key either way, but SMJ would additionally SORT both — the
+      // dominant cost of this query's plan; hash-building the (smaller,
+      // pre-pruned) orders side skips it. At cluster scale the same pick
+      // holds as long as a partition of orders fits an executor (AQE's
+      // skew split keeps partitions bounded).
       Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.orders(s, d).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat.as("cn")), col("c_nationkey") === col("cn.n_nationkey"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))

@@ -44,14 +44,28 @@ object Dedup {
   // the scan task — serial on a single-file table (one task per file at
   // scale). The shuffle carries the raw text once; the hash work then
   // parallelizes across the cluster.
-  def exactGroups(docs: DataFrame): DataFrame =
+
+  /** Spread docs across the shuffle width. Deliberately UNPINNED
+    * (`repartition(col)`, not `repartition(n, col)`): AQE sizes the
+    * post-shuffle stage by shuffled bytes, which is the right call at both
+    * ends of the scale — a 100 TB corpus blows past the advisory size and
+    * keeps full cluster width, while a tiny corpus coalesces to a few
+    * tasks instead of paying per-task launch overhead on near-empty
+    * partitions (measured on local[32]: a pinned 32-task stage costs
+    * ~300 ms wall in scheduling alone, several times the serialized
+    * hashing work it was meant to parallelize).
+    */
+  private def spread(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
+
+  def exactGroups(docs: DataFrame): DataFrame =
+    spread(docs)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 
   /** Exact duplicates after normalization (case/punct/whitespace). */
   def normalizedGroups(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
+    spread(docs)
       .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 
@@ -216,7 +230,7 @@ object Dedup {
     */
   def lshCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
                     maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val arr = docShingleHashes(docs.repartition(col("doc_id")), k)
+    val arr = docShingleHashes(spread(docs), k)
     val (cand, cleanup) = lshCandidatesLazy(arr, numPerm, bands, maxBucket)
     val out = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
@@ -268,12 +282,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxPostings: Long = 1000000L): DataFrame = {
-    val arr = docShingleHashes(docs.repartition(col("doc_id")), k)
-    // hash-partition the posting table on h31 once: the df-cut count, the
-    // broadcast anti-join and both self-join sides are then satisfied by
-    // the same exchange (ReuseExchange collapses them), instead of paying
-    // a separate aggregation shuffle plus join exchanges
-    val posting = arr.select(col("doc_id"), explode(col("hs")).as("h31"))
+    val arr = docShingleHashes(spread(docs), k)
+    // each posting row carries its doc's set size alongside the shingle
+    // hash (+8 bytes/row): the candidate aggregation below then has both
+    // |A| and |B| in hand — no sizes side-table, no second corpus scan.
+    // Hash-partition on h31 once: the df-cut count, the broadcast
+    // anti-join and both self-join sides are all satisfied by the same
+    // exchange (ReuseExchange collapses them).
+    val posting = arr.select(col("doc_id"), size(col("hs")).as("__n"),
+        explode(col("hs")).as("h31"))
       .repartition(col("h31"))
     val pruned = dropOverCapKeys(posting, Seq("h31"), maxPostings)
     // candidate generation stays a hash self-join here (unlike the LSH
@@ -284,14 +301,11 @@ object Dedup {
     // one side, the two sides' query stages stop being identical, and
     // ReuseExchange no longer collapses them — the whole posting subtree
     // (scan, hash, explode, df-cut) would execute twice
-    val inter = pruned.as("a").hint("shuffle_hash").join(pruned.as("b").hint("shuffle_hash"),
+    pruned.as("a").hint("shuffle_hash").join(pruned.as("b").hint("shuffle_hash"),
         col("a.h31") === col("b.h31") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("__inter"))
-    val sizes = arr.select(col("doc_id"), size(col("hs")).as("__n"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("__n").as("__na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("__n").as("__nb"))), "doc_b")
+      .agg(count(lit(1)).as("__inter"),
+        first(col("a.__n")).as("__na"), first(col("b.__n")).as("__nb"))
       .withColumn("jaccard", col("__inter").cast("double") /
         (col("__na") + col("__nb") - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -316,7 +330,7 @@ object Dedup {
     // narrow source (one input file = one partition locally; one task per
     // file at scale) would otherwise leave the md5-heavy shingle hashing
     // single-task.
-    val arr = docShingleHashes(docs.repartition(col("doc_id")), k)
+    val arr = docShingleHashes(spread(docs), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cand, candCleanup) = lshCandidatesLazy(arr, numPerm, bands, maxBucket)
     val result = verifyPairs(cand, arr, threshold)
