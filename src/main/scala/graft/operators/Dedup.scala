@@ -38,12 +38,15 @@ object Dedup {
   /** Exact-duplicate groups by content hash: one row per distinct content,
     * with the group size and the kept (minimum) doc_id.
     */
-  // both group-by-fingerprint dedups repartition the raw docs first: the
-  // fingerprint (md5 / regex-normalize+md5) is computed inside the partial
-  // aggregation, and without a repartition that partial agg runs inside
-  // the scan task — serial on a single-file table (one task per file at
-  // scale). The shuffle carries the raw text once; the hash work then
-  // parallelizes across the cluster.
+  // both group-by-fingerprint dedups hash INSIDE the scan stage (the
+  // partial aggregation fuses with the scan): at corpus scale the scan is
+  // already parallel over file splits, so the hash work distributes
+  // without any exchange, and the one shuffle that does happen carries
+  // 16-byte fingerprints instead of raw text — the cheapest possible
+  // formulation at both ends of the scale. (An earlier revision
+  // repartitioned the raw docs first to parallelize hashing on a
+  // single-file local table; that exchange ships the full text for a
+  // one-file problem the cluster doesn't have.)
 
   /** Spread docs across the shuffle width. Deliberately UNPINNED
     * (`repartition(col)`, not `repartition(n, col)`): AQE sizes the
@@ -59,13 +62,13 @@ object Dedup {
     docs.repartition(col("doc_id"))
 
   def exactGroups(docs: DataFrame): DataFrame =
-    spread(docs)
+    docs
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 
   /** Exact duplicates after normalization (case/punct/whitespace). */
   def normalizedGroups(docs: DataFrame): DataFrame =
-    spread(docs)
+    docs
       .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 

@@ -107,7 +107,8 @@ object Sampling {
       .filter(col("rn") <= quota)
       .drop("rn", "_stratum", "_thr")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranked.count()
+    // ONE materializing action: the per-stratum result counts the guard
+    // needs come back from the same job that fills the cache
     val got: Map[Any, Long] = ranked.groupBy(col(stratum)).agg(count(lit(1)).as("_m"))
       .collect().map(r => (r.get(0), r.getLong(1))).toMap
     // zero-survivor strata (no row left to count) fall out of `got` and are

@@ -99,11 +99,19 @@ object Similarity {
       explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m.toLong))): _*)).as("bucket"))
     // rank on the cosine rounded to 6 decimals with neighbor_id tie-break —
     // the same cross-engine-deterministic convention as [[bruteForceTopK]],
-    // which is what makes this operator oracle-comparable
-    val cand = probes.join(bucketed, Seq("bucket"))
+    // which is what makes this operator oracle-comparable.
+    //
+    // Probes are |Q| × ~probes rows — broadcast them (queries are small by
+    // contract, as in [[bruteForceTopK]]) so the corpus side never
+    // exchanges for the join; the ONE shuffle in the plan is the explicit
+    // query_id repartition below, whose partitioning satisfies both the
+    // dedup aggregation (query_id ⊂ its grouping) and the top-k window —
+    // three clustered operators, one exchange.
+    val cand = bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+      .repartition(col("query_id"))
       .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
