@@ -398,6 +398,21 @@ object Dedup {
     (out, (sc.getPersistentRDDs.keySet -- before).toSet)
   }
 
+  /** LAZY localCheckpoint whose materialization rides the witness count:
+    * `witness(out).count()` scans every partition of `out`, so the one job
+    * both stores the checkpoint blocks and returns the convergence
+    * statistic — the eager-checkpoint-then-probe formulation paid two jobs
+    * per iteration for the same information.
+    */
+  private def checkpointCounted(df: DataFrame, witness: DataFrame => DataFrame)
+      : (DataFrame, Long, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager = false)
+    val n = witness(out).count()
+    (out, n, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
   private def freeCheckpoints(df: DataFrame, ids: Set[Int]): Unit = {
     val sc = df.sparkSession.sparkContext
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
@@ -419,32 +434,34 @@ object Dedup {
     // label₀(v) = min(v ∪ neighbors) instead of the identity — for the
     // clique-shaped clusters near-dup pairs produce, that alone is the
     // fixpoint, so the loop's first pass just confirms convergence (saves
-    // one full checkpoint+scan round per invocation)
-    var (labels, labelIds) = checkpointTracked(
+    // one full checkpoint+scan round per invocation). The witness count
+    // doubles as the empty-input guard: zero vertices ⟹ converged, no
+    // separate isEmpty probe.
+    var (labels, nVerts, labelIds) = checkpointCounted(
       edges.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("component"))
-        .select(col("src").as("doc_id"), col("component")))
-    // empty pair list: no vertices, nothing to propagate (and no aggregate
-    // to probe — a sum-based witness would NPE here on the null sum)
-    var converged = labels.isEmpty
+        .select(col("src").as("doc_id"), col("component")),
+      identity)
+    var converged = nVerts == 0L
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component")).as("n_min"))
-      // `lowered` rides along in the same pass so convergence detection is a
-      // scan of the just-materialized checkpoint, not an extra join; a
-      // count-of-changes witness (unlike sum-of-labels) cannot overflow Long
-      // however large the id space
-      val (next, nextIds) = checkpointTracked(
+      // `lowered` rides along in the same pass and the count of lowered
+      // rows IS the materializing action (see checkpointCounted): one job
+      // per round. A count-of-changes witness (unlike sum-of-labels)
+      // cannot overflow Long however large the id space.
+      val (next, nChanged, nextIds) = checkpointCounted(
         labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("component"), coalesce(col("n_min"), col("component")))
               .as("component"),
             (coalesce(col("n_min"), col("component")) < col("component"))
-              .as("lowered")))
-      converged = next.filter(col("lowered")).isEmpty
+              .as("lowered")),
+        d => d.filter(col("lowered")))
+      converged = nChanged == 0L
       freeCheckpoints(labels, labelIds)
       labels = next
       labelIds = nextIds
