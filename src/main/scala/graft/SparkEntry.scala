@@ -785,7 +785,24 @@ object SparkEntry {
       Tables.events(s, d)
         .groupBy((floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("window_epoch"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value")))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))),
+
+    // ---- scale-path: retrieval scoring + sequence packing ---------------
+
+    // BM25 against a fixed probe query: one 1-row corpus-stats aggregate
+    // broadcast into a narrow scoring projection — no per-term shuffle
+    "text_bm25" -> ((s, d) =>
+      operators.Retrieval.bm25(Tables.documents(s, d),
+        Seq("vector", "stream", "join"))),
+
+    // GPT-style sequence packing: exact global token prefix-sum in doc_id
+    // order via the two-phase scan (range buckets + driver offsets), cut
+    // every 512 tokens
+    "pack_sequences" -> ((s, d) =>
+      operators.Packing.packSequences(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 512L))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1554,6 +1571,47 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_epoch,
         | event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical tokenization (single-space split), identical idf
+    // ln(1 + (N - df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75
+    "text_bm25" ->
+      """WITH st AS (
+        | SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl,
+        |  sum(CASE WHEN list_contains(string_split(text, ' '), 'vector') THEN 1 ELSE 0 END) AS df0,
+        |  sum(CASE WHEN list_contains(string_split(text, ' '), 'stream') THEN 1 ELSE 0 END) AS df1,
+        |  sum(CASE WHEN list_contains(string_split(text, ' '), 'join') THEN 1 ELSE 0 END) AS df2
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS DOUBLE) AS tf0,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS DOUBLE) AS tf1,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS DOUBLE) AS tf2
+        | FROM documents)
+        |SELECT doc_id, score FROM (
+        | SELECT doc_id, round(
+        |   ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        | + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        | + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+        |   6) AS score
+        | FROM d CROSS JOIN st) t
+        |WHERE score > 0""".stripMargin,
+
+    // the single-window ORDER BY formulation IS the semantic definition the
+    // distributed two-phase scan must reproduce exactly
+    "pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM t)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+        | (cum - n_tokens) // 512 AS seq_id,
+        | (cum - n_tokens) % 512 AS seq_offset
+        |FROM c""".stripMargin,
 
     "w4_session_window" ->
       """WITH e AS (

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  test("packSequences equals the single-window global cumsum definition") {
+    // deliberately awkward id space: sparse, unsorted insertion order
+    val rows = Seq(
+      (100L, 10L), (7L, 3L), (9999L, 5L), (501L, 7L), (502L, 1L),
+      (4L, 2L), (4000L, 11L), (250L, 6L))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(df, "doc_id", "n_tokens", capacity = 8L,
+        buckets = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val exp = df.withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("start_offset", $"cum" - $"n_tokens")
+      .select($"doc_id", $"start_offset",
+        expr("start_offset DIV 8").as("seq_id"),
+        pmod($"start_offset", lit(8L)).as("seq_offset"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got shouldBe exp
+  }
+
+  test("packSequences: offsets are a permutation-insensitive function of the data") {
+    val a = (1L to 200L).map(i => (i, (i % 13) + 1))
+    val df1 = a.toDF("doc_id", "n_tokens").repartition(7)
+    val df2 = scala.util.Random.shuffle(a).toDF("doc_id", "n_tokens").repartition(3)
+    val r1 = Packing.packSequences(df1, "doc_id", "n_tokens", 32L, buckets = 16)
+      .orderBy("doc_id").collect().toSeq
+    val r2 = Packing.packSequences(df2, "doc_id", "n_tokens", 32L, buckets = 16)
+      .orderBy("doc_id").collect().toSeq
+    r1 shouldBe r2
+    // total tokens of each fully-packed sequence is exactly the capacity:
+    // consecutive start offsets tile [0, total) with no gaps
+    val offs = r1.map(_.getLong(2))
+    val toks = r1.map(_.getLong(1))
+    offs.zip(toks).sliding(2).foreach {
+      case Seq((o1, t1), (o2, _)) => o2 shouldBe (o1 + t1)
+      case _ =>
+    }
+    offs.head shouldBe 0L
+  }
+
+  test("packSequences on empty input returns an empty frame with the contract schema") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    val out = Packing.packSequences(empty, "doc_id", "n_tokens", 16L)
+    out.columns.toSeq shouldBe Seq("doc_id", "n_tokens", "start_offset", "seq_id", "seq_offset")
+    out.count() shouldBe 0L
+  }
+}
