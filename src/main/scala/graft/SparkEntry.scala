@@ -802,7 +802,15 @@ object SparkEntry {
       operators.Packing.packSequences(
         Tables.documents(s, d)
           .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
-        "doc_id", "n_tokens", capacity = 512L))
+        "doc_id", "n_tokens", capacity = 512L)),
+
+    // quality-weighted deterministic resample: keep probability scales with
+    // doc length (a stand-in quality weight), decided by content hash —
+    // a pure narrow filter, stable under retry/partitioning
+    "sample_weighted" -> ((s, d) =>
+      operators.Sampling.weightedBernoulli(Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("double") / lit(60.0))
+        .select(col("doc_id")))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1596,6 +1604,15 @@ object SparkEntry {
         |   6) AS score
         | FROM d CROSS JOIN st) t
         |WHERE score > 0""".stripMargin,
+
+    // identical hash-uniform: 32-bit md5 prefix / 2^32 < clamp(weight, 0, 1)
+    "sample_weighted" ->
+      """SELECT doc_id FROM (
+        | SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+        |  least(greatest(CAST(len(string_split(text, ' ')) AS DOUBLE) / 60.0, 0.0), 1.0) AS p
+        | FROM documents) t
+        |WHERE CAST(h AS DOUBLE) < p * 4294967296.0""".stripMargin,
 
     // the single-window ORDER BY formulation IS the semantic definition the
     // distributed two-phase scan must reproduce exactly

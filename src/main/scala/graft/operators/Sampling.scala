@@ -18,6 +18,24 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Sampling {
 
+  /** Deterministic weighted Bernoulli thinning: keep each row with
+    * probability `weightCol` (clamped to [0, 1]), decided by comparing the
+    * row's 32-bit md5 prefix of `key` — a content-derived uniform in
+    * [0, 1) — against the weight. The quality-weighted resampling step of
+    * corpus mixing (up/down-weighting sources or quality bands) as a pure
+    * narrow filter: no shuffle, no RNG state, identical keep-set under
+    * retry, re-partitioning or engine change. Rows with a NULL key are
+    * dropped (no hash to decide by; a weighted sample has no
+    * deterministic place for them).
+    */
+  def weightedBernoulli(df: DataFrame, key: String,
+                        weight: org.apache.spark.sql.Column): DataFrame = {
+    val hNum = conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val p = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(hNum.cast("double") < p * 4294967296.0)
+  }
+
   /** Up to `quota` rows per distinct value of `stratum`, chosen by md5 rank
     * of `key`.
     *

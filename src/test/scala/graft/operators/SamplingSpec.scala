@@ -9,6 +9,22 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   private lazy val orders = graft.Tables.orders(spark, sf0001)
 
+  test("weightedBernoulli: weight 0 drops all, weight 1 keeps all, determinism in between") {
+    import org.apache.spark.sql.functions._
+    Sampling.weightedBernoulli(orders, "o_orderkey", lit(0.0)).count() shouldBe 0L
+    Sampling.weightedBernoulli(orders, "o_orderkey", lit(1.0)).count() shouldBe orders.count()
+    // out-of-range weights clamp rather than misbehave
+    Sampling.weightedBernoulli(orders, "o_orderkey", lit(7.5)).count() shouldBe orders.count()
+    Sampling.weightedBernoulli(orders, "o_orderkey", lit(-3.0)).count() shouldBe 0L
+    def keep = Sampling.weightedBernoulli(orders, "o_orderkey", lit(0.3))
+      .select($"o_orderkey").as[Long].collect().toSet
+    val once = keep
+    keep shouldBe once // content-derived: identical keep-set on re-execution
+    // expected fraction within a loose band
+    val frac = once.size.toDouble / orders.count()
+    frac should (be > 0.2 and be < 0.4)
+  }
+
   test("stratified respects the per-stratum quota and samples only input rows") {
     val out = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 10)
     val perStratum = out.groupBy("o_orderstatus").count().collect()
