@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Packing {
 
-  /** Pack `docs` (must have unique numeric `idCol`; `tokenCol` long) into
+  /** Pack `docs` (must have unique, non-null numeric `idCol`; `tokenCol` long) into
     * sequences of `capacity` tokens. Returns one row per document:
     * (idCol, tokenCol, start_offset, seq_id, seq_offset).
     *
