@@ -19,8 +19,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *      range buckets), so bucket i's ids all precede bucket i+1's;
   *   2. cumulative-sum WITHIN each bucket (parallel windows, one hash
   *      exchange on the bucket key);
-  *   3. per-bucket totals — a ≤`buckets`-row aggregate off the same
-  *      exchange (ReuseExchange: no second shuffle) — are prefix-summed on
+  *   3. per-bucket totals (a map-side-combining aggregate — its own pass;
+  *      a two-phase scan is inherently two passes) are prefix-summed on
   *      the driver (bounded state, same contract as the IVF centroid
   *      collect) and broadcast back as per-bucket offsets.
   *
