@@ -810,7 +810,23 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) =>
       operators.Sampling.weightedBernoulli(Tables.documents(s, d), "doc_id",
           TextAnalysis.tokenCount(col("text")).cast("double") / lit(60.0))
-        .select(col("doc_id")))
+        .select(col("doc_id"))),
+
+    // J7 (beyond reference): point-in-interval range join via bin
+    // bucketing — an equi-join on bucket ids instead of the
+    // BroadcastNestedLoopJoin the planner would pick for the raw range
+    // predicate. Intervals: overlapping 90-min windows on the hour grid.
+    "j7_interval_join" -> ((s, d) => {
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("long").as("pe"))
+      val iv = Tables.events(s, d)
+        .select((floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("hr"))
+        .distinct()
+        .select((col("hr") - 900).as("start_epoch"), (col("hr") + 4500).as("end_epoch"))
+      operators.IntervalJoin.pointInInterval(pts, "pe", iv,
+          "start_epoch", "end_epoch", bucketWidth = 3600L)
+        .select(col("event_id"), col("start_epoch"))
+    })
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1604,6 +1620,19 @@ object SparkEntry {
         |   6) AS score
         | FROM d CROSS JOIN st) t
         |WHERE score > 0""".stripMargin,
+
+    // the raw range-predicate join IS the semantic definition the bucketed
+    // equi-join must reproduce (half-open [start, end))
+    "j7_interval_join" ->
+      """WITH p AS (
+        | SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS pe FROM events),
+        |iv AS (
+        | SELECT DISTINCT
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 - 900 AS start_epoch,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 4500 AS end_epoch
+        | FROM events)
+        |SELECT event_id, start_epoch
+        |FROM p JOIN iv ON pe >= start_epoch AND pe < end_epoch""".stripMargin,
 
     // identical hash-uniform: 32-bit md5 prefix / 2^32 < clamp(weight, 0, 1)
     "sample_weighted" ->
