@@ -180,13 +180,17 @@ object Dedup {
   }
 
   /** Drop rows of `df` whose `keyCols` value occurs more than `cap` times —
-    * the df-cut used on posting lists and band buckets. Implemented as a
+    * the generic df-cut (pre-cut a flooded corpus before [[lshCandidates]],
+    * cap a posting table of unknown provenance). Implemented as a
     * map-side-combining count of the (few, by definition) over-cap keys
     * followed by a broadcast anti-join: the hot key never converges on one
     * task, which is the whole point of the guard. The over-cap key set is
     * bounded by |rows|/cap, so the broadcast is small by construction.
+    * ([[jaccardPairs]] inlines a cheaper co-located variant instead — its
+    * posting table is already hash-partitioned on the key, which this
+    * general form cannot assume.)
     */
-  private def dropOverCapKeys(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+  def dropOverCapKeys(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
     val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap).select(keyCols.map(col): _*)
     df.join(broadcast(hot), keyCols, "left_anti")
@@ -295,7 +299,17 @@ object Dedup {
     val posting = arr.select(col("doc_id"), size(col("hs")).as("__n"),
         explode(col("hs")).as("h31"))
       .repartition(col("h31"))
-    val pruned = dropOverCapKeys(posting, Seq("h31"), maxPostings)
+    // df-cut CO-LOCATED with the posting exchange: every posting of a
+    // shingle lives in one h31 partition, so the over-cap count aggregates
+    // with no further exchange and the anti-join runs in the same stage —
+    // no broadcast round-trip through the driver (the generic
+    // [[dropOverCapKeys]] broadcasts because it cannot assume its input's
+    // partitioning; here the exchange is already paid)
+    val hot = posting.groupBy(col("h31")).agg(count(lit(1)).as("__hn"))
+      .filter(col("__hn") > maxPostings)
+      .select(col("h31"))
+    val pruned = posting.hint("shuffle_hash")
+      .join(hot.hint("shuffle_hash"), Seq("h31"), "left_anti")
     // candidate generation stays a hash self-join here (unlike the LSH
     // band path's list-gather): shingle posting lists are overwhelmingly
     // singletons, so a collect_list pass aggregates ~|postings| tiny lists

@@ -61,6 +61,30 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     Dedup.lshCandidates(flood, 3, 16, 8, maxBucket = 10L).count() shouldBe 0L
   }
 
+  test("dropOverCapKeys removes exactly the rows of over-cap keys") {
+    import spark.implicits._
+    val df = Seq.tabulate(20)(i => (i.toLong, if (i < 12) "hot" else s"k$i"))
+      .toDF("id", "k")
+    val out = Dedup.dropOverCapKeys(df, Seq("k"), cap = 5L)
+    out.count() shouldBe 8L
+    out.filter($"k" === "hot").count() shouldBe 0L
+    // cap at/above the max multiplicity is a no-op
+    Dedup.dropOverCapKeys(df, Seq("k"), cap = 12L).count() shouldBe 20L
+  }
+
+  test("jaccardPairs posting df-cut: an over-cap shingle alone generates no pair") {
+    import spark.implicits._
+    // two docs share ONLY one 3-shingle ("x y z"); with the cut at 1 the
+    // shared posting is degenerate -> no candidate, no pair
+    val docs = Seq(
+      (1L, "x y z a b c d"),
+      (2L, "x y z p q r s")).toDF("doc_id", "text")
+    Dedup.jaccardPairs(docs, k = 3, threshold = 0.01, maxPostings = 1L)
+      .count() shouldBe 0L
+    Dedup.jaccardPairs(docs, k = 3, threshold = 0.01, maxPostings = 2L)
+      .count() shouldBe 1L
+  }
+
   test("dedup operators pin no storage across repeated invocations (cache-leak lifecycle)") {
     val sc = spark.sparkContext
     spark.catalog.clearCache()
