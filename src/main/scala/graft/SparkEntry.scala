@@ -812,6 +812,24 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("double") / lit(60.0))
         .select(col("doc_id"))),
 
+    // incremental LSH dedup: corpus (doc_id % 10 != 0) is indexed once;
+    // the new batch (doc_id % 10 == 0) probes the index — per-batch cost
+    // O(|batch| + collisions), never a corpus re-hash. Result persisted
+    // eagerly so the index can be released before returning.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (arrIdx, bandIdx) = Dedup.lshIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), k = 5, numPerm = 16, bands = 4)
+      val out = Dedup.nearDupsAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), arrIdx, bandIdx,
+          k = 5, numPerm = 16, bands = 4, threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      arrIdx.unpersist(blocking = false)
+      bandIdx.unpersist(blocking = false)
+      out
+    }),
+
     // J7 (beyond reference): point-in-interval range join via bin
     // bucketing — an equi-join on bucket ids instead of the
     // BroadcastNestedLoopJoin the planner would pick for the raw range
@@ -1240,6 +1258,38 @@ object SparkEntry {
         |   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
         | FROM orders) t
         |WHERE rn <= 100""".stripMargin,
+
+    "dedup_incremental" -> {
+      // same permutation family / band hashing as the full-corpus oracle
+      // below, with the bucket listing and cap computed over the CORPUS
+      // side only (the index) and candidates restricted to corpus × batch
+      val p = graft.operators.Dedup.MinhashPrime
+      val mins = graft.operators.Dedup.minhashCoeffs(16).zipWithIndex
+        .map { case ((a, b), i) => s"min((h31*$a + $b) % $p) AS m$i" }.mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(m$i AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $ShinglesCte,
+         |sig AS (SELECT doc_id, $mins FROM hsd GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |bfc AS (SELECT * FROM (SELECT doc_id, band, bh,
+         |         count(*) OVER (PARTITION BY band, bh) AS bn
+         |        FROM bands WHERE doc_id % 10 != 0) t
+         |        WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket}),
+         |nb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 10 = 0),
+         |cand AS (SELECT DISTINCT c.doc_id AS da, n.doc_id AS db
+         |         FROM bfc c JOIN nb n ON c.band = n.band AND c.bh = n.bh),
+         |pr AS (SELECT c.da, c.db, count(*) AS inter
+         |       FROM cand c JOIN hsd a ON a.doc_id = c.da
+         |       JOIN hsd b ON b.doc_id = c.db AND b.h31 = a.h31
+         |       GROUP BY c.da, c.db)
+         |SELECT da AS doc_a, db AS doc_b,
+         | inter / (sa.n + sb.n - inter) AS jaccard
+         |FROM pr JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
+         |WHERE inter / (sa.n + sb.n - inter) >= 0.5""".stripMargin
+    },
 
     "dedup_minhash_lsh" -> {
       // identical affine permutation family as Dedup.minhashSignatures:

@@ -358,6 +358,57 @@ object Dedup {
     result
   }
 
+  /** Pre-built LSH index of a corpus, reusable across probe batches: the
+    * per-doc hashed shingle arrays and the gathered band buckets, both
+    * persisted (CacheManager-registered; release via `unpersist()` /
+    * `clearCache()`). This is the incremental-append story at scale — the
+    * corpus is shingle-hashed and banded ONCE, then every new batch probes
+    * the index instead of re-hashing history (cost per batch:
+    * O(|batch| + collisions), not O(|corpus|)).
+    *
+    * Buckets larger than `maxBucket` are dropped at index build (same
+    * df-cut semantics as [[lshCandidatesLazy]]: a bucket holding a large
+    * fraction of the corpus is indistinguishable from chance and only
+    * fans out probe joins).
+    */
+  def lshIndex(corpus: DataFrame, k: Int, numPerm: Int, bands: Int,
+               maxBucket: Long = DefaultMaxBucket): (DataFrame, DataFrame) = {
+    val arr = docShingleHashes(spread(corpus), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandIdx = lshBands(minhashSignatures(arr, numPerm), numPerm, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandIdx.count() // one action fills BOTH caches (bandIdx reads through arr)
+    (arr, bandIdx)
+  }
+
+  /** Near-dup pairs between a new batch and an indexed corpus (see
+    * [[lshIndex]]): the batch is shingle-hashed and banded (narrow, batch-
+    * sized), candidates come from an equi-join on (band, bh) against the
+    * index, and exact Jaccard verifies candidates only. Output:
+    * (doc_a = corpus id, doc_b = batch id, jaccard >= threshold).
+    * Batch and corpus ids are assumed disjoint (append semantics).
+    */
+  def nearDupsAgainstIndex(newDocs: DataFrame, arrIdx: DataFrame,
+                           bandIdx: DataFrame, k: Int, numPerm: Int,
+                           bands: Int, threshold: Double): DataFrame = {
+    val narr = docShingleHashes(spread(newDocs), k)
+    val nbands = lshBands(minhashSignatures(narr, numPerm), numPerm, bands)
+    val cand = nbands.join(bandIdx, Seq("band", "bh"))
+      .select(col("doc_id").as("doc_b"), explode(col("ids")).as("doc_a"))
+      .distinct()
+    cand
+      .join(narr.select(col("doc_id").as("doc_b"), col("hs").as("__hb")), "doc_b")
+      .join(arrIdx.select(col("doc_id").as("doc_a"), col("hs").as("__ha")), "doc_a")
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__ha")) + size(col("__hb")) - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 16-bit SimHash from the high bit of each hex nibble of md5(token):
     * bit b of the signature is the sign of the sum over tokens of
     * (+1 if nibble b of md5(token) >= 8 else -1). Integer arithmetic only,

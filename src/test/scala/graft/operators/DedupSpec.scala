@@ -85,6 +85,39 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
       .count() shouldBe 1L
   }
 
+  test("incremental LSH: batch-vs-corpus pairs only, index reused across probes") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base), (2L, base + " lambda"), (3L, "totally different words here entirely now ok fine")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                    // near-dup of corpus 1 and 2
+      (11L, "nothing in common with anything else at all whatsoever")
+    ).toDF("doc_id", "text")
+    val (arrIdx, bandIdx) = Dedup.lshIndex(corpus, k = 3, numPerm = 16, bands = 4)
+    try {
+      val out = Dedup.nearDupsAgainstIndex(batch, arrIdx, bandIdx,
+        k = 3, numPerm = 16, bands = 4, threshold = 0.5)
+      val pairs = out.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      pairs should contain((1L, 10L))
+      // every reported pair is corpus × batch — never within one side
+      pairs.foreach { case (a, b) =>
+        a % 10 should not be 0
+        withClue(s"batch side of ($a,$b): ") { b shouldBe 10L +- 5L }
+      }
+      // a second batch probes the SAME index (no corpus re-hash): results
+      // are consistent and the index caches are still registered
+      val out2 = Dedup.nearDupsAgainstIndex(
+        Seq((20L, base + " lambda")).toDF("doc_id", "text"), arrIdx, bandIdx,
+        k = 3, numPerm = 16, bands = 4, threshold = 0.5)
+      out2.select($"doc_a").as[Long].collect().toSet should contain(2L)
+    } finally {
+      arrIdx.unpersist(blocking = true)
+      bandIdx.unpersist(blocking = true)
+    }
+  }
+
   test("dedup operators pin no storage across repeated invocations (cache-leak lifecycle)") {
     val sc = spark.sparkContext
     spark.catalog.clearCache()
