@@ -54,12 +54,15 @@ object Bench {
     }
     println(fixed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f(v)}s" }
       .mkString("fixed-input (untimed in total): ", " ", ""))
-    // ms precision and a compact sf label: the driver snapshots only the
-    // last ~2 KB of stdout, and a full-precision 75-query line overflowed
-    // that window (round 4 recorded a truncated, unparseable tail). Keep
-    // this line comfortably under 2000 chars so every timing survives —
-    // and keep it LAST so any truncation eats the line above, not this one.
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    // compact precision and sf label: the driver snapshots only the last
+    // ~2 KB of stdout, and a full-precision 75-query line overflowed that
+    // window (round 4 recorded a truncated, unparseable tail). Queries at
+    // 100 ms+ report centiseconds (82 queries × ~22 chars must stay
+    // comfortably under 2000) — and the line stays LAST so any truncation
+    // eats the line above, not this one.
+    def fq(v: Double): String =
+      if (v >= 0.1) "%.2f".formatLocal(java.util.Locale.ROOT, v) else f(v)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfLabel = new java.io.File(sfDir).getName
