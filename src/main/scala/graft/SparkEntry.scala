@@ -812,6 +812,22 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("double") / lit(60.0))
         .select(col("doc_id"))),
 
+    // F17 (beyond reference): time-series gap-fill — densify each user's
+    // hourly grid between their first and last event and zero-fill missing
+    // hours. The grid generates per key (explode of a bounded sequence),
+    // so no global calendar table and no cross join; both joins are keyed.
+    "f17_hour_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        (floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("hr"))
+      val hours = ev.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+      val counts = ev.groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("n"))
+      hours.join(counts, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n_events"))
+    }),
+
     // incremental LSH dedup: corpus (doc_id % 10 != 0) is indexed once;
     // the new batch (doc_id % 10 == 0) probes the index — per-batch cost
     // O(|batch| + collisions), never a corpus re-hash. Result persisted
@@ -1670,6 +1686,16 @@ object SparkEntry {
         |   6) AS score
         | FROM d CROSS JOIN st) t
         |WHERE score > 0""".stripMargin,
+
+    "f17_hour_gapfill" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hr
+        | FROM events),
+        |b AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM e GROUP BY 1),
+        |h AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS hr FROM b),
+        |c AS (SELECT user_id, hr, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT h.user_id, h.hr, coalesce(c.n, 0) AS n_events
+        |FROM h LEFT JOIN c ON h.user_id = c.user_id AND h.hr = c.hr""".stripMargin,
 
     // the raw range-predicate join IS the semantic definition the bucketed
     // equi-join must reproduce (half-open [start, end))
