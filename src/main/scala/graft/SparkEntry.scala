@@ -835,7 +835,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (arrIdx, bandIdx) = Dedup.lshIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), k = 5, numPerm = 16, bands = 4)
+        docs.filter(col("doc_id") % 10 =!= 0), k = 5, numPerm = 16, bands = 4,
+        eager = false) // one-shot build-probe: the probe's count fills all caches
       val out = Dedup.nearDupsAgainstIndex(
           docs.filter(col("doc_id") % 10 === 0), arrIdx, bandIdx,
           k = 5, numPerm = 16, bands = 4, threshold = 0.5)

@@ -371,8 +371,15 @@ object Dedup {
     * fraction of the corpus is indistinguishable from chance and only
     * fans out probe joins).
     */
+  /** `eager = false` skips the materializing action: the caches are still
+    * CacheManager-registered and fill inside the FIRST probe's action —
+    * right for a build-probe-release composition that runs exactly once
+    * (one job instead of two); keep the eager default when the index
+    * outlives its first probe, so later probes never race a cold cache.
+    */
   def lshIndex(corpus: DataFrame, k: Int, numPerm: Int, bands: Int,
-               maxBucket: Long = DefaultMaxBucket): (DataFrame, DataFrame) = {
+               maxBucket: Long = DefaultMaxBucket,
+               eager: Boolean = true): (DataFrame, DataFrame) = {
     val arr = docShingleHashes(spread(corpus), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandIdx = lshBands(minhashSignatures(arr, numPerm), numPerm, bands)
@@ -380,7 +387,8 @@ object Dedup {
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandIdx.count() // one action fills BOTH caches (bandIdx reads through arr)
+    if (eager)
+      bandIdx.count() // one action fills BOTH caches (bandIdx reads through arr)
     (arr, bandIdx)
   }
 
