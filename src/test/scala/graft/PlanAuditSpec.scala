@@ -92,6 +92,32 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("jaccard: df-cut and self-join are co-located — no broadcast, no array re-join") {
+    val p = plan("dedup_ngram_jaccard")
+    // the over-cap anti-join and the posting self-join both ride the one
+    // h31 exchange: a BroadcastExchange would mean the df-cut went back
+    // through the driver; array_intersect would mean the verify stage
+    // re-joined the per-doc arrays instead of counting join hits
+    p should not include "BroadcastExchange"
+    p should not include "array_intersect"
+    p should include("LeftAnti")
+  }
+
+  test("ann_lsh tail: probes broadcast; dedup-agg and top-k window share one exchange") {
+    val p = plan("ann_lsh")
+    p should include("BroadcastExchange") // the probe set
+    // the corpus side exchanges exactly once (the explicit query_id
+    // repartition), satisfying both the aggregation and the window
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("pack_sequences: no global-sort window — cumsum partitions by range bucket") {
+    val p = plan("pack_sequences")
+    p should include("Window")
+    p should not include "Exchange rangepartitioning" // no single-task global sort
+    p should include("_b")
+  }
+
   test("AQE re-plans the executed join at runtime (coalesced shuffle read)") {
     val li = Tables.lineitem(spark, sf0001)
     val ord = Tables.orders(spark, sf0001)
