@@ -115,8 +115,54 @@ object PrefixJoinStrategy extends Strategy {
   }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftPlanExtensions` wiring. */
+/** `spark.sql.extensions=graft.plans.GraftPlanExtensions` wiring: the
+  * planner strategy plus SQL registration of the native expressions, so
+  * `spark.sql("SELECT graft_simhash16(text) ...")` reaches the same
+  * codegen'd kernels as the Column API — the pure-SQL user gets the full
+  * engine surface.
+  */
 class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+  import graft.functions._
+
+  /** The scalar parameters of the fused expressions (shingle width,
+    * permutation count, distance cap) must be LITERAL in SQL — they are
+    * compiled into the generated code, not evaluated per row.
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $e")
+  }
+
+  private def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingles" -> { args =>
+      ShingleArray(args.head, litInt(args(1), "graft_shingles", "k"))
+    },
+    "graft_shingle_hash31" -> { args =>
+      ShingleHash31Array(args.head, litInt(args(1), "graft_shingle_hash31", "k"))
+    },
+    "graft_minhash_sig" -> { args =>
+      MinhashSigArray(args.head, litInt(args(1), "graft_minhash_sig", "numPerm"))
+    },
+    "graft_array_pairs" -> { args => ArrayPairs(args.head) },
+    "graft_simhash16" -> { args => SimHash16(args.head) },
+    "graft_rolling_hash" -> { args => RollingHash(args.head) },
+    "graft_bounded_levenshtein" -> { args =>
+      BoundedLevenshtein(args.head, args(1),
+        litInt(args(2), "graft_bounded_levenshtein", "maxDist"))
+    },
+    "graft_vec_dot" -> { args => DotProduct(args.head, args(1)) },
+    "graft_vec_cosine" -> { args => CosineSimilarity(args.head, args(1)) },
+    "graft_vec_norm" -> { args => VectorNorm(args.head) })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => PrefixJoinStrategy)
+    fns.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+  }
 }

@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The SQL registration of the native expressions
+  * ([[GraftPlanExtensions]]): pure-SQL calls must reach the same kernels
+  * as the Column API — parity checked value-for-value.
+  */
+class SqlFunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private lazy val docs = {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlfn_docs")
+    spark.table("sqlfn_docs")
+  }
+
+  test("text kernels via spark.sql equal the Column API") {
+    docs // force view registration
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    val api = docs.select($"doc_id",
+      shingle_array($"text", 3).as("sh"),
+      shingle_hash31_array($"text", 3).as("hs"),
+      simhash16($"text").as("sim"),
+      rolling_hash($"text").as("rh")).collect()
+    val sql = spark.sql(
+      """SELECT doc_id, graft_shingles(text, 3) AS sh,
+        | graft_shingle_hash31(text, 3) AS hs,
+        | graft_simhash16(text) AS sim, graft_rolling_hash(text) AS rh
+        |FROM sqlfn_docs""".stripMargin).collect()
+    sql.map(_.toSeq) shouldBe api.map(_.toSeq)
+  }
+
+  test("minhash signature and bounded levenshtein via SQL") {
+    docs
+    val sig = spark.sql(
+      """SELECT graft_minhash_sig(graft_shingle_hash31(text, 3), 4) AS sig
+        |FROM sqlfn_docs WHERE doc_id = 1""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    sig.length shouldBe 4
+    val lev = spark.sql(
+      "SELECT graft_bounded_levenshtein('kitten', 'sitting', 5) AS d")
+      .collect()(0).getLong(0)
+    lev shouldBe 3L
+  }
+
+  test("vector kernels via SQL: dot, cosine, norm") {
+    val r = spark.sql(
+      """SELECT graft_vec_dot(a, b) AS d, graft_vec_cosine(a, b) AS c,
+        | graft_vec_norm(a) AS n
+        |FROM VALUES (array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS t(a, b)""".stripMargin)
+      .collect()(0)
+    r.getDouble(0) shouldBe 0.0
+    r.getDouble(1) shouldBe 0.0
+    r.getDouble(2) shouldBe 1.0
+  }
+
+  test("non-literal scalar parameter fails with a clear message") {
+    docs
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, doc_id) FROM sqlfn_docs").collect()
+    }
+    e.getMessage should include("integer literal")
+  }
+}
