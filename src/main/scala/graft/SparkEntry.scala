@@ -812,6 +812,13 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("double") / lit(60.0))
         .select(col("doc_id"))),
 
+    // domain mixing: rebalance the corpus to target language proportions
+    // (en-heavy) — bounded per-group aggregate + content-hash thinning
+    "sample_mix" -> ((s, d) =>
+      operators.Sampling.mixToWeights(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+        .select(col("doc_id"), col("lang"))),
+
     // F17 (beyond reference): time-series gap-fill — densify each user's
     // hourly grid between their first and last event and zero-fill missing
     // hours. The grid generates per key (explode of a bounded sequence),
@@ -1687,6 +1694,22 @@ object SparkEntry {
         |   6) AS score
         | FROM d CROSS JOIN st) t
         |WHERE score > 0""".stripMargin,
+
+    // identical scale rule: binding group kept whole, others thinned by
+    // the same md5-prefix uniform as sample_weighted
+    "sample_mix" ->
+      """WITH w(lang, wt) AS (VALUES
+        |  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+        |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |  ('zh', CAST(0.15 AS DOUBLE))),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT min(CAST(n AS DOUBLE) / wt) AS scale FROM c JOIN w USING (lang)),
+        |f AS (SELECT c.lang, least(1.0, w.wt * s.scale / CAST(c.n AS DOUBLE)) AS frac
+        |      FROM c JOIN w ON c.lang = w.lang CROSS JOIN s)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN f ON d.lang = f.lang
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      < f.frac * 4294967296.0""".stripMargin,
 
     "f17_hour_gapfill" ->
       """WITH e AS (

@@ -36,6 +36,50 @@ object Sampling {
     df.filter(hNum.cast("double") < p * 4294967296.0)
   }
 
+  /** Domain mixing to target proportions: downsample each group of
+    * `groupCol` so the output distribution over groups matches `weights`
+    * (relative, need not sum to 1) while keeping as many rows as possible —
+    * the binding group (largest count/weight deficit) is kept whole and
+    * every other group thins to match. The canonical re-balance step of
+    * corpus curation ("40% web, 30% books, 30% code"), as ONE bounded
+    * per-group aggregate (driver state ≤ #groups) plus a narrow
+    * content-hash Bernoulli filter — same determinism contract as
+    * [[weightedBernoulli]].
+    *
+    * Groups absent from `weights` are dropped (weight 0). A weighted group
+    * absent from the data just caps what the others can scale against —
+    * reported proportions then match the weights restricted to present
+    * groups. Output proportions are exact in expectation (hash-uniform
+    * thinning), not row-exact: use [[stratified]] for exact quotas.
+    */
+  def mixToWeights(df: DataFrame, groupCol: String, key: String,
+                   weights: Map[String, Double], maxGroups: Int = 100000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixToWeights: weights must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .limit(maxGroups + 1).collect()
+    require(counts.length <= maxGroups,
+      s"mixToWeights: over $maxGroups distinct values of '$groupCol'")
+    val present = counts.collect {
+      case r if r.get(0) != null && weights.contains(r.get(0).toString) =>
+        r.get(0).toString -> r.getLong(1)
+    }.toMap
+    if (present.isEmpty) return df.filter(lit(false))
+    val scale = present.map { case (g, n) => n.toDouble / weights(g) }.min
+    val fracRows = present.toSeq.map { case (g, n) =>
+      org.apache.spark.sql.Row(g, math.min(1.0, weights(g) * scale / n))
+    }
+    val fracs = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(fracRows: _*),
+      StructType(Seq(df.schema(groupCol).copy(name = "_g"),
+        StructField("_frac", org.apache.spark.sql.types.DoubleType))))
+    val hNum = conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(fracs), col(groupCol) === col("_g"))
+      .filter(hNum.cast("double") < col("_frac") * 4294967296.0)
+      .drop("_g", "_frac")
+  }
+
   /** Up to `quota` rows per distinct value of `stratum`, chosen by md5 rank
     * of `key`.
     *

@@ -25,6 +25,32 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     frac should (be > 0.2 and be < 0.4)
   }
 
+  test("mixToWeights rebalances toward targets, keeps the binding group whole") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Sampling.mixToWeights(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unweighted languages are dropped entirely
+    got.keySet shouldBe Set("en", "de", "fr")
+    // the binding group (max count/weight deficit) survives whole
+    val binding = Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+      .minBy { case (g, w) => src(g).toDouble / w }._1
+    got(binding) shouldBe src(binding)
+    // realized proportions within sampling tolerance of the targets
+    val total = got.values.sum.toDouble
+    (got("en") / total) shouldBe 0.5 +- 0.1
+    (got("de") / total) shouldBe 0.25 +- 0.08
+    // deterministic: identical keep-set on re-execution
+    def ids = Sampling.mixToWeights(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+      .select($"doc_id").as[Long].collect().toSet
+    ids shouldBe ids
+  }
+
   test("stratified respects the per-stratum quota and samples only input rows") {
     val out = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 10)
     val perStratum = out.groupBy("o_orderstatus").count().collect()
