@@ -48,18 +48,6 @@ object Dedup {
   // single-file local table; that exchange ships the full text for a
   // one-file problem the cluster doesn't have.)
 
-  /** Spread docs across the shuffle width. Deliberately UNPINNED
-    * (`repartition(col)`, not `repartition(n, col)`): AQE sizes the
-    * post-shuffle stage by shuffled bytes, which is the right call at both
-    * ends of the scale — a 100 TB corpus blows past the advisory size and
-    * keeps full cluster width, while a tiny corpus coalesces to a few
-    * tasks instead of paying per-task launch overhead on near-empty
-    * partitions (measured on local[32]: a pinned 32-task stage costs
-    * ~300 ms wall in scheduling alone, several times the serialized
-    * hashing work it was meant to parallelize).
-    */
-  private def spread(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
 
   def exactGroups(docs: DataFrame): DataFrame =
     docs
@@ -237,7 +225,7 @@ object Dedup {
     */
   def lshCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
                     maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val arr = docShingleHashes(spread(docs), k)
+    val arr = docShingleHashes(docs, k)
     val (cand, cleanup) = lshCandidatesLazy(arr, numPerm, bands, maxBucket)
     val out = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
@@ -289,7 +277,12 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxPostings: Long = 1000000L): DataFrame = {
-    val arr = docShingleHashes(spread(docs), k)
+    // hashing runs INSIDE the scan stage (parallel over file splits at
+    // corpus scale — same reasoning as exactGroups); the posting exchange
+    // then carries 20-byte (doc, size, h31) rows. An earlier revision
+    // repartitioned raw docs first to parallelize single-file local
+    // hashing — that exchange shipped the full text and cost a stage.
+    val arr = docShingleHashes(docs, k)
     // each posting row carries its doc's set size alongside the shingle
     // hash (+8 bytes/row): the candidate aggregation below then has both
     // |A| and |B| in hand — no sizes side-table, no second corpus scan.
@@ -347,7 +340,9 @@ object Dedup {
     // narrow source (one input file = one partition locally; one task per
     // file at scale) would otherwise leave the md5-heavy shingle hashing
     // single-task.
-    val arr = docShingleHashes(spread(docs), k)
+    // hashing in the scan stage (file-split parallel at scale; see
+    // jaccardPairs) — the persist then caches compact hash arrays
+    val arr = docShingleHashes(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cand, candCleanup) = lshCandidatesLazy(arr, numPerm, bands, maxBucket)
     val result = verifyPairs(cand, arr, threshold)
@@ -380,7 +375,7 @@ object Dedup {
   def lshIndex(corpus: DataFrame, k: Int, numPerm: Int, bands: Int,
                maxBucket: Long = DefaultMaxBucket,
                eager: Boolean = true): (DataFrame, DataFrame) = {
-    val arr = docShingleHashes(spread(corpus), k)
+    val arr = docShingleHashes(corpus, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandIdx = lshBands(minhashSignatures(arr, numPerm), numPerm, bands)
       .groupBy(col("band"), col("bh"))
@@ -402,7 +397,7 @@ object Dedup {
   def nearDupsAgainstIndex(newDocs: DataFrame, arrIdx: DataFrame,
                            bandIdx: DataFrame, k: Int, numPerm: Int,
                            bands: Int, threshold: Double): DataFrame = {
-    val narr = docShingleHashes(spread(newDocs), k)
+    val narr = docShingleHashes(newDocs, k)
     val nbands = lshBands(minhashSignatures(narr, numPerm), numPerm, bands)
     val cand = nbands.join(bandIdx, Seq("band", "bh"))
       .select(col("doc_id").as("doc_b"), explode(col("ids")).as("doc_a"))
