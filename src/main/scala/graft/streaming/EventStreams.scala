@@ -64,6 +64,22 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Deterministic stream sampling: keep `fraction` of events decided by
+    * the 32-bit md5 prefix of `key` — a stateless narrow filter, so it
+    * composes with any downstream streaming operator. The content-derived
+    * decision is what makes it STREAM-SAFE: a `rand()`-based sample breaks
+    * exactly-once on micro-batch replay (a retried batch re-draws and
+    * emits a different subset), while this filter admits the identical
+    * rows however many times a batch is re-executed. Same convention as
+    * the batch `Sampling.weightedBernoulli` (a constant weight).
+    */
+  def sampleStream(events: DataFrame, key: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val hNum = conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    events.filter(hNum.cast("double") < fraction * 4294967296.0)
+  }
+
   /** Stream-static enrichment: the static side is broadcast and re-resolved
     * per micro-batch (a dim refresh is picked up without restarting).
     */

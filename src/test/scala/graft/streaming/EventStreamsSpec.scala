@@ -41,6 +41,26 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     got.except(expect).count() shouldBe 0L
   }
 
+  test("sampleStream keeps the identical subset as the batch filter (replay-safe)") {
+    val input = MemoryStream[Event]
+    val evs = (1L to 200L).map(i => ev(i, f"2024-01-01 00:${i % 60}%02d:00"))
+    input.addData(evs: _*)
+    val q = runStream(input,
+      EventStreams.sampleStream(input.toDF(), "event_id", 0.3), "sampled")
+    try {
+      val streamed = spark.table("sampled").select($"event_id").as[Long].collect().toSet
+      // batch reference over the same rows: identical keep-set
+      val batch = EventStreams.sampleStream(evs.toDF(), "event_id", 0.3)
+        .select($"event_id").as[Long].collect().toSet
+      streamed shouldBe batch
+      streamed.size.toDouble / 200 should (be > 0.2 and be < 0.4)
+      // fraction bounds enforced
+      intercept[IllegalArgumentException] {
+        EventStreams.sampleStream(evs.toDF(), "event_id", 1.5)
+      }
+    } finally q.stop()
+  }
+
   test("watermark drops late events in a MemoryStream") {
     val input = MemoryStream[Event]
     val agg = EventStreams.tumblingAgg(input.toDF(), window = "1 hour", lateness = "1 hour")
