@@ -812,6 +812,23 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("double") / lit(60.0))
         .select(col("doc_id"))),
 
+    // J8 (beyond reference): interval-overlap join via the same bin
+    // bucketing as J7 — kept exactly-once by the first-shared-bucket rule,
+    // no dedup shuffle. 90-min hour-grid windows × 3-hour user spans.
+    "j8_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val wins = ev
+        .select((floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("hr"))
+        .distinct()
+        .select((col("hr") - 900).as("w_start"), (col("hr") + 4500).as("w_end"))
+      val spans = ev.groupBy(col("user_id"))
+        .agg(min(col("ts").cast("long")).as("u_start"))
+        .select(col("user_id"), col("u_start"), (col("u_start") + 10800).as("u_end"))
+      operators.IntervalJoin.intervalOverlap(wins, "w_start", "w_end",
+          spans, "u_start", "u_end", bucketWidth = 3600L)
+        .select(col("w_start"), col("user_id"))
+    }),
+
     // domain mixing: rebalance the corpus to target language proportions
     // (en-heavy) — bounded per-group aggregate + content-hash thinning
     "sample_mix" -> ((s, d) =>
@@ -1694,6 +1711,21 @@ object SparkEntry {
         |   6) AS score
         | FROM d CROSS JOIN st) t
         |WHERE score > 0""".stripMargin,
+
+    // the raw overlap-predicate join IS the semantic definition (half-open
+    // on both sides)
+    "j8_interval_overlap" ->
+      """WITH wv AS (
+        | SELECT DISTINCT
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 - 900 AS w_start,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 4500 AS w_end
+        | FROM events),
+        |u AS (
+        | SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS u_start,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) + 10800 AS u_end
+        | FROM events GROUP BY 1)
+        |SELECT w_start, user_id
+        |FROM wv JOIN u ON w_start < u_end AND u_start < w_end""".stripMargin,
 
     // identical scale rule: binding group kept whole, others thinned by
     // the same md5-prefix uniform as sample_weighted

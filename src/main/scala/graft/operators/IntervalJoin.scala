@@ -52,4 +52,29 @@ object IntervalJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_pb")
   }
+
+  /** Interval-overlap join (half-open: overlap ⟺ `ls < re && rs < le`),
+    * same bin-bucketing rewrite. Both sides replicate to their overlapped
+    * buckets, so an overlapping pair can share SEVERAL buckets; the pair
+    * is kept only in the FIRST bucket both occupy — `max(floor(ls / W),
+    * floor(rs / W))` — which restores exactly-once output without any
+    * dedup shuffle (the filter is a per-row predicate on values already in
+    * hand). Column names must be disjoint across the two inputs.
+    */
+  def intervalOverlap(left: DataFrame, ls: String, le: String,
+                      right: DataFrame, rs: String, re: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "intervalOverlap: bucketWidth must be positive")
+    def bucketed(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("_b", explode(sequence(
+        expr(s"CAST(floor($s / ${bucketWidth}D) AS BIGINT)"),
+        expr(s"CAST(floor(($e - 1) / ${bucketWidth}D) AS BIGINT)"))))
+    bucketed(left, ls, le).join(bucketed(right, rs, re), Seq("_b"))
+      .filter(col(ls) < col(re) && col(rs) < col(le))
+      .filter(col("_b") === greatest(
+        expr(s"CAST(floor($ls / ${bucketWidth}D) AS BIGINT)"),
+        expr(s"CAST(floor($rs / ${bucketWidth}D) AS BIGINT)")))
+      .drop("_b")
+  }
 }

@@ -37,6 +37,26 @@ class IntervalJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     got.length shouldBe got.toSet.size
   }
 
+  test("intervalOverlap equals the nested-loop overlap definition, exactly once") {
+    val rights = Seq(
+      (20L, 90L, 210L), (21L, 155L, 156L), (22L, -80L, -40L), (23L, 500L, 400L)
+    ).toDF("rid", "rs", "re")
+    for (w <- Seq(1L, 9L, 50L, 777L)) {
+      val got = IntervalJoin.intervalOverlap(intervals, "s", "e", rights, "rs", "re", w)
+        .select($"iid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val exp = (for {
+        (iid, s, e) <- Seq((10L, 100L, 200L), (11L, 150L, 160L), (12L, -100L, 1L),
+          (13L, 300L, 300L), (14L, 400L, 350L))
+        (rid, rs, re) <- Seq((20L, 90L, 210L), (21L, 155L, 156L), (22L, -80L, -40L),
+          (23L, 500L, 400L))
+        if e > s && re > rs && s < re && rs < e
+      } yield (iid, rid))
+      withClue(s"w=$w: ") {
+        got.sorted shouldBe exp.sorted // set equality AND no duplicates
+      }
+    }
+  }
+
   test("plan is an equi-join on bucket ids, not a nested loop") {
     val plan = IntervalJoin.pointInInterval(points, "p", intervals, "s", "e", 10L)
       .queryExecution.executedPlan.toString
