@@ -61,7 +61,7 @@ object Bench {
     // comfortably under 2000) — and the line stays LAST so any truncation
     // eats the line above, not this one.
     def fq(v: Double): String =
-      if (v >= 0.1) "%.2f".formatLocal(java.util.Locale.ROOT, v) else f(v)
+      if (v >= 0.01) "%.2f".formatLocal(java.util.Locale.ROOT, v) else f(v)
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
