@@ -49,17 +49,19 @@ object Bench {
     // sf-scaled total so round-over-round totals stay comparable
     val fixed = SparkEntry.queries.filter(_._1.startsWith("chess_")).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failure must NOT masquerade as a fast timing: report -1
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     println(fixed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f(v)}s" }
       .mkString("fixed-input (untimed in total): ", " ", ""))
     // compact precision and sf label: the driver snapshots only the last
     // ~2 KB of stdout, and a full-precision 75-query line overflowed that
     // window (round 4 recorded a truncated, unparseable tail). Queries at
-    // 100 ms+ report centiseconds (82 queries × ~22 chars must stay
-    // comfortably under 2000) — and the line stays LAST so any truncation
-    // eats the line above, not this one.
+    // 10 ms+ report centiseconds — up to ±0.005 s quantization on the
+    // floor queries, noise next to the host's ±30% swings, and it keeps
+    // the 84-query line ~150 chars under the window. The line stays LAST
+    // so any truncation eats the line above, not this one.
     def fq(v: Double): String =
       if (v >= 0.01) "%.2f".formatLocal(java.util.Locale.ROOT, v) else f(v)
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fq(v) }

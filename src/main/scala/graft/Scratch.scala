@@ -35,6 +35,7 @@ object Scratch {
       fn(spark, sfDir).count() // warm
       spark.catalog.clearCache()
       Thread.sleep(300)
+      stageInfo = Nil // drop warm-pass stages: the table must profile ONLY the timed pass
       println(s"===== $q (timed pass) =====")
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)

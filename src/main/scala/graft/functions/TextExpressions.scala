@@ -151,7 +151,15 @@ object TextOps {
       if (n == 0 || raw(i) != raw(n - 1)) { raw(n) = raw(i); n += 1 }
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Long count first: n*(n-1)/2 overflows Int from n = 65536, silently
+    // sizing a negative/wrapped array. A single row cannot sensibly hold
+    // more pairs than this anyway — callers must route bigger id lists
+    // through a distributed self-join (see Dedup.lshCandidatesLazy).
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= 4194304L,
+      s"array_pairs: $n ids expand to $nPairs pairs in ONE row — cap the " +
+        "list (df-cut) or use a self-join for buckets this large")
+    val out = new Array[Any](nPairs.toInt)
     var idx = 0
     i = 0
     while (i < n) {

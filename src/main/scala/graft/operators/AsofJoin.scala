@@ -52,10 +52,19 @@ object AsofJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(tb(lPadded.unionByName(r))) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // the carried values travel as ONE struct: per-column `last(__r_c,
+    // ignoreNulls)` would treat a NULL inside the winning row as "look
+    // further back for THIS column" and stitch together columns from
+    // DIFFERENT tied rows — a row that never existed. The struct is
+    // non-null exactly for right rows, so one `last(ignoreNulls)` carries
+    // the winning row as a unit, NULLs and all.
+    val structed = tb(lPadded.unionByName(r)).withColumn("__rrow",
+      when(col("__side") === 0,
+        struct(valueCols.map(c => col(s"__r_$c").as(c)): _*)))
+    val carried = structed.withColumn("__c",
+      last(col("__rrow"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ valueCols.map(c => col(s"__c_$c").as(c))): _*)
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col(s"__c.$c").as(c))): _*)
   }
 }

@@ -180,8 +180,12 @@ object Dedup {
     */
   def dropOverCapKeys(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
     val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > cap).select(keyCols.map(col): _*)
-    df.join(broadcast(hot), keyCols, "left_anti")
+      .filter(col("__n") > cap).select(keyCols.map(c => col(c).as(s"__h_$c")): _*)
+    // null-SAFE anti condition: groupBy counts the NULL group, and a flood
+    // of null-keyed rows is exactly the degenerate case the cap must drop —
+    // a plain equi-anti-join (null ≠ null) would let every one survive
+    val cond = keyCols.map(c => df(c) <=> hot(s"__h_$c")).reduce(_ && _)
+    df.join(broadcast(hot), cond, "left_anti")
   }
 
   /** Candidate near-dup pairs: docs sharing at least one LSH band bucket.
@@ -198,24 +202,45 @@ object Dedup {
     * before expansion, bounding candidate count by bands * maxBucket^2 / 2
     * regardless of corpus skew.
     */
+  /** Largest id list whose m(m-1)/2 pair expansion may materialize in ONE
+    * row via the native `array_pairs` explode (~2M pairs ≈ 33 MB). Buckets
+    * between this and `maxBucket` go through a distributed self-join whose
+    * pairs STREAM out of the join iterator instead of materializing.
+    */
+  private val GatherPairLimit = 2048
+
   private[graft] def lshCandidatesLazy(
       arr: DataFrame, numPerm: Int, bands: Int,
       maxBucket: Long = DefaultMaxBucket): (DataFrame, () => Unit) = {
     // one hash shuffle on (band, bh) gathers each bucket's doc ids as a
-    // list; the df-cut is then a plain size filter and pair expansion is a
-    // narrow native explode ([[graft.functions.ArrayPairs]]) — no self-join
-    // (two exchanges + join), no separate over-cap count pass. The list is
-    // bounded by the largest bucket: a degenerate bucket materializes its
-    // id list once in one task (8 bytes/doc) BEFORE the size filter drops
-    // it — for floods far beyond DefaultMaxBucket pre-cut with
-    // [[dropOverCapKeys]]; at the default cap the worst task holds 800 KB.
+    // list; the df-cut is then a plain size filter. Pair expansion is
+    // two-path by bucket size: typical buckets (≤ GatherPairLimit ids)
+    // expand with the narrow native explode ([[graft.functions.ArrayPairs]]
+    // — no join, no extra exchange); rarer mid-size buckets (the df-cut
+    // admits up to maxBucket) self-join on the bucket key, because their
+    // pair count can exceed what one row may hold — the join streams pairs
+    // into the downstream aggregation with only the id list in memory.
+    // Both paths produce the identical pair set (same ids, a < b), so the
+    // split is invisible to the oracle semantics.
     val bandTable = lshBands(minhashSignatures(arr, numPerm), numPerm, bands)
-    val out = bandTable.groupBy(col("band"), col("bh"))
+    val buckets = bandTable.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val small = buckets.filter(size(col("ids")) <= GatherPairLimit)
       .select(explode(graft.functions.TextFunctions.array_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    val out =
+      if (maxBucket <= GatherPairLimit) small.distinct()
+      else {
+        val big = buckets.filter(size(col("ids")) > GatherPairLimit)
+          .select(col("band"), col("bh"), explode(col("ids")).as("id"))
+        val bigPairs = big.as("a").hint("shuffle_hash")
+          .join(big.as("b").hint("shuffle_hash"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        small.unionByName(bigPairs).distinct()
+      }
     (out, () => ())
   }
 

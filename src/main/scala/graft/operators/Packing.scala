@@ -48,9 +48,9 @@ object Packing {
     val r = docs.agg(min(col(idCol)).cast(LongType).as("lo"),
       max(col(idCol)).cast(LongType).as("hi")).collect()(0)
     if (r.isNullAt(0))
-      return docs.select(col(idCol), col(tokenCol),
+      return docs.select(col(idCol), col(tokenCol).cast(LongType).as(tokenCol),
         lit(0L).as("start_offset"), lit(0L).as("seq_id"), lit(0L).as("seq_offset"))
-        .limit(0)
+        .limit(0) // same LongType tokenCol as the non-empty path's schema
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val width = math.max(1L, (hi - lo) / buckets + 1)
     // integer DIV, not `/`: Spark's `/` on longs is double division, which

@@ -60,14 +60,17 @@ object Sampling {
       .limit(maxGroups + 1).collect()
     require(counts.length <= maxGroups,
       s"mixToWeights: over $maxGroups distinct values of '$groupCol'")
+    // weights are keyed by the group's STRING form; the Row keeps the RAW
+    // value so the broadcast-join frame matches the column's actual type
+    // (storing the string into e.g. an int-typed field fails at runtime)
     val present = counts.collect {
       case r if r.get(0) != null && weights.contains(r.get(0).toString) =>
-        r.get(0).toString -> r.getLong(1)
+        r.get(0) -> r.getLong(1)
     }.toMap
     if (present.isEmpty) return df.filter(lit(false))
-    val scale = present.map { case (g, n) => n.toDouble / weights(g) }.min
+    val scale = present.map { case (g, n) => n.toDouble / weights(g.toString) }.min
     val fracRows = present.toSeq.map { case (g, n) =>
-      org.apache.spark.sql.Row(g, math.min(1.0, weights(g) * scale / n))
+      org.apache.spark.sql.Row(g, math.min(1.0, weights(g.toString) * scale / n))
     }
     val fracs = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(fracRows: _*),

@@ -75,9 +75,9 @@ object EventStreams {
     */
   def sampleStream(events: DataFrame, key: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
-    val hNum = conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    events.filter(hNum.cast("double") < fraction * 4294967296.0)
+    // delegate to the batch operator: ONE definition of the hash-uniform
+    // convention, so batch/stream keep-set parity can never drift
+    graft.operators.Sampling.weightedBernoulli(events, key, lit(fraction))
   }
 
   /** Stream-static enrichment: the static side is broadcast and re-resolved

@@ -75,6 +75,22 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     Map(10.0 -> "a", 20.0 -> "b", 30.0 -> "c")(winner._1) shouldBe winner._2
   }
 
+  test("leftAsof carries NULLs inside the winning row instead of mixing tied rows") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1")).toDF("user_id", "ts", "name")
+    // two tied right rows, each with a NULL in a different carried column:
+    // per-column last(ignoreNulls) would stitch (10.0, "x") — a row that
+    // never existed; the struct carry must emit exactly one of the inputs
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(10.0), None: Option[String]),
+      (1L, ts("2024-01-01 09:00:00"), None: Option[Double], Some("x")))
+      .toDF("user_id", "ts", "ref_value", "ref_tag")
+    val r = AsofJoin.leftAsof(left, right, "user_id", "ts",
+      Seq("ref_value", "ref_tag")).head
+    val got = (Option(r.get(3)), Option(r.get(4)))
+    Set[(Option[Any], Option[Any])](
+      (Some(10.0), None), (None, Some("x"))) should contain(got)
+  }
+
   test("leftAsof preserves all left rows and columns") {
     val ev = graft.Tables.events(spark, sf0001)
     val refs = ev.filter($"event_id" % 7 === 0)
