@@ -17,8 +17,13 @@ object Bench {
       // stall tiny stages behind a phantom locality preference
       .config("spark.locality.wait", "0ms"))
     // chess_e2e reads the fixed-size reference sample, not the sf dir —
-    // excluded so bench numbers reflect sf scaling only
+    // excluded so bench numbers reflect sf scaling only. Sorted-name
+    // execution order: deterministic run-to-run (a Map's hash order is
+    // not), and it fixes WHICH query pays any shared-subtree build cost
+    // (the dedup family persists one hash-array/pair subtree; in sorted
+    // order dedup_clusters, the family's first, builds it)
     val benched = SparkEntry.queries.filterNot(_._1.startsWith("chess_"))
+      .toSeq.sortBy(_._1)
     // one untimed pass first: JVM/codegen/JIT, shuffle system, parquet
     // footers and OS page cache all warm, so the timed pass measures
     // steady-state query cost rather than whichever query runs first
@@ -36,7 +41,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
-      }
+      }.toMap
       spark.catalog.clearCache()
       r
     }

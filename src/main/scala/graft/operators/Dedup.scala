@@ -76,6 +76,13 @@ object Dedup {
     * bucket above the cap. */
   val DefaultMaxBucket: Long = 100000L
 
+  /** Posting-list df-cut shared by [[jaccardPairs]] AND the jaccard-family
+    * DuckDB oracles (SparkEntry.oracleSql mirrors it in their `pr` CTE), so
+    * the two engines agree even when the cap binds: over-cap shingles are
+    * excluded from intersections in BOTH engines while per-doc set sizes
+    * stay full-universe. */
+  val DefaultMaxPostings: Long = 1000000L
+
   /** Deterministic (multiplier, offset) pairs for h_i = (a*h + b) mod p —
     * shared by the Spark operator and the DuckDB oracle so both engines
     * realize the identical permutation family.
@@ -301,13 +308,22 @@ object Dedup {
     * formulation, re-measured for this one).
     */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
-                   maxPostings: Long = 1000000L): DataFrame = {
+                   maxPostings: Long = DefaultMaxPostings): DataFrame =
     // hashing runs INSIDE the scan stage (parallel over file splits at
     // corpus scale — same reasoning as exactGroups); the posting exchange
     // then carries 20-byte (doc, size, h31) rows. An earlier revision
     // repartitioned raw docs first to parallelize single-file local
     // hashing — that exchange shipped the full text and cost a stage.
-    val arr = docShingleHashes(docs, k)
+    jaccardPairsFromArr(docShingleHashes(docs, k), threshold, maxPostings)
+
+  /** [[jaccardPairs]] over a pre-built [[docShingleHashes]] table — the
+    * composition point for sharing ONE (possibly persisted) hash-array
+    * subtree across the whole dedup family: pairs at any threshold, LSH
+    * bands and incremental probes all derive from the same `arr`, so a
+    * session running several dedup queries hashes the corpus once.
+    */
+  def jaccardPairsFromArr(arr: DataFrame, threshold: Double,
+                          maxPostings: Long = DefaultMaxPostings): DataFrame = {
     // each posting row carries its doc's set size alongside the shingle
     // hash (+8 bytes/row): the candidate aggregation below then has both
     // |A| and |B| in hand — no sizes side-table, no second corpus scan.
@@ -361,20 +377,29 @@ object Dedup {
   def minhashLshDedup(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
                       threshold: Double, maxBucket: Long = DefaultMaxBucket): DataFrame = {
     // the array table feeds the signature/band pipeline and both verify
-    // sides — materialize it once. Hash-repartition by doc_id first: a
-    // narrow source (one input file = one partition locally; one task per
-    // file at scale) would otherwise leave the md5-heavy shingle hashing
-    // single-task.
-    // hashing in the scan stage (file-split parallel at scale; see
-    // jaccardPairs) — the persist then caches compact hash arrays
+    // sides — materialize it once. Hashing runs in the scan stage
+    // (file-split parallel at scale; see jaccardPairs) — the persist then
+    // caches compact hash arrays.
     val arr = docShingleHashes(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = minhashLshDedupFromArr(arr, numPerm, bands, threshold, maxBucket)
+    arr.unpersist(blocking = false)
+    result
+  }
+
+  /** [[minhashLshDedup]] over a pre-built (caller-managed, ideally
+    * persisted) [[docShingleHashes]] table — see [[jaccardPairsFromArr]]
+    * for the family-sharing rationale. The result is eager and
+    * CacheManager-registered; `arr`'s lifecycle stays with the caller.
+    */
+  def minhashLshDedupFromArr(arr: DataFrame, numPerm: Int, bands: Int,
+                             threshold: Double,
+                             maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val (cand, candCleanup) = lshCandidatesLazy(arr, numPerm, bands, maxBucket)
     val result = verifyPairs(cand, arr, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count() // the one action: every upstream cache fills inside it
     candCleanup()
-    arr.unpersist(blocking = false)
     result
   }
 
@@ -421,8 +446,28 @@ object Dedup {
     */
   def nearDupsAgainstIndex(newDocs: DataFrame, arrIdx: DataFrame,
                            bandIdx: DataFrame, k: Int, numPerm: Int,
-                           bands: Int, threshold: Double): DataFrame = {
-    val narr = docShingleHashes(newDocs, k)
+                           bands: Int, threshold: Double): DataFrame =
+    nearDupsAgainstIndexArr(docShingleHashes(newDocs, k), arrIdx, bandIdx,
+      numPerm, bands, threshold)
+
+  /** The lazy band-bucket index of [[lshIndex]] from a pre-built hash-array
+    * table (caller-managed lifecycle — see [[jaccardPairsFromArr]]).
+    */
+  def bandIndexFromArr(arr: DataFrame, numPerm: Int, bands: Int,
+                       maxBucket: Long = DefaultMaxBucket): DataFrame =
+    lshBands(minhashSignatures(arr, numPerm), numPerm, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+
+  /** [[nearDupsAgainstIndex]] with the batch's hash arrays pre-built —
+    * lets a caller holding one persisted full-corpus array table carve
+    * both the index side and the batch side out of it with narrow filters
+    * instead of re-hashing either.
+    */
+  def nearDupsAgainstIndexArr(narr: DataFrame, arrIdx: DataFrame,
+                              bandIdx: DataFrame, numPerm: Int,
+                              bands: Int, threshold: Double): DataFrame = {
     val nbands = lshBands(minhashSignatures(narr, numPerm), numPerm, bands)
     val cand = nbands.join(bandIdx, Seq("band", "bh"))
       .select(col("doc_id").as("doc_b"), explode(col("ids")).as("doc_a"))
@@ -573,6 +618,94 @@ object Dedup {
     out
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): round count is O(log n) on ANY graph shape — the
+    * adversarial-diameter alternative to [[duplicateClusters]], whose
+    * min-label propagation needs diameter-many rounds (1-2 for the
+    * clique-shaped clusters near-dup pairs produce — which is why it stays
+    * the default — but thousands on a pathological chain graph). Same
+    * input/output contract and lifecycle as [[duplicateClusters]].
+    *
+    * Representation: edges live CANONICALLY as (hi, lo), hi > lo, distinct.
+    *  - large-star connects every neighbor v > u to m = min(Γ(u) ∪ u):
+    *    emitted pairs (v, m) keep the canonical orientation for free;
+    *  - small-star connects the smaller neighbors (and u itself) of each u
+    *    to m = min(Γ⁻(u)); m ≤ lo < hi keeps orientation again.
+    * Each round is two hash-join/aggregate passes partitioned by vertex —
+    * no driver graph state; lineage truncated per round like the min-label
+    * loop. Convergence = the canonical edge set reached a fixpoint, checked
+    * EXACTLY (count equality + one anti-join emptiness — no hash-sum
+    * approximation that could false-converge); at the fixpoint the graph is
+    * a star forest, so every non-root vertex holds exactly the edge
+    * (v, component-min) and labels read off the edge list.
+    */
+  def duplicateClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    duplicateClustersStarWithRounds(pairs, maxIter)._1
+
+  private[graft] def duplicateClustersStarWithRounds(
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical distinct (hi, lo) edges; self-pairs carry no signal
+    var (edges, edgeIds) = checkpointTracked(
+      pairs.filter(col("doc_a") =!= col("doc_b"))
+        .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+          least(col("doc_a"), col("doc_b")).as("lo"))
+        .distinct())
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
+    var rounds = 0
+    // LARGE-STAR over the symmetric view: for each center u, every
+    // strictly-larger neighbor re-hangs onto m = min(Γ(u) ∪ u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mL = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mL, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    // SMALL-STAR over the canonical orientation: each center's smaller
+    // neighborhood (plus the center) re-hangs onto its minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val mS = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val j = e.join(mS, "hi")
+      j.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(j.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+    while (!converged && rounds < maxIter) {
+      // TWO large-stars per round: each is the pointer-doubling step (on a
+      // chain it doubles the hop stride), so doubling up quadruples the
+      // stride per round — ~log4 instead of ~log2 total rounds, with the
+      // same per-pass cost and half the checkpoint/convergence overhead
+      val next = smallStar(largeStar(largeStar(edges)))
+      val (nextEdges, nNext, nextIds) = checkpointCounted(next, identity)
+      // exact fixpoint test: same cardinality and next ⊆ edges ⟹ equal
+      converged = nNext == nEdges &&
+        nextEdges.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      freeCheckpoints(edges, edgeIds)
+      edges = nextEdges
+      edgeIds = nextIds
+      nEdges = nNext
+      rounds += 1
+    }
+    // star forest: every non-root vertex carries exactly (v, root); roots
+    // and (degenerate) isolated inputs label themselves
+    val verts = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val out = verts
+      .join(edges.select(col("hi").as("doc_id"), col("lo").as("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    freeCheckpoints(edges, edgeIds)
+    (out, rounds)
+  }
+
   /** The user-facing endgame of corpus dedup: resolve near-dup pairs to
     * clusters, keep ONE representative per cluster (longest text, ties to
     * the smallest doc_id), pass singleton docs through untouched, and
@@ -582,6 +715,18 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = duplicateClusters(pairs) // persisted by contract
+    val result = keepBestPerCluster(docs, labels)
+    labels.unpersist(blocking = false)
+    result
+  }
+
+  /** The keep-one endgame over a PRECOMPUTED cluster labeling (the
+    * [[duplicateClusters]] output, or any (doc_id, component) table) —
+    * lets a caller that already holds a persisted labeling (e.g. one
+    * shared across several queries) skip re-running the CC loop. `labels`'
+    * lifecycle stays with the caller.
+    */
+  def keepBestPerCluster(docs: DataFrame, labels: DataFrame): DataFrame = {
     val labeled = docs.join(labels, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
@@ -594,7 +739,6 @@ object Dedup {
       .select((docs.columns.map(col) :+ col("component") :+ col("n_in_cluster")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    labels.unpersist(blocking = false)
     result
   }
 

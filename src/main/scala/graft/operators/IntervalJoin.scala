@@ -30,27 +30,37 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Exact floor-division of an integer column by positive `w`, valid over
+    * the FULL Long domain: integer `DIV` truncates toward zero, so the
+    * quotient is lowered by one when the remainder is negative. (The
+    * earlier `floor(x / w)` double formulation silently lost exactness
+    * past 2^53 — the same precision cliff Packing avoids with DIV.)
+    */
+  private def floorDiv(x: String, w: Long): org.apache.spark.sql.Column =
+    expr(s"(($x) DIV ${w}L) - (CASE WHEN ($x) % ${w}L < 0 THEN 1 ELSE 0 END)")
+
   /** Inner point-in-interval join: every column of `points` plus every
     * column of `intervals`, one output row per (point, containing
     * interval). `pointCol`, `startCol` (inclusive) and `endCol` (exclusive)
     * must be INTEGER-valued (epoch seconds/millis — the last-overlapped
-    * bucket is `floor((end - 1) / W)`, which assumes a unit-granular
-    * domain; magnitudes must stay under 2^53 for the floor-division).
+    * bucket is `floorDiv(end - 1, W)`, which assumes a unit-granular
+    * domain). Column names must be disjoint across the two inputs (the
+    * output carries both sides unqualified), and neither side may already
+    * contain the injected bucket column `__graft_pb`.
     */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "pointInInterval: bucketWidth must be positive")
-    val p = points.withColumn("_pb",
-      expr(s"CAST(floor($pointCol / ${bucketWidth}D) AS BIGINT)"))
+    val p = points.withColumn("__graft_pb", floorDiv(pointCol, bucketWidth))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
-      .withColumn("_pb", explode(sequence(
-        expr(s"CAST(floor($startCol / ${bucketWidth}D) AS BIGINT)"),
-        expr(s"CAST(floor(($endCol - 1) / ${bucketWidth}D) AS BIGINT)"))))
-    p.join(iv, Seq("_pb"))
+      .withColumn("__graft_pb", explode(sequence(
+        floorDiv(startCol, bucketWidth),
+        floorDiv(s"$endCol - 1", bucketWidth))))
+    p.join(iv, Seq("__graft_pb"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("_pb")
+      .drop("__graft_pb")
   }
 
   /** Interval-overlap join (half-open: overlap ⟺ `ls < re && rs < le`),
@@ -59,7 +69,9 @@ object IntervalJoin {
     * is kept only in the FIRST bucket both occupy — `max(floor(ls / W),
     * floor(rs / W))` — which restores exactly-once output without any
     * dedup shuffle (the filter is a per-row predicate on values already in
-    * hand). Column names must be disjoint across the two inputs.
+    * hand). Column names must be disjoint across the two inputs, and
+    * neither side may already contain the injected bucket column
+    * `__graft_b`.
     */
   def intervalOverlap(left: DataFrame, ls: String, le: String,
                       right: DataFrame, rs: String, re: String,
@@ -67,14 +79,13 @@ object IntervalJoin {
     require(bucketWidth > 0, "intervalOverlap: bucketWidth must be positive")
     def bucketed(df: DataFrame, s: String, e: String) = df
       .filter(col(e) > col(s))
-      .withColumn("_b", explode(sequence(
-        expr(s"CAST(floor($s / ${bucketWidth}D) AS BIGINT)"),
-        expr(s"CAST(floor(($e - 1) / ${bucketWidth}D) AS BIGINT)"))))
-    bucketed(left, ls, le).join(bucketed(right, rs, re), Seq("_b"))
+      .withColumn("__graft_b", explode(sequence(
+        floorDiv(s, bucketWidth),
+        floorDiv(s"$e - 1", bucketWidth))))
+    bucketed(left, ls, le).join(bucketed(right, rs, re), Seq("__graft_b"))
       .filter(col(ls) < col(re) && col(rs) < col(le))
-      .filter(col("_b") === greatest(
-        expr(s"CAST(floor($ls / ${bucketWidth}D) AS BIGINT)"),
-        expr(s"CAST(floor($rs / ${bucketWidth}D) AS BIGINT)")))
-      .drop("_b")
+      .filter(col("__graft_b") === greatest(
+        floorDiv(ls, bucketWidth), floorDiv(rs, bucketWidth)))
+      .drop("__graft_b")
   }
 }

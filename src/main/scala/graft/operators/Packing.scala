@@ -33,9 +33,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Packing {
 
-  /** Pack `docs` (must have unique, non-null numeric `idCol`; `tokenCol` long) into
-    * sequences of `capacity` tokens. Returns one row per document:
-    * (idCol, tokenCol, start_offset, seq_id, seq_offset).
+  /** Pack `docs` (must have unique, non-null numeric `idCol`; `tokenCol`
+    * long, non-null) into sequences of `capacity` tokens. Returns one row
+    * per document: (idCol, tokenCol, start_offset, seq_id, seq_offset).
+    * Null ids or token counts violate the contract and fail fast with a
+    * named error (a null would otherwise poison the bucket totals into a
+    * bare NPE / silently skip rows in the cumsum). `docs` must not already
+    * contain the injected working columns `__graft_b` / `__graft_cum` /
+    * `__graft_off`.
     *
     * `buckets` caps the driver-side offset state (one long per bucket).
     */
@@ -45,8 +50,14 @@ object Packing {
     val spark = docs.sparkSession
     // id range → monotone bucket width (ceil so the max id still lands in
     // the last bucket). Empty input short-circuits: no range to bucket.
+    // The null-contract check rides the SAME action (zero extra jobs):
+    // min/max skip nulls, so they are counted explicitly.
     val r = docs.agg(min(col(idCol)).cast(LongType).as("lo"),
-      max(col(idCol)).cast(LongType).as("hi")).collect()(0)
+      max(col(idCol)).cast(LongType).as("hi"),
+      count(when(col(idCol).isNull || col(tokenCol).isNull, 1)).as("bad")).collect()(0)
+    require(r.getLong(2) == 0L,
+      s"packSequences: ${r.getLong(2)} row(s) with null '$idCol' or '$tokenCol' — " +
+        "both must be non-null (unique id, token count) for an exact global prefix sum")
     if (r.isNullAt(0))
       return docs.select(col(idCol), col(tokenCol).cast(LongType).as(tokenCol),
         lit(0L).as("start_offset"), lit(0L).as("seq_id"), lit(0L).as("seq_offset"))
@@ -58,16 +69,16 @@ object Packing {
     val bucket = expr(s"(CAST($idCol AS BIGINT) - ${lo}L) DIV ${width}L")
 
     val keyed = docs.select(col(idCol), col(tokenCol).cast(LongType).as(tokenCol))
-      .withColumn("_b", bucket)
-      .repartition(col("_b"))
-    val wIn = Window.partitionBy(col("_b")).orderBy(col(idCol))
-    val local = keyed.withColumn("_cum", sum(col(tokenCol)).over(wIn))
+      .withColumn("__graft_b", bucket)
+      .repartition(col("__graft_b"))
+    val wIn = Window.partitionBy(col("__graft_b")).orderBy(col(idCol))
+    val local = keyed.withColumn("__graft_cum", sum(col(tokenCol)).over(wIn))
 
     // per-bucket totals: its own (map-side-combining) pass — a two-phase
     // scan is inherently two passes over the input; what stays bounded is
     // the DRIVER state, ≤ `buckets` longs, prefix-summed into "tokens
     // before this bucket"
-    val totals = keyed.groupBy(col("_b")).agg(sum(col(tokenCol)).as("_t"))
+    val totals = keyed.groupBy(col("__graft_b")).agg(sum(col(tokenCol)).as("__graft_t"))
       .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsetRows = totals.map { case (bId, t) =>
@@ -75,10 +86,10 @@ object Packing {
     }
     val offsets = spark.createDataFrame(
       java.util.Arrays.asList(offsetRows: _*),
-      StructType(Seq(StructField("_b", LongType), StructField("_off", LongType))))
+      StructType(Seq(StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
 
-    local.join(broadcast(offsets), Seq("_b"))
-      .withColumn("start_offset", col("_off") + col("_cum") - col(tokenCol))
+    local.join(broadcast(offsets), Seq("__graft_b"))
+      .withColumn("start_offset", col("__graft_off") + col("__graft_cum") - col(tokenCol))
       .select(col(idCol), col(tokenCol),
         col("start_offset"),
         expr(s"start_offset DIV ${capacity}L").as("seq_id"),

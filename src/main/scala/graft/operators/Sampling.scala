@@ -51,6 +51,8 @@ object Sampling {
     * reported proportions then match the weights restricted to present
     * groups. Output proportions are exact in expectation (hash-uniform
     * thinning), not row-exact: use [[stratified]] for exact quotas.
+    * `df` must not already contain the injected working columns
+    * `__graft_g` / `__graft_frac`.
     */
   def mixToWeights(df: DataFrame, groupCol: String, key: String,
                    weights: Map[String, Double], maxGroups: Int = 100000): DataFrame = {
@@ -74,13 +76,13 @@ object Sampling {
     }
     val fracs = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(fracRows: _*),
-      StructType(Seq(df.schema(groupCol).copy(name = "_g"),
-        StructField("_frac", org.apache.spark.sql.types.DoubleType))))
+      StructType(Seq(df.schema(groupCol).copy(name = "__graft_g"),
+        StructField("__graft_frac", org.apache.spark.sql.types.DoubleType))))
     val hNum = conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    df.join(broadcast(fracs), col(groupCol) === col("_g"))
-      .filter(hNum.cast("double") < col("_frac") * 4294967296.0)
-      .drop("_g", "_frac")
+    df.join(broadcast(fracs), col(groupCol) === col("__graft_g"))
+      .filter(hNum.cast("double") < col("__graft_frac") * 4294967296.0)
+      .drop("__graft_g", "__graft_frac")
   }
 
   /** Up to `quota` rows per distinct value of `stratum`, chosen by md5 rank
@@ -91,112 +93,112 @@ object Sampling {
     * terms and `row_number` breaks the tie nondeterministically — the
     * reproducibility guarantee holds only for unique keys. Rows with a NULL
     * key rank FIRST within their stratum (nulls-first sort, the single-
-    * phase definition) and are routed straight to the exact phase-2 window
-    * — the md5-prefix cut cannot see them (null comparisons), so they
-    * bypass it rather than silently vanish.
-    *
-    * `maxStrata` bounds the driver state: strata are curation domains
-    * (sources, languages, statuses), one row each on the driver — a
-    * near-unique stratum column is a caller bug that would otherwise OOM
-    * the driver, so the collect is limited and overflow fails fast.
+    * phase definition) and are routed straight to the exact window — the
+    * md5-prefix cut cannot see them (null comparisons), so they bypass it
+    * rather than silently vanish. `df` must not already contain the
+    * injected working columns (`__graft_s` / `__graft_thr` / `__graft_rn`
+    * / `__graft_short`).
     *
     * Two-phase at scale: a naive single window sorts every full stratum
     * through one task — a 100 TB stratum spills through a single sort.
-    * Phase 1 computes per-stratum cardinalities (one row per stratum,
-    * broadcast back) and keeps only rows whose 32-bit md5 prefix falls
-    * under a threshold sized for ~`oversample`×quota expected survivors,
-    * so the exact window in phase 2 sorts a bounded set. Because the
-    * prefix filter admits a *prefix of the rank order* (md5 ascending),
-    * any stratum whose survivors still cover the quota yields exactly the
-    * single-phase sample; the rare stratum whose survivors fall short
-    * (adversarial hash distribution) is re-run over its full row set, so
-    * the result is identical to the single-phase definition in all cases.
+    * Per-stratum cardinalities (a map-side-combining aggregate, one row
+    * per stratum) become md5-prefix thresholds sized for
+    * ~`oversample`×quota expected survivors, broadcast against the scan,
+    * so the exact window sorts a bounded set. Because the prefix filter
+    * admits a *prefix of the rank order* (md5 ascending), any stratum
+    * whose survivors cover the quota yields exactly the single-phase
+    * sample; the rare stratum whose survivors fall short (adversarial
+    * hash distribution) is re-ranked over its full row set, so the result
+    * is identical to the single-phase definition in all cases.
+    *
+    * The whole thing — thresholds, cut, shortfall guard, rerun — is ONE
+    * lazy plan with no driver-side state at all (no collect, no persist:
+    * thresholds and the short-strata set live in broadcast exchanges that
+    * ReuseExchange ships once). In the overwhelmingly common case of no
+    * short stratum, AQE sees the empty short-set broadcast at runtime and
+    * prunes the rerun branch's scan to an empty relation — the guard
+    * costs one tiny aggregation over the already-cut result, not a third
+    * scan. The caller's single action therefore pays: counts scan +
+    * filtered scan + bounded window, with no extra jobs (the previous
+    * collect-based formulation paid two driver round-trips and a cache
+    * writeback before the caller's action even started).
+    *
+    * SIZE-ADAPTIVE, the same way Spark's own planner picks broadcast vs
+    * shuffle joins: when Catalyst's cost statistics bound the input under
+    * `smallBytes` (a driver-side plan property — no job), the two-phase
+    * scaffolding is pure overhead — a single stratum's sort fits one task
+    * comfortably — so the operator emits the SINGLE-PHASE window plan
+    * (one exchange, one sort, zero auxiliary stages), which is the
+    * definition itself and needs no guard. Inputs that are large, or
+    * whose size the optimizer cannot bound, take the two-phase path. Both
+    * plans produce the identical row set, so the switch is invisible to
+    * results — it only picks the right constant factor for the scale.
     */
   def stratified(df: DataFrame, stratum: String, key: String, quota: Int,
-                 oversample: Double = 4.0, maxStrata: Int = 100000): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val spark = df.sparkSession
+                 oversample: Double = 4.0,
+                 smallBytes: Long = 256L << 20): DataFrame = {
+    require(quota > 0, "Sampling.stratified: quota must be positive")
     val h = md5(col(key).cast("string"))
+    val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+      // small inputs are typically also few-files, so the scan stage has
+      // little parallelism — a round-robin repartition ahead of an
+      // EXPLICIT hash column forces the md5 work into a full-width stage
+      // instead of the (often single-task) scan or the (few-strata) sort.
+      // Harmless here by construction: the shuffle moves < smallBytes.
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      return df.repartition(par)
+        .withColumn("__graft_h", md5(col(key).cast("string")))
+        .withColumn("__graft_rn", row_number().over(
+          Window.partitionBy(stratum).orderBy(col("__graft_h"), col(key))))
+        .filter(col("__graft_rn") <= quota)
+        .drop("__graft_rn", "__graft_h")
+    }
     // numeric 32-bit md5 prefix: same ordering as the lowercase fixed-width
     // hex string, long-comparable against the thresholds
     val hNum = conv(substring(h, 1, 8), 16, 10).cast("long")
     val keepAll = 4294967296L // > any 32-bit prefix — keep-all sentinel
-    val sField = df.schema(stratum)
 
-    // phase 1: per-stratum cardinality. Driver collect is bounded by the
-    // maxStrata limit (one row per stratum). Collecting (same pattern as
-    // the 32 IVF centroids) lets the thresholds re-enter the plan as a
-    // LocalRelation instead of an aggregation subtree that the planner
-    // would otherwise duplicate in every branch referencing it. (A fused
-    // variant computing counts AND survivor counts in one job was measured
-    // SLOWER at sf0.1 — the in-plan counts subtree gets evaluated twice,
-    // costing a third full scan; two small jobs with LocalRelation
-    // thresholds keep it at one scan each.)
-    val countRows = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n"))
-      .limit(maxStrata + 1).collect()
-    require(countRows.length <= maxStrata,
-      s"Sampling.stratified: over $maxStrata distinct values of '$stratum' — " +
-        "per-stratum thresholds live on the driver by design; a near-unique " +
-        "stratum column defeats stratification (raise maxStrata only if the " +
-        "strata really are that many and that small)")
-    val thrRows = countRows.toSeq.map { r =>
-      val n = r.getLong(1).toDouble
-      // md5-prefix threshold keeping an expected oversample×quota rows;
-      // fraction >= 1 ⇒ keep-all sentinel
-      val t = if (oversample * quota >= n) keepAll
-              else (oversample * quota / n * 4294967296.0).toLong
-      org.apache.spark.sql.Row(r.get(0), t)
-    }
-    val thr = spark.createDataFrame(thrRows.asJava, StructType(Seq(
-      sField.copy(name = "_stratum"), StructField("_thr", LongType))))
+    // per-stratum cardinality → md5-prefix threshold keeping an expected
+    // oversample×quota rows; fraction >= 1 ⇒ keep-all sentinel
+    val thr = df.groupBy(col(stratum).as("__graft_s"))
+      .agg(count(lit(1)).as("__graft_n"))
+      .select(col("__graft_s"),
+        when(lit(oversample * quota) >= col("__graft_n"), lit(keepAll))
+          .otherwise((lit(oversample * quota) / col("__graft_n") * lit(4294967296.0))
+            .cast("long"))
+          .as("__graft_thr"))
     // null-key rows are admitted unconditionally: they are invisible to the
-    // md5-prefix cut (null comparison) but rank FIRST in the phase-2 window
+    // md5-prefix cut (null comparison) but rank FIRST in the window
     // (nulls-first sort — the single-phase definition), so they must reach
     // it rather than silently vanish; same scan, no extra branch.
-    val pre = df.join(broadcast(thr), col(stratum) <=> col("_stratum"))
-      .filter(col(key).isNull || hNum <= col("_thr"))
-
-    // phase 2 + exactness guard IN ONE JOB: rank the survivor set (bounded
-    // — ~oversample×quota rows per stratum) and materialize the quota'd
-    // result directly. The prefix filter admits a prefix of the rank
-    // order, so a stratum whose survivors cover the quota yields exactly
-    // the single-phase sample. The guard needs no extra scan of `df`: after
-    // the `rn <= quota` cut a stratum holds min(survivors, quota) rows, so
-    // "survivors fell short" ⟺ "result rows < quota" — read off the CACHED
-    // (small) result with a ≤ #strata-row aggregation. Only a cut stratum
-    // (threshold below keep-all) can be short by hash adversity; those rare
-    // strata are re-run over their full row sets.
+    val pre = df.join(broadcast(thr), col(stratum) <=> col("__graft_s"))
+      .filter(col(key).isNull || hNum <= col("__graft_thr"))
     val w = Window.partitionBy(stratum).orderBy(h, col(key))
-    val ranked = pre
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= quota)
-      .drop("rn", "_stratum", "_thr")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE materializing action: the per-stratum result counts the guard
-    // needs come back from the same job that fills the cache
-    val got: Map[Any, Long] = ranked.groupBy(col(stratum)).agg(count(lit(1)).as("_m"))
-      .collect().map(r => (r.get(0), r.getLong(1))).toMap
-    // zero-survivor strata (no row left to count) fall out of `got` and are
-    // caught by the same `< quota` comparison against the phase-1 counts
-    val underRows = thrRows.filter { r =>
-      r.getLong(1) != keepAll && got.getOrElse(r.get(0), 0L) < quota.toLong
-    }.map(r => org.apache.spark.sql.Row(r.get(0)))
+    val cut = pre.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= quota)
 
-    if (underRows.isEmpty) ranked
-    else {
-      // rare path: exact single-phase window over the full row set of the
-      // underfilled strata only, unioned with the covered strata's sample
-      val under = spark.createDataFrame(
-        java.util.Arrays.asList(underRows: _*),
-        StructType(Seq(sField.copy(name = "_stratum"))))
-      val rerun = df.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_semi")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= quota).drop("rn")
-      val result = ranked.join(broadcast(under), col(stratum) <=> col("_stratum"), "left_anti")
-        .unionByName(rerun)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      result.count()
-      ranked.unpersist(blocking = false)
-      result
-    }
+    // exactness guard, in-plan: after the rn <= quota cut a stratum holds
+    // min(survivors, quota) rows, so "survivors fell short" ⟺ "cut rows <
+    // quota" — and only a BINDING threshold (below keep-all) can be short
+    // by hash adversity. The LEFT join from thresholds catches the
+    // zero-survivor stratum that is absent from the cut entirely.
+    val gotc = cut.groupBy(col(stratum).as("__graft_s2"))
+      .agg(count(lit(1)).as("__graft_m"))
+    val short = thr.join(gotc, col("__graft_s") <=> col("__graft_s2"), "left")
+      .filter(col("__graft_thr") =!= keepAll &&
+        coalesce(col("__graft_m"), lit(0L)) < quota)
+      .select(col("__graft_s").as("__graft_short"))
+    // covered strata keep their cut sample; short strata re-rank their full
+    // row set (exact single-phase window, restricted by the semi-join).
+    // Both arms reference the same window subtree / the same broadcast of
+    // `short`, which ReuseExchange collapses to one execution each.
+    val kept = cut.join(broadcast(short), col(stratum) <=> col("__graft_short"), "left_anti")
+      .drop("__graft_rn", "__graft_s", "__graft_thr")
+    val rerun = df.join(broadcast(short), col(stratum) <=> col("__graft_short"), "left_semi")
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= quota)
+      .drop("__graft_rn")
+    kept.unionByName(rerun)
   }
 }

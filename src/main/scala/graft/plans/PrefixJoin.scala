@@ -137,32 +137,42 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: $arg must be an integer literal, got $e")
   }
 
-  private def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_shingles" -> { args =>
+  /** (name, signature-for-errors, arity, builder). Builders index `args`
+    * positionally, so arity is validated BEFORE the builder runs — a call
+    * like `graft_shingles(text)` gets a named wrong-number-of-arguments
+    * error at analysis, not an IndexOutOfBoundsException.
+    */
+  private def fns: Seq[(String, String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_shingles", "(text, k)", 2, { args: Seq[Expression] =>
       ShingleArray(args.head, litInt(args(1), "graft_shingles", "k"))
-    },
-    "graft_shingle_hash31" -> { args =>
+    }),
+    ("graft_shingle_hash31", "(text, k)", 2, { args: Seq[Expression] =>
       ShingleHash31Array(args.head, litInt(args(1), "graft_shingle_hash31", "k"))
-    },
-    "graft_minhash_sig" -> { args =>
+    }),
+    ("graft_minhash_sig", "(hashes, numPerm)", 2, { args: Seq[Expression] =>
       MinhashSigArray(args.head, litInt(args(1), "graft_minhash_sig", "numPerm"))
-    },
-    "graft_array_pairs" -> { args => ArrayPairs(args.head) },
-    "graft_simhash16" -> { args => SimHash16(args.head) },
-    "graft_rolling_hash" -> { args => RollingHash(args.head) },
-    "graft_bounded_levenshtein" -> { args =>
+    }),
+    ("graft_array_pairs", "(ids)", 1, { args: Seq[Expression] => ArrayPairs(args.head) }),
+    ("graft_simhash16", "(text)", 1, { args: Seq[Expression] => SimHash16(args.head) }),
+    ("graft_rolling_hash", "(text)", 1, { args: Seq[Expression] => RollingHash(args.head) }),
+    ("graft_bounded_levenshtein", "(left, right, maxDist)", 3, { args: Seq[Expression] =>
       BoundedLevenshtein(args.head, args(1),
         litInt(args(2), "graft_bounded_levenshtein", "maxDist"))
-    },
-    "graft_vec_dot" -> { args => DotProduct(args.head, args(1)) },
-    "graft_vec_cosine" -> { args => CosineSimilarity(args.head, args(1)) },
-    "graft_vec_norm" -> { args => VectorNorm(args.head) })
+    }),
+    ("graft_vec_dot", "(vec, vec)", 2, { args: Seq[Expression] => DotProduct(args.head, args(1)) }),
+    ("graft_vec_cosine", "(vec, vec)", 2, { args: Seq[Expression] => CosineSimilarity(args.head, args(1)) }),
+    ("graft_vec_norm", "(vec)", 1, { args: Seq[Expression] => VectorNorm(args.head) }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => PrefixJoinStrategy)
-    fns.foreach { case (name, builder) =>
+    fns.foreach { case (name, sig, arity, builder) =>
+      val checked: Seq[Expression] => Expression = { args =>
+        if (args.length != arity) throw new IllegalArgumentException(
+          s"$name expects $arity argument(s): $name$sig; got ${args.length}")
+        builder(args)
+      }
       ext.injectFunction((new FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name), builder))
+        new ExpressionInfo("graft.functions", name), checked))
     }
   }
 }

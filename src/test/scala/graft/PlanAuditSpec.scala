@@ -51,14 +51,30 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "SortMergeJoin"
   }
 
-  test("sample_stratified: window input is pre-filtered by the per-stratum md5 threshold") {
+  test("sample_stratified: size-adaptive — small input takes the 1-exchange single-phase plan") {
+    // the bench/test input is bounded by Catalyst stats, so the operator
+    // emits the plain per-stratum window: one hash exchange, no threshold
+    // scaffolding, no global sort
     val p = plan("sample_stratified")
+    p should include("Window")
+    p should not include "__graft_thr"
+    p should not include "Exchange rangepartitioning"
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("sample_stratified: large input (forced) pre-filters the window by the md5 threshold") {
+    import org.apache.spark.sql.functions.col
+    val df = operators.Sampling.stratified(
+      Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_orderstatus")),
+      "o_orderstatus", "o_orderkey", 100, smallBytes = 0L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     p should include("Window")
     // the exact window consumes the thresholded survivor set, not the full
     // table: the 32-bit md5-prefix cut appears below the Window as a
-    // broadcast join condition against the LocalRelation of thresholds
+    // broadcast join condition against the per-stratum thresholds
     p.indexOf("Window") should be < p.indexOf("substring(md5(")
-    p should include("_thr")
+    p should include("__graft_thr")
     p should not include "Exchange rangepartitioning" // no global sort
   }
 

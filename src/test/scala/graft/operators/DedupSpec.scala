@@ -153,6 +153,49 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("duplicateClusters on an empty pair list returns an empty labeling (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     Dedup.duplicateClusters(empty).count() shouldBe 0L
+    Dedup.duplicateClustersStar(empty).count() shouldBe 0L
+  }
+
+  test("large-star/small-star CC: 10k-edge path graph converges in O(log n) rounds") {
+    // the adversarial shape for min-label propagation (diameter = n); the
+    // star alternation must label the whole chain with vertex 0 in a
+    // logarithmic number of rounds
+    val path = spark.range(10000L).toDF("doc_a")
+      .select($"doc_a", ($"doc_a" + 1L).as("doc_b"))
+    val (labels, rounds) = Dedup.duplicateClustersStarWithRounds(path)
+    try {
+      rounds should be < 12
+      labels.count() shouldBe 10001L
+      labels.select($"component").distinct().as[Long].collect() shouldBe Array(0L)
+    } finally labels.unpersist(blocking = true)
+  }
+
+  test("large-star/small-star CC labels exactly like min-label propagation on a random graph") {
+    val rng = new scala.util.Random(42)
+    val pairs = Seq.fill(600)((rng.nextInt(400).toLong, rng.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val viaStar = Dedup.duplicateClustersStar(pairs)
+    val viaProp = Dedup.duplicateClusters(pairs)
+    try {
+      val s = viaStar.as[(Long, Long)].collect().sorted
+      val p = viaProp.as[(Long, Long)].collect().sorted
+      s shouldBe p
+    } finally {
+      viaStar.unpersist(blocking = true)
+      viaProp.unpersist(blocking = true)
+    }
+  }
+
+  test("star CC pins no storage after release (checkpoints freed)") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val baseline = sc.getPersistentRDDs.size
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClustersStar(pairs)
+    out.count()
+    out.unpersist(blocking = true)
+    sc.getPersistentRDDs.size shouldBe baseline
   }
 
   test("simhash: identical docs equal; near-dups within small hamming distance") {

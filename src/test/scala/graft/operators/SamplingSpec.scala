@@ -81,7 +81,10 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     val single = orders.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 40).drop("rn")
       .select($"o_orderkey").as[Long].collect().sorted
-    val two = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 40)
+    // smallBytes = 0 forces the two-phase path (the adaptive switch would
+    // otherwise take the single-phase plan on this tiny input)
+    val two = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 40,
+        smallBytes = 0L)
       .select($"o_orderkey").as[Long].collect().sorted
     two shouldBe single
   }
@@ -92,7 +95,7 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     // must contain all 3 nulls (nulls-first rank) + the 7 lowest md5 ranks
     val rows = (for (s <- Seq("a", "b"); i <- 1 to 30) yield
       (s, if (i <= 3) None else Some(s"$s-$i"))).toDF("src", "k")
-    val out = Sampling.stratified(rows, "src", "k", 10)
+    val out = Sampling.stratified(rows, "src", "k", 10, smallBytes = 0L)
     out.groupBy("src").count().collect().foreach(_.getLong(1) shouldBe 10L)
     out.filter($"k".isNull).groupBy("src").count().collect()
       .foreach(_.getLong(1) shouldBe 3L)
@@ -119,11 +122,12 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
-  test("a near-unique stratum column fails fast instead of OOMing the driver") {
-    val ex = intercept[IllegalArgumentException] {
-      Sampling.stratified(orders, "o_orderkey", "o_orderkey", 1, maxStrata = 100)
-    }
-    ex.getMessage should include("distinct values")
+  test("a near-unique stratum column is handled with no driver state (lazy plan)") {
+    // stratum == key ⟹ every stratum is a singleton, quota 1 keeps all
+    // rows; the guard, thresholds and short-set all stay in-plan, so high
+    // stratum cardinality costs shuffle width, never driver memory
+    val out = Sampling.stratified(orders, "o_orderkey", "o_orderkey", 1)
+    out.count() shouldBe orders.count()
   }
 
   test("underfill fallback: a starving threshold still yields the exact sample") {
@@ -138,8 +142,25 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
       .filter($"rn" <= 10).drop("rn")
       .select($"o_orderkey").as[Long].collect().sorted
     val starved = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 10,
-      oversample = 0.01)
+      oversample = 0.01, smallBytes = 0L)
       .select($"o_orderkey").as[Long].collect().sorted
     starved shouldBe single
+  }
+
+  test("zero-survivor stratum under a binding threshold still yields the exact sample") {
+    // quota 1, oversample ~0: thresholds bind hard; strata whose every row
+    // hashes above the threshold vanish from the cut entirely and must be
+    // resurrected by the thr-left-join guard (not just the short-count path)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey")
+    val single = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 1).drop("rn")
+      .select($"o_orderkey").as[Long].collect().sorted
+    val got = Sampling.stratified(orders, "o_orderstatus", "o_orderkey", 1,
+      oversample = 1e-9, smallBytes = 0L)
+      .select($"o_orderkey").as[Long].collect().sorted
+    got shouldBe single
   }
 }
