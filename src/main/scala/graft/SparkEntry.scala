@@ -101,6 +101,26 @@ object SparkEntry {
       }
     }
 
+  /** Transitive-closure labeling oracle shared by `dedup_clusters` (min-
+    * label propagation) and `dedup_clusters_star` (large-star/small-star):
+    * both algorithms define component = min doc_id reachable, so one
+    * recursive-CTE re-derivation checks them both.
+    */
+  private lazy val ClustersOracleSql: String =
+    s"""WITH RECURSIVE $ShinglesCte,
+       |$JaccardPrCte,
+       |pairs AS (SELECT da, db FROM pr
+       |          JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
+       |          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION SELECT db, da FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component
+       |FROM reach GROUP BY src""".stripMargin
+
   // ---- queries ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,6 +626,13 @@ object SparkEntry {
     // keep-one-per-cluster endgame of corpus dedup
     "dedup_clusters" -> ((s, d) => sharedClusters(s, d)),
 
+    // same clustering semantics via large-star/small-star (O(log n) rounds
+    // on any graph shape — the adversarial-diameter alternative); shares
+    // the family's pair subtree and the min-label oracle, since both
+    // algorithms define component = min reachable doc_id
+    "dedup_clusters_star" -> ((s, d) =>
+      Dedup.duplicateClustersStar(sharedJaccardPairs(s, d))),
+
     // the dedup endgame: pairs -> clusters -> one survivor per cluster
     // (longest text, ties to min doc_id), singletons pass through
     "dedup_keep" -> ((s, d) =>
@@ -797,6 +824,23 @@ object SparkEntry {
     // and silver→gold semantics hash-compared column-for-column against a
     // DuckDB re-derivation from the raw 514-game JSON (the reference
     // transform IS DuckDB SQL — python_scripts.py:169-205, 533-598) --------
+
+    // UD2 enrichment path: dim_openings with csv-book colon-form names
+    // (longest-prefix match into openings.csv; slug fallback for URLs the
+    // book misses) — the piece of the dim the slug-only chess_gold oracle
+    // could not check
+    "chess_dim_openings" -> ((s, _) => {
+      val sample = "/root/reference/dev_files/Data/2024-01/games.json"
+      val csv = "/root/reference/dev_files/Data/openings.csv"
+      if (!new java.io.File(sample).exists() || !new java.io.File(csv).exists())
+        s.emptyDataFrame
+      else {
+        val silver = graft.chess.SilverFact.transform(
+          s.read.schema(graft.chess.Schemas.bronze).option("multiLine", true).json(sample))
+        graft.chess.Dims.openingsFromSilverEnriched(silver,
+          graft.chess.OpeningMatcher.readBook(s, csv))
+      }
+    }),
 
     "chess_silver" -> ((s, _) => {
       val sample = "/root/reference/dev_files/Data/2024-01/games.json"
@@ -1310,20 +1354,11 @@ object SparkEntry {
          |FROM pr JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
          |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
 
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $ShinglesCte,
-         |$JaccardPrCte,
-         |pairs AS (SELECT da, db FROM pr
-         |          JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
-         |          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
-         |edges AS (SELECT da AS src, db AS dst FROM pairs
-         |          UNION SELECT db, da FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component
-         |FROM reach GROUP BY src""".stripMargin,
+    "dedup_clusters" -> ClustersOracleSql,
+
+    // the star-CC variant computes the identical labeling (component =
+    // min reachable doc_id), so it shares the oracle verbatim
+    "dedup_clusters_star" -> ClustersOracleSql,
 
     "src_orc_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
@@ -1882,6 +1917,52 @@ object SparkEntry {
     // Full-fidelity re-derivation of the reference silver transform
     // (python_scripts.py:169-205) from the raw sample JSON, including the
     // add_move_numbers UDF (udfs.py:53-75) as a DuckDB list_transform.
+    // UD2 enrichment: the book match re-derived relationally — a book line
+    // matches a game iff its trimmed pgn equals the game's first-np tokens
+    // rejoined (token-boundary-exact, like OpeningMatcher's progressive
+    // key); per url the deepest match wins, ties to max name (the
+    // max_by(name, (moves, name)) tie-break — a flat arg-max over all
+    // matches equals Spark's per-game-then-per-url two-stage because depth
+    // dominates the struct order). Slug fallback for unmatched urls.
+    "chess_dim_openings" ->
+      """WITH e AS (
+        | SELECT regexp_extract(pgn, '\[ECOUrl "(.*?)"', 1) AS pgn_eco_url,
+        |  regexp_extract(pgn, '\[ECO "(.*?)"', 1) AS pgn_eco,
+        |  regexp_extract_all(pgn, '\. (.*?) \{\[', 1) AS m
+        | FROM read_json_auto('/root/reference/dev_files/Data/2024-01/games.json')
+        |), g AS (
+        | SELECT pgn_eco_url, string_split(trim(array_to_string(
+        |   list_transform(range(1, CAST((len(m)+1)//2 AS INT) + 1),
+        |     i -> CAST(i AS VARCHAR) || '. ' || m[2*i-1] || ' ' ||
+        |       coalesce(m[2*i], '')), ' ')), ' ') AS w
+        | FROM e
+        |), book AS (
+        | SELECT trim(pgn) AS p, name, len(string_split(trim(pgn), ' ')) AS np
+        | FROM read_csv_auto('/root/reference/dev_files/Data/openings.csv', header=true)
+        |), matches AS (
+        | SELECT g.pgn_eco_url, b.name, b.np
+        | FROM g JOIN book b ON len(g.w) >= b.np
+        |  AND b.p = array_to_string(g.w[1:b.np], ' ')
+        |), best AS (
+        | SELECT pgn_eco_url AS matched_url,
+        |  max_by(name, lpad(CAST(np AS VARCHAR), 4, '0') || '|' || name) AS csv_name
+        | FROM matches GROUP BY pgn_eco_url
+        |), du AS (SELECT DISTINCT pgn_eco_url, pgn_eco FROM e
+        |), named AS (
+        | SELECT du.pgn_eco_url,
+        |  coalesce(b.csv_name,
+        |    replace(regexp_extract(du.pgn_eco_url, '([^/]*)$', 1), '-', ' ')) AS opening_name,
+        |  du.pgn_eco AS eco_code
+        | FROM du LEFT JOIN best b ON du.pgn_eco_url = b.matched_url)
+        |SELECT DISTINCT pgn_eco_url, opening_name,
+        | CASE WHEN strpos(opening_name, ':') > 0
+        |   THEN split_part(opening_name, ':', 1) ELSE opening_name END AS opening_family,
+        | CASE WHEN strpos(opening_name, ':') > 0
+        |   THEN substr(opening_name, strpos(opening_name, ':') + 1)
+        |   ELSE opening_name END AS opening_variation,
+        | eco_code
+        |FROM named""".stripMargin,
+
     // e2e analytics rollup (the reference's headline dashboard,
     // README.md:29-33): win rate by opening family over the month's merged
     // gold fact — re-derived from the raw 514-game JSON exactly like the

@@ -59,8 +59,11 @@ object Warehouse {
         try st.executeUpdate(sql)
         catch {
           case e: java.sql.SQLException
-              if Option(e.getSQLState).exists(s => s.startsWith("X0Y") || s == "42710") =>
-          // Derby X0Y32/X0Y68 (exists), standard 42710 — idempotent rerun
+              if Option(e.getSQLState).exists(s => s.startsWith("X0Y") ||
+                s == "42710" || s == "42P06" || s == "42P07") =>
+          // already-exists states across dialects: Derby X0Y32/X0Y68,
+          // standard 42710, PostgreSQL 42P06 (schema) / 42P07 (table) —
+          // idempotent rerun
         }
       }
       st.close()

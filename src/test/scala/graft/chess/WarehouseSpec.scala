@@ -43,6 +43,32 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
       dim.orderBy("result_code").collect()
   }
 
+  /** Live-Postgres dialect gate: export PG_URL (e.g.
+    * `jdbc:postgresql://host:5432/db?user=u&password=p`) and this spec
+    * exercises what Derby parity cannot — PG type mapping, the
+    * already-exists SQLStates (42P06/42P07) on DDL rerun, and
+    * schema-qualified full-replace writes into `chess_dw.*` (the
+    * reference's real warehouse layout, sql/create_datawarehouse.sql).
+    * Self-cancels cleanly when PG_URL is unset (this sandbox).
+    */
+  test("PG_URL: schema-qualified chess_dw replace-write round-trip (auto-cancels when unset)") {
+    val pgUrl = sys.env.get("PG_URL")
+    assume(pgUrl.isDefined, "PG_URL not set — live-Postgres dialect spec skipped")
+    assume(pgDriverPresent, "no PostgreSQL JDBC driver on the classpath")
+    val u = pgUrl.get
+    Warehouse.createSchema(u)
+    Warehouse.createSchema(u) // idempotent rerun must swallow PG 42P06/42P07
+    val dim = Dims.results(spark)
+    // full-replace × 2: the reference's if_exists="replace" — second write
+    // must overwrite, not append, through the schema-qualified name
+    dim.write.mode("overwrite").jdbc(u, "chess_dw.dim_results", props)
+    dim.write.mode("overwrite").jdbc(u, "chess_dw.dim_results", props)
+    val back = spark.read.jdbc(u, "chess_dw.dim_results", props)
+    back.count() shouldBe 15L
+    back.orderBy("result_code").collect() shouldBe
+      dim.orderBy("result_code").collect()
+  }
+
   test("warehouse DDL creates the star schema idempotently") {
     val ddlUrl = "jdbc:derby:memory:chessddl;create=true"
     Warehouse.createSchema(ddlUrl)
