@@ -119,7 +119,12 @@ object Dedup {
     // single-space tokens ⟺ empty shingle set), NOT `size(hs) > 0`: a
     // filter on the hash array gets pushed below any repartition into the
     // scan, forcing the md5 work onto the (often single) scan task — the
-    // token count predicate is what may sink there instead
+    // token count predicate is what may sink there instead.
+    // (Re-measured r6: a stats-gated round-robin repartition to
+    // parallelize the single-task local hashing LOSES — shipping the full
+    // text through an exchange costs ~1.5× what the fused native hash
+    // expression spends hashing in the scan; same result the r2 and r5
+    // revisions measured, now for the size-adaptive variant too.)
     docs.filter(size(split(col("text"), " ", -1)) >= k)
       .select(col("doc_id"),
         graft.functions.TextFunctions.shingle_hash31_array(col("text"), k).as("hs"))

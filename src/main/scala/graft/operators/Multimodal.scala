@@ -106,12 +106,43 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  /** Real audio header decode, JDK-only (`javax.sound.sampled` — WAV/AIFF/
+    * AU ship with the JRE). Gated on the container magic (RIFF/WAVE, FORM/
+    * AIFF, .snd) so non-audio payloads skip parser probing. Reads ONLY the
+    * header: `getAudioFileFormat` parses format chunks without decoding
+    * samples, so cost is bytes-of-header per row. Returns
+    * (channels, duration_ms); duration derives from frame count / frame
+    * rate and is -1 when the container does not declare them.
+    */
+  private[operators] def decodeAudio(bytes: Array[Byte]): Option[(Int, Long)] = {
+    def hasAudioMagic: Boolean = bytes.length >= 12 && {
+      (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') ||
+      (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M') || // AIFF
+      (bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd')    // AU
+    }
+    if (!hasAudioMagic) None
+    else try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength
+      val rate = fmt.getFrameRate
+      val durMs =
+        if (frames > 0 && rate > 0 && !rate.isNaN) (frames * 1000.0 / rate).toLong
+        else -1L
+      val ch = fmt.getChannels
+      if (ch <= 0) None else Some((ch, durMs))
+    } catch { case _: Throwable => None }
+  }
+
   /** Decode kernel: REAL for images (ImageIO — true width/height/channels
-    * from the container header, pixel-decode-free), STUB for audio/video
-    * (*** replace with an
+    * from the container header, pixel-decode-free) and for audio
+    * (javax.sound.sampled — true channels/duration from WAV/AIFF/AU
+    * headers), STUB for video (*** replace with an
     * ffmpeg/javacv JNI codec ***: deterministically fakes dimensions from
-    * the payload hash). Payloads carrying the image kind that fail to
-    * decode (e.g. the text-bytes bench carrier) also fall back to the
+    * the payload hash). Payloads carrying the image/audio kind that fail
+    * to decode (e.g. the text-bytes bench carrier) also fall back to the
     * deterministic hash path, so the kernel is total — a corrupt blob in a
     * 100 TB corpus degrades to quarantine-able metadata instead of failing
     * the stage. The batched iteration, encoder, and null handling are
@@ -121,17 +152,22 @@ object Multimodal {
   private def decodeOne(a: MediaAsset): DecodedMeta = {
     val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
     val h = md5Bytes(bytes)
-    val decoded = if (a.kind == "image") decodeImage(bytes) else None
-    decoded match {
-      case Some((w, hgt, c)) =>
-        DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
+    val n = bytes.length.toLong
+    val img = if (a.kind == "image") decodeImage(bytes) else None
+    val aud = if (a.kind == "audio") decodeAudio(bytes) else None
+    (img, aud) match {
+      case (Some((w, hgt, c)), _) =>
+        DecodedMeta(a.asset_id, a.kind, n, hex(h),
           width = w, height = hgt, channels = c, est_duration_ms = 0L)
-      case None =>
-        DecodedMeta(a.asset_id, a.kind, bytes.length.toLong, hex(h),
+      case (_, Some((ch, durMs))) =>
+        DecodedMeta(a.asset_id, a.kind, n, hex(h),
+          width = 0, height = 0, channels = ch, est_duration_ms = durMs)
+      case _ =>
+        DecodedMeta(a.asset_id, a.kind, n, hex(h),
           width = 1 + ((h(0) & 0x7f) << 4 | (h(1) & 0x0f)),
           height = 1 + ((h(2) & 0x7f) << 4 | (h(3) & 0x0f)),
           channels = if (a.kind == "audio") 2 else 3,
-          est_duration_ms = if (a.kind == "image") 0L else bytes.length.toLong * 8)
+          est_duration_ms = if (a.kind == "image") 0L else n * 8)
     }
   }
 

@@ -59,6 +59,36 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     meta(2).est_duration_ms shouldBe 0L
   }
 
+  test("decodeMeta decodes REAL audio bytes via javax.sound: true channels and duration") {
+    // deterministic in-memory WAV fixtures: 1s mono @8kHz and 0.5s stereo
+    // @16kHz PCM — real container output, no committed binaries
+    def wav(channels: Int, sampleRate: Float, seconds: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val nFrames = (sampleRate * seconds).toLong
+      val data = new Array[Byte](nFrames.toInt * fmt.getFrameSize)
+      var i = 0
+      while (i < data.length) { data(i) = ((i * 37) & 0x7f).toByte; i += 1 }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaAsset(1L, "audio", wav(1, 8000f, 1.0), "mem://mono"),
+      Multimodal.MediaAsset(2L, "audio", wav(2, 16000f, 0.5), "mem://stereo"),
+      Multimodal.MediaAsset(3L, "audio", "not audio".getBytes, "mem://txt"))
+      .toDS()
+    val meta = Multimodal.decodeMeta(media).collect().sortBy(_.asset_id)
+    (meta(0).channels, meta(0).est_duration_ms) shouldBe ((1, 1000L))
+    (meta(1).channels, meta(1).est_duration_ms) shouldBe ((2, 500L))
+    (meta(0).width, meta(0).height) shouldBe ((0, 0)) // not applicable, not faked
+    // undecodable payload falls back to the deterministic hash path, total
+    meta(2).channels shouldBe 2
+    meta(2).est_duration_ms shouldBe "not audio".getBytes.length.toLong * 8
+  }
+
   test("decodeImage quarantines a decompression-bomb header instead of decoding it") {
     // take a real tiny PNG and patch its IHDR to declare 100000x100000
     // (10^10 pixels): header-only parsing must return None (over the
