@@ -39,8 +39,10 @@ object Bench {
     def timedPass(): Map[String, Double] = {
       val r = benched.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a failure must NOT masquerade as a fast timing: report -1 (same
+        // contract as the fixed-input block below)
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
       spark.catalog.clearCache()
       r

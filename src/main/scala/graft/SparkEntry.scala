@@ -80,16 +80,22 @@ object SparkEntry {
   /** dedup_clusters / dedup_keep share ONE connected-components labeling
     * per (session, sf dir). The CC loop's output rides on localCheckpoint
     * lineage, which CacheManager plan-matching cannot identify across
-    * invocations, so the HANDLE itself is memoized — weakly per session,
-    * with the same lifecycle as the persisted result it wraps:
-    * `clearCache()` evicts the cache entry, the next use detects that
+    * invocations, so the HANDLE itself is memoized per session, with the
+    * same lifecycle as the persisted result it wraps: `clearCache()`
+    * evicts the cache entry, the next use detects that
     * ([[org.apache.spark.sql.GraftShims.isCached]]) and recomputes.
+    * A WeakHashMap alone would NOT reclaim entries — the memoized
+    * DataFrame value strongly references its SparkSession key (the
+    * documented WeakHashMap caveat) — so every access also sweeps entries
+    * whose session has stopped, bounding the map by the live-session
+    * count.
     */
   private val clustersMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+    new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
 
   private def sharedClusters(s: SparkSession, d: String): DataFrame =
     clustersMemo.synchronized {
+      clustersMemo.keySet.removeIf(k => k.sparkContext.isStopped)
       val m = clustersMemo.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty[String, DataFrame])
       m.get(d).filter(org.apache.spark.sql.GraftShims.isCached) match {

@@ -31,9 +31,13 @@ object OpeningMatcher {
     val spark = games.sparkSession
     // book → Map[movetext tokens joined -> (eco, name)]; driver-side is fine:
     // the book is a bounded reference table (3.5k rows), broadcast once.
+    // Duplicate pgn keys resolve to the MAX name (deterministic,
+    // file-order independent — and the tie-break the relational oracle
+    // re-derivation applies), not whichever row the file lists last.
     val entries = book.select("pgn", "eco", "name").collect()
       .map(r => (r.getString(0).trim, (r.getString(1), r.getString(2))))
-      .toMap
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).maxBy(_._2) }
     val maxTokens = if (entries.isEmpty) 0 else entries.keysIterator.map(tokenCount).max
     val bc = spark.sparkContext.broadcast((entries, maxTokens))
 

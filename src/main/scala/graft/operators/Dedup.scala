@@ -697,6 +697,18 @@ object Dedup {
       nEdges = nNext
       rounds += 1
     }
+    // the label read-off below is only valid on a CONVERGED edge set (a
+    // star forest: exactly one incident edge per non-root vertex) — a
+    // maxIter bailout would silently emit duplicate doc_id rows with
+    // wrong components, so refuse instead (the alternation provably needs
+    // only O(log n) rounds; hitting the default cap means corrupt input,
+    // not slow convergence)
+    if (!converged) {
+      freeCheckpoints(edges, edgeIds)
+      throw new IllegalStateException(
+        s"duplicateClustersStar: not converged after $maxIter rounds — " +
+          "raise maxIter (the large/small-star alternation needs O(log n) rounds)")
+    }
     // star forest: every non-root vertex carries exactly (v, root); roots
     // and (degenerate) isolated inputs label themselves
     val verts = pairs

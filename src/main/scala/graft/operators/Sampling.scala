@@ -97,7 +97,7 @@ object Sampling {
     * md5-prefix cut cannot see them (null comparisons), so they bypass it
     * rather than silently vanish. `df` must not already contain the
     * injected working columns (`__graft_s` / `__graft_thr` / `__graft_rn`
-    * / `__graft_short`).
+    * / `__graft_short` / `__graft_h`).
     *
     * Two-phase at scale: a naive single window sorts every full stratum
     * through one task — a 100 TB stratum spills through a single sort.
@@ -111,17 +111,21 @@ object Sampling {
     * hash distribution) is re-ranked over its full row set, so the result
     * is identical to the single-phase definition in all cases.
     *
-    * The whole thing — thresholds, cut, shortfall guard, rerun — is ONE
-    * lazy plan with no driver-side state at all (no collect, no persist:
-    * thresholds and the short-strata set live in broadcast exchanges that
-    * ReuseExchange ships once). In the overwhelmingly common case of no
+    * On the two-phase path the thresholds come from ONE driver collect
+    * (bounded by `maxStrata` — strata are curation domains, one row each;
+    * a near-unique stratum column would otherwise push an unbounded
+    * per-stratum table through the driver-side broadcast, so overflow
+    * fails fast with a named error instead of an opaque broadcast OOM)
+    * and re-enter the plan as a LocalRelation. Everything ELSE — cut,
+    * shortfall guard, rerun — is one lazy plan with no further driver
+    * round-trips and no persist. In the overwhelmingly common case of no
     * short stratum, AQE sees the empty short-set broadcast at runtime and
     * prunes the rerun branch's scan to an empty relation — the guard
     * costs one tiny aggregation over the already-cut result, not a third
-    * scan. The caller's single action therefore pays: counts scan +
-    * filtered scan + bounded window, with no extra jobs (the previous
-    * collect-based formulation paid two driver round-trips and a cache
-    * writeback before the caller's action even started).
+    * scan. The caller therefore pays: one counts job, then a single
+    * action over filtered scan + bounded window (the previous
+    * formulation added a second driver round-trip and a cache writeback
+    * before the caller's action even started).
     *
     * SIZE-ADAPTIVE, the same way Spark's own planner picks broadcast vs
     * shuffle joins: when Catalyst's cost statistics bound the input under
@@ -136,7 +140,8 @@ object Sampling {
     */
   def stratified(df: DataFrame, stratum: String, key: String, quota: Int,
                  oversample: Double = 4.0,
-                 smallBytes: Long = 256L << 20): DataFrame = {
+                 smallBytes: Long = 256L << 20,
+                 maxStrata: Int = 100000): DataFrame = {
     require(quota > 0, "Sampling.stratified: quota must be positive")
     val h = md5(col(key).cast("string"))
     val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -160,14 +165,31 @@ object Sampling {
     val keepAll = 4294967296L // > any 32-bit prefix — keep-all sentinel
 
     // per-stratum cardinality → md5-prefix threshold keeping an expected
-    // oversample×quota rows; fraction >= 1 ⇒ keep-all sentinel
-    val thr = df.groupBy(col(stratum).as("__graft_s"))
-      .agg(count(lit(1)).as("__graft_n"))
-      .select(col("__graft_s"),
-        when(lit(oversample * quota) >= col("__graft_n"), lit(keepAll))
-          .otherwise((lit(oversample * quota) / col("__graft_n") * lit(4294967296.0))
-            .cast("long"))
-          .as("__graft_thr"))
+    // oversample×quota rows; fraction >= 1 ⇒ keep-all sentinel. ONE
+    // bounded driver collect (fails fast on a near-unique stratum column
+    // — the thresholds must broadcast, so unbounded strata would
+    // otherwise surface as a driver/broadcast OOM deep in the job), and
+    // the LocalRelation result costs no AQE aggregation stages in-plan.
+    import scala.jdk.CollectionConverters._
+    val sField = df.schema(stratum)
+    val countRows = df.groupBy(col(stratum)).agg(count(lit(1)).as("__graft_n"))
+      .limit(maxStrata + 1).collect()
+    require(countRows.length <= maxStrata,
+      s"Sampling.stratified: over $maxStrata distinct values of '$stratum' — " +
+        "per-stratum thresholds are broadcast, so strata must stay bounded " +
+        "(curation domains, not row keys); raise maxStrata only if the " +
+        "strata really are that many and that small")
+    val thrRows = countRows.toSeq.map { r =>
+      val n = r.getLong(1).toDouble
+      val t = if (oversample * quota >= n) keepAll
+              else (oversample * quota / n * 4294967296.0).toLong
+      org.apache.spark.sql.Row(r.get(0), t)
+    }
+    val thr = df.sparkSession.createDataFrame(thrRows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        sField.copy(name = "__graft_s"),
+        org.apache.spark.sql.types.StructField("__graft_thr",
+          org.apache.spark.sql.types.LongType))))
     // null-key rows are admitted unconditionally: they are invisible to the
     // md5-prefix cut (null comparison) but rank FIRST in the window
     // (nulls-first sort — the single-phase definition), so they must reach

@@ -151,6 +151,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("jaccardPairs: the posting subtree executes ONCE — self-join sides share one exchange") {
+    // the SHUFFLE_HASH pins exist precisely so ReuseExchange collapses the
+    // two identical posting sides (scan, hash, explode, df-cut); an AQE
+    // broadcast conversion would de-duplicate the subtrees and run the
+    // md5-heavy scan stage twice. Executed-plan regression guard.
+    // (clearCache first: a cached hash-array table left by another test
+    // would be substituted into the scan subtree and change the shapes
+    // this test pins — the guard targets the cold-plan formulation.)
+    spark.catalog.clearCache()
+    val df = operators.Dedup.jaccardPairs(
+      Tables.documents(spark, sf0001), k = 5, threshold = 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("ReusedExchange")
+    p should include("ShuffledHashJoin")
+  }
+
   test("custom vector expression participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf0001)
     val df = emb.select(graft.functions.VectorFunctions.vec_cosine(

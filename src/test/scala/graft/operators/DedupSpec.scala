@@ -187,6 +187,17 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("star CC refuses to emit a labeling when maxIter preempts convergence") {
+    // a non-converged edge set is not a star forest, so the label read-off
+    // would emit duplicate doc_ids with wrong components — must throw
+    val path = spark.range(200L).toDF("doc_a")
+      .select($"doc_a", ($"doc_a" + 1L).as("doc_b"))
+    val ex = intercept[IllegalStateException] {
+      Dedup.duplicateClustersStar(path, maxIter = 1)
+    }
+    ex.getMessage should include("not converged")
+  }
+
   test("star CC pins no storage after release (checkpoints freed)") {
     val sc = spark.sparkContext
     spark.catalog.clearCache()

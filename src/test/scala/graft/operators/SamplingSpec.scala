@@ -122,12 +122,18 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
-  test("a near-unique stratum column is handled with no driver state (lazy plan)") {
-    // stratum == key ⟹ every stratum is a singleton, quota 1 keeps all
-    // rows; the guard, thresholds and short-set all stay in-plan, so high
-    // stratum cardinality costs shuffle width, never driver memory
+  test("near-unique stratum: small path handles it; two-phase fails fast before broadcast OOM") {
+    // small path (stats under smallBytes): stratum == key ⟹ every stratum
+    // is a singleton, quota 1 keeps all rows — a plain window, no guard
     val out = Sampling.stratified(orders, "o_orderkey", "o_orderkey", 1)
     out.count() shouldBe orders.count()
+    // two-phase path (forced): thresholds must broadcast, so unbounded
+    // strata fail fast with a named error instead of an opaque OOM
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.stratified(orders, "o_orderkey", "o_orderkey", 1,
+        smallBytes = 0L, maxStrata = 100)
+    }
+    ex.getMessage should include("distinct values")
   }
 
   test("underfill fallback: a starving threshold still yields the exact sample") {
