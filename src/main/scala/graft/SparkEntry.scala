@@ -750,6 +750,35 @@ object SparkEntry {
         size(regexp_extract_all(col("text"),
           lit("[0-9]{6,}"), lit(0))).cast("long").as("n_long_digit_runs"))),
 
+    // PII REDACTION (the counterpart of text_pii_flags' detection): the
+    // curation step that actually rewrites the corpus — emails, urls and
+    // long digit runs replaced by typed placeholder tokens, as one narrow
+    // codegen'd projection (nested regexp_replace; url first so an email
+    // inside a url query-string cannot leave a half-redacted hybrid)
+    "text_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), "https?://[^ ]+", "<URL>"),
+            "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("redacted"))),
+
+    // cluster-aware train/val split: near-dup CLUSTERS (not documents) are
+    // the split unit, so no near-duplicate pair can straddle the boundary
+    // and leak eval into train. Deterministic: split decided by the md5 of
+    // the cluster representative id; singleton docs are their own cluster.
+    "dedup_split_by_cluster" -> ((s, d) => {
+      val labels = sharedClusters(s, d)
+      Tables.documents(s, d)
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .select(col("doc_id"), col("component"),
+          when(conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10)
+              .cast("long") < lit((0.9 * 4294967296.0).toLong), "train")
+            .otherwise("val").as("split"))
+    }),
+
     "text_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -1361,6 +1390,40 @@ object SparkEntry {
          |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
 
     "dedup_clusters" -> ClustersOracleSql,
+
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |     '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    // same transitive closure as the clusters oracle, then the split
+    // decided by the md5 prefix of the cluster representative —
+    // 3865470566 = floor(0.9 * 2^32), the exact long the Spark side uses
+    "dedup_split_by_cluster" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$JaccardPrCte,
+         |pairs AS (SELECT da, db FROM pr
+         |          JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
+         |          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION SELECT db, da FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id,
+         |         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, component,
+         | CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
+         |        < 3865470566 THEN 'train' ELSE 'val' END AS split
+         |FROM lab""".stripMargin,
 
     // the star-CC variant computes the identical labeling (component =
     // min reachable doc_id), so it shares the oracle verbatim

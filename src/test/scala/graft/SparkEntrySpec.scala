@@ -23,4 +23,24 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
       noException should be thrownBy fn(spark, sf0001).count()
     }
   }
+
+  test("text_pii_redact leaves no detectable PII behind") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("text_pii_redact")(spark, sf0001)
+    out.filter(col("redacted").rlike("[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+") ||
+        col("redacted").rlike("https?://[^ <]+") ||
+        col("redacted").rlike("[0-9]{6,}"))
+      .count() shouldBe 0L
+  }
+
+  test("dedup_split_by_cluster: no cluster straddles the train/val boundary") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dedup_split_by_cluster")(spark, sf0001)
+    out.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .count() shouldBe 0L
+    // and both splits are populated at this sf (0.9/0.1 expected shares)
+    out.select(countDistinct(col("split"))).head.getLong(0) shouldBe 2L
+  }
 }
