@@ -112,6 +112,37 @@ object EventStreams {
         .write.mode("append").jdbc(jdbcUrl, table, props)
     }
 
+  /** Streaming near-dup quarantine — the ingestion-time composition of the
+    * dedup family: every micro-batch of documents (`doc_id`, `text`)
+    * probes a PERSISTENT LSH index of the accepted corpus
+    * ([[graft.operators.Dedup.lshIndex]], built once and held cached by
+    * the caller), and the batch splits into `acceptedDir` /
+    * `quarantineDir` parquet appends. Per-batch cost is
+    * O(|batch| + collisions) — the corpus is never re-hashed — and the
+    * batch id rides along so a retried micro-batch stays idempotent
+    * downstream (dedup on (batch_id, doc_id)). Index lifecycle stays with
+    * the caller: fold accepted batches in by rebuilding the index at a
+    * cadence (cheap: the hash-array table is one compact row per doc),
+    * exactly like a search system's segment merge.
+    */
+  def nearDupQuarantine(docs: DataFrame, arrIdx: DataFrame, bandIdx: DataFrame,
+                        k: Int, numPerm: Int, bands: Int, threshold: Double,
+                        acceptedDir: String, quarantineDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val dups = graft.operators.Dedup
+        .nearDupsAgainstIndex(batch, arrIdx, bandIdx, k, numPerm, bands, threshold)
+        .select(col("doc_b").as("doc_id")).distinct()
+      batch.join(dups, Seq("doc_id"), "left_semi")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(quarantineDir)
+      batch.join(dups, Seq("doc_id"), "left_anti")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(acceptedDir)
+    }
+  }
+
   // ---- custom state: sessionization ------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -168,6 +168,47 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     q.stop()
   }
 
+  test("nearDupQuarantine routes stream batches against the persistent LSH index") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val (arrIdx, bandIdx) = Dedup.lshIndex(corpus, k = 3, numPerm = 16, bands = 8)
+    val accepted = java.nio.file.Files.createTempDirectory("ndq-acc").toString
+    val quarantine = java.nio.file.Files.createTempDirectory("ndq-quar").toString
+    try {
+      val in = MemoryStream[(Long, String)]
+      def stream = in.toDF().toDF("doc_id", "text")
+      // 10: near-dup of corpus doc 1 (one word changed); 11: novel
+      in.addData((10L, "the quick brown fox jumps over the sleepy dog today"),
+        (11L, "entirely novel material nothing like anything indexed before now"))
+      val q = EventStreams.nearDupQuarantine(stream, arrIdx, bandIdx,
+          k = 3, numPerm = 16, bands = 8, threshold = 0.4,
+          accepted, quarantine)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val quar = spark.read.parquet(quarantine)
+      val acc = spark.read.parquet(accepted)
+      quar.select($"doc_id").as[Long].collect().toSet shouldBe Set(10L)
+      acc.select($"doc_id").as[Long].collect().toSet shouldBe Set(11L)
+      // batch id rides along for downstream idempotence
+      quar.columns should contain("batch_id")
+      // a second micro-batch probes the SAME cached index (no corpus re-hash)
+      in.addData((12L, "the quick brown fox jumps over the lazy dog today"))
+      val q2 = EventStreams.nearDupQuarantine(stream, arrIdx, bandIdx,
+          k = 3, numPerm = 16, bands = 8, threshold = 0.4,
+          accepted, quarantine)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000)
+      spark.read.parquet(quarantine).select($"doc_id").as[Long].collect().toSet shouldBe
+        Set(10L, 12L)
+    } finally {
+      arrIdx.unpersist(blocking = true)
+      bandIdx.unpersist(blocking = true)
+    }
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val input = MemoryStream[Event]
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
