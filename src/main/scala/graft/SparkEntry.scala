@@ -645,6 +645,18 @@ object SparkEntry {
       Dedup.keepBestPerCluster(Tables.documents(s, d), sharedClusters(s, d))
         .select(col("doc_id"), col("component"), col("n_in_cluster"))),
 
+    // cross-document duplicated-ngram statistics (the Lee et al. 2022
+    // detection pass), riding the dedup family's persisted hash-array hub —
+    // zero extra corpus hashing when the family already ran
+    "dedup_dupngram" -> ((s, d) =>
+      Dedup.dupNgramStats(sharedShingleArr(s, d))),
+
+    // SemDeDup (Abbas et al. 2023): same deterministic first-32-centroid /
+    // argmax-cell convention as ann_ivf_assign, near-identical vectors
+    // pruned within cells only — nlist bounded self-joins, no all-pairs
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.4, nlist = 32)),
+
     // deterministic stratified sample: fixed per-stratum quota by md5 rank —
     // the balance-the-domains curation op (vs sample_hash's fixed fraction).
     // Pre-projected to the two columns the result carries, so every scan in
@@ -709,6 +721,14 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0), k = 5)
+    }),
+
+    // CCNet-style LM quality signal: cross-entropy of every document under
+    // a bigram LM trained on the corpus' English slice (the "reference
+    // corpus" role wikipedia plays in CCNet)
+    "lm_cross_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.LanguageModel.crossEntropy(docs.filter(col("lang") === "en"), docs)
     }),
 
     "text_fingerprint" -> ((s, d) =>
@@ -950,6 +970,23 @@ object SparkEntry {
         Tables.documents(s, d)
           .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", capacity = 512L)),
+
+    // reproducible epoch shuffle: contiguous 0-based training order from a
+    // seed-keyed content hash, enumerated by the two-phase prefix scan
+    // (no single-task global window)
+    "order_epoch_shuffle" -> ((s, d) =>
+      operators.TrainOrder.epochShuffle(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", seed = 7L)),
+
+    // token-budget head of the seeded shuffle: what a fixed-budget training
+    // run actually consumes — at bench sf the budget cuts ~95% of the
+    // corpus, so the bucket prune drops it in the scan stage
+    "order_token_budget" -> ((s, d) =>
+      operators.TrainOrder.tokenBudgetHead(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seed = 3L, budget = 15000L)),
 
     // quality-weighted deterministic resample: keep probability scales with
     // doc length (a stand-in quality weight), decided by content hash —
@@ -1434,6 +1471,41 @@ object SparkEntry {
         | floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
+    // same df: one aggregate over the distinct per-doc shingle hashes; a
+    // shingle is "duplicated" iff its document frequency is ≥ 2
+    "dedup_dupngram" ->
+      s"""WITH $ShinglesCte,
+         |df AS (SELECT h31, count(*) AS df FROM hsd GROUP BY h31)
+         |SELECT h.doc_id, count(*) AS n_ngrams,
+         | CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+         | CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |   AS dup_share
+         |FROM hsd h JOIN df ON h.h31 = df.h31
+         |GROUP BY h.doc_id""".stripMargin,
+
+    // identical derivation to ann_ivf_assign's cell map, then keep-lowest-id
+    // within each cell at round(cos,6) >= 0.4
+    "dedup_semantic" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings ORDER BY vec_id LIMIT 32),
+        |s AS (SELECT e.vec_id, c.cid,
+        |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce) /
+        |         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[]))) *
+        |          sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+        |      FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT vec_id, cid, row_number() OVER
+        |       (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s),
+        |a AS (SELECT r.vec_id, r.cid AS cell, CAST(e.embedding AS DOUBLE[]) AS e
+        |      FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE rn = 1),
+        |rm AS (SELECT DISTINCT x.vec_id FROM a x JOIN a y
+        |       ON x.cell = y.cell AND y.vec_id < x.vec_id
+        |       WHERE round(list_dot_product(x.e, y.e) /
+        |         (sqrt(list_dot_product(x.e, x.e)) *
+        |          sqrt(list_dot_product(y.e, y.e))), 6) >= 0.4)
+        |SELECT a.vec_id, a.cell, rm.vec_id IS NULL AS kept
+        |FROM a LEFT JOIN rm ON a.vec_id = rm.vec_id""".stripMargin,
+
     "dedup_keep" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$JaccardPrCte,
@@ -1670,6 +1742,29 @@ object SparkEntry {
          | CAST(coalesce(h.contaminated_ngrams, 0) AS DOUBLE) / CAST(z.n AS DOUBLE)
          |   AS contaminated_share
          |FROM sz z LEFT JOIN hits h ON z.doc_id = h.doc_id""".stripMargin,
+
+    // identical bigram-LM derivation: add-one-smoothed conditional
+    // probabilities from the en slice's bigram/context counts, uniform 1/V
+    // fallback for unseen contexts, avg(-ln P) rounded to 6 decimals
+    "lm_cross_entropy" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |bgs AS (SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(w)),
+        |                i -> array_to_string(w[i:i+1], ' '))) AS bg
+        |        FROM tok WHERE len(w) >= 2),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM bgs WHERE lang = 'en' GROUP BY bg),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+        |       FROM bgs WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT count(DISTINCT x) AS v FROM
+        |       (SELECT unnest(w) AS x FROM tok WHERE lang = 'en'))
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        | round(avg(-ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE) /
+        |               CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE))), 6) AS cross_entropy
+        |FROM bgs b
+        |LEFT JOIN c12 ON b.bg = c12.bg
+        |LEFT JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1
+        |CROSS JOIN v
+        |GROUP BY b.doc_id""".stripMargin,
 
     "text_profile" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -1956,6 +2051,28 @@ object SparkEntry {
         | (cum - n_tokens) // 512 AS seq_id,
         | (cum - n_tokens) % 512 AS seq_offset
         |FROM c""".stripMargin,
+
+    // the definition itself: global row_number over the seed-keyed 32-bit
+    // md5 prefix (id tie-break), minus one
+    "order_epoch_shuffle" ->
+      """SELECT doc_id, source,
+        | row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |   doc_id) - 1 AS shuffle_pos
+        |FROM documents""".stripMargin,
+
+    // running token total in the same seed-keyed order, cut at the budget
+    "order_token_budget" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5('3_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000""".stripMargin,
 
     "w4_session_window" ->
       """WITH e AS (

@@ -772,4 +772,78 @@ object Dedup {
         Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    * space, then prune near-identical vectors WITHIN each cluster only —
+    * the cluster pass turns the quadratic all-pairs search into `nlist`
+    * bounded per-cell self-joins, which is what makes semantic dedup
+    * tractable on web-scale corpora (the paper runs it on LAION-440M).
+    *
+    * Determinized for cross-engine verification the same way as `ann_ivf`:
+    * centroids are the first `nlist` vectors by id (no float-order-
+    * dependent k-means refine on the oracled path), cell assignment is
+    * argmax of round(cos, 6) with ties to the smallest centroid id, and
+    * the keep choice inside a duplicate group is keep-lowest-id — a vector
+    * is dropped iff a LOWER-id vector in its cell has cosine ≥ `threshold`
+    * with it (the paper keeps a random/centroid-far exemplar; lowest-id is
+    * the same cardinality with a reproducible choice).
+    *
+    * Returns one row per vector: (vec_id, cell, kept).
+    *
+    * Scale shape: assignment is a narrow per-row projection (the centroid
+    * matrix rides inside ONE native argmax expression — no crossJoin, no
+    * shuffle); the per-cell self-join shuffles (vec_id, embedding) once on
+    * the cell key. Per-cell cost is quadratic in the CELL size, so `nlist`
+    * is the knob that bounds task size — SemDeDup at production scale uses
+    * tens of thousands of clusters precisely so each cell fits a task; a
+    * skewed cell shows up in the Spark UI as one long task, fixed by
+    * raising `nlist`, not by re-sharding here (a df-cut would silently
+    * change which vectors survive).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, nlist: Int = 32): DataFrame = {
+    // bounded driver collect: nlist centroid rows, same contract as ivfTopK
+    val cents = emb.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
+        cents.map(_._1), cents.map(_._2)).as("cell"))
+    val removed = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
+        >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(removed.withColumn("__graft_rm", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__graft_rm").isNull.as("kept"))
+  }
+
+  /** Cross-document duplicated n-gram statistics — the detection pass of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": duplicated spans across documents are
+    * memorization fuel and should be found corpus-wide, not pairwise).
+    * Consumes the per-doc hashed shingle arrays ([[docShingleHashes]]) so
+    * a caller holding the dedup family's persisted hub reuses it — the
+    * corpus is hashed zero extra times.
+    *
+    * Per document: its distinct-shingle count, how many of those shingles
+    * also appear in at least one OTHER document, and the share. (Intra-doc
+    * repetition is a different signal — `TextAnalysis`' repetition ratio.)
+    *
+    * Scale shape: document frequency is one map-side-combining aggregate
+    * over exploded 31-bit hashes (shuffle rows are (long, long) pairs, not
+    * shingle strings); the join back is hash-partitioned on the same key,
+    * and the df side is vocabulary-sized (Zipf-bounded), not corpus-sized.
+    */
+  def dupNgramStats(arr: DataFrame): DataFrame = {
+    val sh = arr.select(col("doc_id"), explode(col("hs")).as("h31"))
+    // hs arrays are distinct per doc, so count(*) per hash IS doc frequency
+    val df = sh.groupBy("h31").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h31"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_ngrams"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_dup_ngrams"),
+        (col("n_dup_ngrams").cast("double") / col("n_ngrams").cast("double"))
+          .as("dup_share"))
+  }
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Deterministic training-order materialization ("epoch shuffle").
+  *
+  * Pre-training consumes the corpus in a pseudo-random order that must be
+  * REPRODUCIBLE — the same (corpus, seed, epoch) must yield the same order
+  * on every run, engine, retry and cluster size, or checkpoint resumption
+  * and data-order ablations are impossible. An RNG-based `orderBy(rand())`
+  * breaks that contract under task retry; the standard fix (same family as
+  * [[Sampling]]) is a content-derived sort key: the 32-bit md5 prefix of
+  * `"<seed>_<doc id>"`. Different seeds give independent permutations
+  * (fresh order per epoch); ties (32-bit collisions) break on the id, so
+  * the order is total and stable.
+  *
+  * Assigning the contiguous 0-based position in that order is an exact
+  * global enumeration — the same scale cliff as [[Packing]]'s prefix sum
+  * (a bare `row_number() OVER (ORDER BY h)` sorts the corpus through one
+  * task) and the same two-phase cure, with one simplification: the sort
+  * key is hash-UNIFORM on [0, 2^32) by construction, so order-aligned
+  * buckets are fixed-width slices of the hash range — no min/max
+  * pre-pass, no data-dependent boundaries, deterministic end to end.
+  *
+  *   1. bucket = hkey DIV (2^32 / buckets)  (monotone in hkey);
+  *   2. rank WITHIN each bucket (parallel windows, one hash exchange);
+  *   3. per-bucket counts prefix-summed on the driver (≤ `buckets` longs)
+  *      and broadcast back as offsets.
+  *
+  * position = bucket_offset + local_rank − 1, exactly the global
+  * `row_number` over (hkey, id) minus one.
+  */
+object TrainOrder {
+
+  /** Every column of `docs` plus `shuffle_pos` — the document's 0-based
+    * position in the seed-keyed pseudo-random order. `idCol` must be
+    * unique and non-null (fails fast otherwise; a null id has no hash and
+    * no deterministic place in the order). `docs` must not already contain
+    * the injected working columns `__graft_hk` / `__graft_b` /
+    * `__graft_rn` / `__graft_off`.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+                   buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "epochShuffle: buckets must be positive")
+    // concat (NOT concat_ws, which skips nulls): a null id must propagate
+    // to a null hash so the contract check below can see it
+    val hkey = conv(substring(
+      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    val width = math.max(1L, 4294967296L / buckets + 1)
+    val keyed = docs
+      .withColumn("__graft_hk", hkey)
+      .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
+      .repartition(col("__graft_b"))
+    val wIn = Window.partitionBy(col("__graft_b"))
+      .orderBy(col("__graft_hk"), col(idCol))
+    val local = keyed.withColumn("__graft_rn", row_number().over(wIn))
+
+    // per-bucket counts: map-side-combining aggregate, ≤ `buckets` rows of
+    // driver state. A null id surfaces here as a null bucket — fail fast
+    // with the contract violation instead of a bare NPE.
+    val totals = keyed.groupBy(col("__graft_b")).agg(count(lit(1)).as("__graft_n"))
+      .collect()
+    require(totals.forall(!_.isNullAt(0)),
+      s"epochShuffle: null '$idCol' row(s) — the id must be a unique non-null " +
+        "key for a deterministic order")
+    val sorted = totals.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsetRows = sorted.map { case (b, n) =>
+      val row = org.apache.spark.sql.Row(b, acc); acc += n; row
+    }
+    val offsets = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*),
+      StructType(Seq(StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
+
+    local.join(broadcast(offsets), Seq("__graft_b"))
+      .withColumn("shuffle_pos", col("__graft_off") + col("__graft_rn") - 1)
+      .drop("__graft_hk", "__graft_b", "__graft_rn", "__graft_off")
+  }
+
+  /** Token-budget head of the seeded shuffle: the documents a training run
+    * with a fixed token budget actually consumes — every doc whose
+    * cumulative token count, in [[epochShuffle]]'s (hash, id) order,
+    * stays ≤ `budget` (a doc is kept iff it fits ENTIRELY within the
+    * budget; the straddling doc and everything after it are cut). Returns
+    * every column of `docs` plus `cum_tokens` (the running total
+    * including the row itself).
+    *
+    * The prefix sum reuses the epoch shuffle's fixed-width hash buckets,
+    * with one extra scale lever the full enumeration can't use: the
+    * per-bucket totals (collected anyway for the offsets) locate the
+    * boundary bucket, and the rank/cumsum window runs ONLY on buckets at
+    * or before it — for a 1% budget over a 100 TB corpus, 99% of the data
+    * is dropped by a scan-stage bucket filter and never sorted or
+    * shuffled. `tokenCol` must be non-null and `idCol` unique non-null
+    * (fails fast, same contract as [[Packing.packSequences]]); `docs`
+    * must not already contain the injected `__graft_*` working columns.
+    */
+  def tokenBudgetHead(docs: DataFrame, idCol: String, tokenCol: String,
+                      seed: Long, budget: Long, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "tokenBudgetHead: buckets must be positive")
+    require(budget >= 0, "tokenBudgetHead: budget must be non-negative")
+    val hkey = conv(substring(
+      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    val width = math.max(1L, 4294967296L / buckets + 1)
+    val keyed = docs
+      .withColumn("__graft_hk", hkey)
+      .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
+
+    // per-bucket token totals + the null-contract check on the same action
+    val totals = keyed.groupBy(col("__graft_b"))
+      .agg(sum(col(tokenCol).cast(LongType)).as("__graft_t"),
+        count(when(col(idCol).isNull || col(tokenCol).isNull, 1)).as("__graft_bad"))
+      .collect()
+    require(totals.forall(r => !r.isNullAt(0) && r.getLong(2) == 0L),
+      s"tokenBudgetHead: null '$idCol' or '$tokenCol' row(s) — both must be " +
+        "non-null (unique id, token count) for an exact budgeted prefix sum")
+    val sorted = totals.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsetRows = sorted.map { case (b, t) =>
+      val row = org.apache.spark.sql.Row(b, acc); acc += t; row
+    }
+    // boundary: a bucket whose offset already EXCEEDS the budget cannot
+    // contribute a kept row (cum ≥ offset > budget for every row in it) —
+    // prune it before the sort/window. `>` not `≥`: a zero-token doc at
+    // offset == budget still qualifies.
+    val lastLive = offsetRows.collectFirst {
+      case r if r.getLong(1) > budget => r.getLong(0) - 1
+    }.getOrElse(Long.MaxValue)
+    val offsets = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsetRows.filter(_.getLong(0) <= lastLive): _*),
+      StructType(Seq(StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
+
+    val wIn = Window.partitionBy(col("__graft_b"))
+      .orderBy(col("__graft_hk"), col(idCol))
+    keyed.filter(col("__graft_b") <= lastLive)
+      .repartition(col("__graft_b"))
+      .withColumn("__graft_cum", sum(col(tokenCol).cast(LongType)).over(wIn))
+      .join(broadcast(offsets), Seq("__graft_b"))
+      .withColumn("cum_tokens", col("__graft_off") + col("__graft_cum"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__graft_hk", "__graft_b", "__graft_cum", "__graft_off")
+  }
+}

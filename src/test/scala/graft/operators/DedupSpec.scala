@@ -219,6 +219,48 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     far should be > hamming
   }
 
+  test("semanticDedup: per-cell keep-lowest-id matches a brute-force re-derivation") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val got = Dedup.semanticDedup(emb, threshold = 0.2, nlist = 8)
+      .as[(Long, Long, Boolean)].collect()
+    got.length shouldBe emb.count() // one verdict per vector, none lost
+
+    // brute force: assign by argmax round(cos,6) (ties → smallest cid),
+    // drop iff a lower-id same-cell vector is ≥ threshold
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+    val cents = vecs.take(8)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val d = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(y => y.toDouble * y.toDouble).sum)
+      val raw = if (d == 0.0) 0.0 else dot / d
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cell = vecs.map { case (id, e) =>
+      id -> cents.minBy { case (cid, ce) => (-cos(e, ce), cid) }._1
+    }.toMap
+    val byId = vecs.toMap
+    val expected = vecs.map { case (id, e) =>
+      val dropped = vecs.exists { case (lo, _) =>
+        lo < id && cell(lo) == cell(id) && cos(byId(lo), e) >= 0.2
+      }
+      (id, cell(id), !dropped)
+    }.toSet
+    got.toSet shouldBe expected
+    got.count(!_._3) should be > 0 // the threshold actually bites here
+  }
+
+  test("dupNgramStats: hand-computed document frequencies") {
+    val docs3 = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupNgramStats(Dedup.docShingleHashes(docs3, k = 2))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // shingles: doc1 {"a b","b c"}, doc2 {"a b","b d"}, doc3 {"x y","y z"};
+    // only "a b" crosses documents
+    got shouldBe Array((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0))
+  }
+
   test("embeddingNearDups on synthetic embeddings agrees with brute force") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val viaLsh = Dedup.embeddingNearDups(emb, threshold = 0.8, signBits = 4)

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private val docs = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+
+  /** The definition: global row_number over (hash, id), minus one. */
+  private def oracle(seed: Long): Map[Long, Long] = {
+    val h = conv(substring(md5(concat_ws("_", lit(seed), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    docs.withColumn("pos", row_number().over(Window.orderBy(h, $"doc_id")) - 1)
+      .select($"doc_id", $"pos".cast("long")).as[(Long, Long)].collect().toMap
+  }
+
+  test("epochShuffle matches the single-window definition") {
+    val got = TrainOrder.epochShuffle(docs, "doc_id", seed = 7L, buckets = 16)
+      .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    got shouldBe oracle(7L)
+  }
+
+  test("positions are a contiguous 0-based permutation; seeds differ") {
+    val p1 = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 8)
+      .select($"shuffle_pos").as[Long].collect().sorted
+    p1 shouldBe (0L until 200L).toArray
+    val o1 = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 8)
+      .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    val o2 = TrainOrder.epochShuffle(docs, "doc_id", seed = 2L, buckets = 8)
+      .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    o1 should not be o2 // independent permutation per epoch seed
+    // bucket count does not change the order, only the plan
+    val wide = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 1000)
+      .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    wide shouldBe o1
+  }
+
+  test("tokenBudgetHead matches the single-window definition; bucket-prune invariant") {
+    val toks = docs.withColumn("n_tokens", ($"doc_id" % 30 + 1).cast("long"))
+    val h = conv(substring(md5(concat_ws("_", lit(3L), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val oracle = toks
+      .withColumn("cum", sum($"n_tokens").over(Window.orderBy(h, $"doc_id")))
+      .filter($"cum" <= 400L)
+      .select($"doc_id", $"cum".cast("long")).as[(Long, Long)].collect().toMap
+    oracle should not be empty
+    oracle.size should be < 200 // the budget actually cuts
+    for (b <- Seq(4, 64, 1000)) { // prune path exercised at several widths
+      val got = TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens",
+          seed = 3L, budget = 400L, buckets = b)
+        .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+      got shouldBe oracle
+    }
+  }
+
+  test("tokenBudgetHead: zero budget keeps nothing; huge budget keeps all") {
+    val toks = docs.withColumn("n_tokens", lit(5L))
+    TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens", seed = 1L, budget = 0L)
+      .count() shouldBe 0L
+    val all = TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens",
+      seed = 1L, budget = Long.MaxValue)
+    all.count() shouldBe 200L
+    all.agg(max($"cum_tokens")).as[Long].head() shouldBe 1000L
+  }
+
+  test("tokenBudgetHead: null token count fails fast with the contract error") {
+    val bad = Seq((1L, Some(3L)), (2L, None)).toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      TrainOrder.tokenBudgetHead(bad, "doc_id", "n_tokens", seed = 1L, budget = 10L)
+    }
+    e.getMessage should include("non-null")
+  }
+
+  test("null id fails fast with the contract error") {
+    val bad = Seq((Some(1L), "a"), (None, "b")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      TrainOrder.epochShuffle(bad, "doc_id", seed = 1L).count()
+    }
+    e.getMessage should include("null 'doc_id'")
+  }
+}
