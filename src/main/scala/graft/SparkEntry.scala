@@ -657,6 +657,15 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) =>
       Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.4, nlist = 32)),
 
+    // fuzzy decontamination: Jaccard near-dups BETWEEN the corpus and a
+    // held-out eval slice; both posting sides are filters over the
+    // family's persisted hash-array hub
+    "dedup_cross_corpus" -> ((s, d) => {
+      val arr = sharedShingleArr(s, d)
+      Dedup.crossCorpusPairsFromArr(arr,
+        arr.filter(col("doc_id") % 7 === 0), threshold = 0.5)
+    }),
+
     // deterministic stratified sample: fixed per-stratum quota by md5 rank —
     // the balance-the-domains curation op (vs sample_hash's fixed fraction).
     // Pre-projected to the two columns the result carries, so every scan in
@@ -945,6 +954,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
           (floor(avg(col("n_chars")) * 100 + 0.5) / 100).as("avg_chars"))),
+
+    // hashed linear classifier inference (fastText-style quality filter):
+    // one narrow codegen'd pass — no explode, join, or shuffle
+    "text_quality_model" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityModelScore(col("text")).as("lm_quality_score"))),
+
+    // tokenizer-induction telemetry: top-100 token coverage curve
+    "vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), topK = 100)),
+
+    // Z-ORDER layout clustering: interleaved (user, hour) key, bucketed —
+    // the per-bucket min/max envelopes the layout exists to tighten
+    "layout_zorder" -> ((s, d) => {
+      val x = pmod(col("user_id"), lit(65536L))
+      val hr = expr("CAST(ts AS LONG) DIV 3600") // proven epoch idiom (stream_tumbling_agg)
+      val y = pmod(hr, lit(65536L))
+      Tables.events(s, d)
+        .select(col("user_id"), hr.as("hr"),
+          operators.Layout.zorderKey2(x, y, bits = 16).as("z"))
+        .groupBy(shiftright(col("z"), 22).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+          min(col("hr")).as("h_min"), max(col("hr")).as("h_max"))
+    }),
 
     // ---- streaming semantics (batch-equivalent tumbling window) ---------
 
@@ -1471,6 +1505,23 @@ object SparkEntry {
         | floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
+    // identical posting derivation; the df-cut HAVING mirrors the combined
+    // (train ∪ eval) posting heat exactly like the operator
+    "dedup_cross_corpus" ->
+      s"""WITH $ShinglesCte,
+         |ep AS (SELECT doc_id, h31 FROM hsd WHERE doc_id % 7 = 0),
+         |hot AS (SELECT h31 FROM (SELECT h31 FROM hsd UNION ALL SELECT h31 FROM ep) u
+         |        GROUP BY h31 HAVING count(*) > ${Dedup.DefaultMaxPostings}),
+         |tpr AS (SELECT doc_id, h31 FROM hsd WHERE h31 NOT IN (SELECT h31 FROM hot)),
+         |epr AS (SELECT doc_id, h31 FROM ep WHERE h31 NOT IN (SELECT h31 FROM hot)),
+         |pr AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS inter
+         |       FROM tpr t JOIN epr e ON t.h31 = e.h31 AND t.doc_id <> e.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT train_id, eval_id, inter / (st.n + se.n - inter) AS jaccard
+         |FROM pr JOIN szh st ON st.doc_id = train_id
+         |        JOIN szh se ON se.doc_id = eval_id
+         |WHERE inter / (st.n + se.n - inter) >= 0.5""".stripMargin,
+
     // same df: one aggregate over the distinct per-doc shingle hashes; a
     // shingle is "duplicated" iff its document frequency is ≥ 2
     "dedup_dupngram" ->
@@ -1948,6 +1999,22 @@ object SparkEntry {
         | event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // identical interleave arithmetic, generated term-for-term
+    "layout_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH e AS (SELECT user_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         |  user_id % 65536 AS x,
+         |  (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 65536 AS y
+         | FROM events),
+         |z AS (SELECT user_id, hr, (${terms.mkString(" | ")}) AS z FROM e)
+         |SELECT z >> 22 AS zbucket, count(*) AS n,
+         | min(user_id) AS u_min, max(user_id) AS u_max,
+         | min(hr) AS h_min, max(hr) AS h_max
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
     // identical tokenization (single-space split), identical idf
     // ln(1 + (N - df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75
     "text_bm25" ->
@@ -2099,6 +2166,35 @@ object SparkEntry {
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         | floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents GROUP BY source, lang""".stripMargin,
+
+    // identical weight derivation: 32-bit md5 prefix of "w_<bucket>"
+    // mapped to [-1000, 1000]; integer feature sum, one division + exp
+    "text_quality_model" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |h AS (SELECT DISTINCT doc_id,
+         |       ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 AS h31 FROM t),
+         |w AS (SELECT doc_id,
+         |       ('0x' || substr(md5('w_' ||
+         |          CAST(h31 % ${TextAnalysis.QualityModelBuckets} AS VARCHAR)),
+         |         1, 8))::BIGINT % 2001 - 1000 AS wgt FROM h)
+         |SELECT doc_id,
+         | round(1.0 / (1.0 + exp(-(CAST(sum(wgt) AS DOUBLE) / (1000.0 * count(*))))), 6)
+         |   AS lm_quality_score
+         |FROM w GROUP BY doc_id""".stripMargin,
+
+    // same rank/tie order (count desc, token asc); exact integer cumsum
+    "vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |r AS (SELECT token, cnt,
+        |       row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+        |       sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c)
+        |SELECT rank, token, CAST(cnt AS BIGINT) AS cnt,
+        | round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+        |FROM r CROSS JOIN tot WHERE rank <= 100""".stripMargin,
 
     // Full-fidelity re-derivation of the reference silver transform
     // (python_scripts.py:169-205) from the raw sample JSON, including the

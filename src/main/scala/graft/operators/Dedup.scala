@@ -817,6 +817,67 @@ object Dedup {
       .select(col("vec_id"), col("cell"), col("__graft_rm").isNull.as("kept"))
   }
 
+  /** Cross-corpus fuzzy decontamination: exact n-gram Jaccard near-dup
+    * pairs BETWEEN two corpora (train vs eval) — the fuzzy complement of
+    * [[TextAnalysis.contamination]]'s exact shingle hit-count. Exact
+    * containment misses light rewrites (benchmark questions paraphrased
+    * into web text); a Jaccard threshold over the same shingle sets
+    * catches them, which is how production decontamination actually runs
+    * (e.g. the GPT-3 and Llama training-data filters are n-gram-overlap
+    * based).
+    *
+    * Same posting-index derivation as [[jaccardPairsFromArr]] — including
+    * the `maxPostings` df-cut, applied to the UNION'd posting index so a
+    * boilerplate shingle that is hot across the two corpora combined
+    * cannot quadratically expand the join — but the candidate join is
+    * train-posting ⋈ eval-posting, so cost is |eval postings| ×
+    * per-shingle train df, never train². The eval side (benchmarks:
+    * thousands of docs, not billions) is small by nature; the planner
+    * broadcast-converts it at runtime via AQE when it fits, and the plan
+    * degrades to a partitioned hash join when it does not — nothing here
+    * assumes it fits an executor.
+    *
+    * Both inputs are [[docShingleHashes]] tables, so a caller holding the
+    * dedup family's persisted hub reuses it for both sides (an eval slice
+    * of the same corpus is a filter over the cached table — zero extra
+    * hashing). Returns (train_id, eval_id, jaccard), identical-id pairs
+    * excluded (an eval doc that IS a train doc is exact contamination,
+    * `dedup_exact`'s job).
+    */
+  def crossCorpusPairsFromArr(trainArr: DataFrame, evalArr: DataFrame,
+                              threshold: Double,
+                              maxPostings: Long = DefaultMaxPostings): DataFrame = {
+    def posting(arr: DataFrame) =
+      arr.select(col("doc_id"), size(col("hs")).as("__n"),
+        explode(col("hs")).as("h31"))
+    val tp = posting(trainArr)
+    val ep = posting(evalArr)
+    // df-cut over the combined index: a shingle's heat is its TOTAL posting
+    // count across both corpora (mirrored in the oracle SQL)
+    val hot = tp.select(col("h31")).unionAll(ep.select(col("h31")))
+      .groupBy(col("h31")).agg(count(lit(1)).as("__hn"))
+      .filter(col("__hn") > maxPostings)
+      .select(col("h31"))
+    val tpr = tp.join(hot, Seq("h31"), "left_anti")
+    val epr = ep.join(hot, Seq("h31"), "left_anti")
+    tpr.as("t").join(epr.as("e"),
+        col("t.h31") === col("e.h31") && col("t.doc_id") =!= col("e.doc_id"))
+      .groupBy(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("__inter"),
+        first(col("t.__n")).as("__nt"), first(col("e.__n")).as("__ne"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__nt") + col("__ne") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+  }
+
+  /** [[crossCorpusPairsFromArr]] over raw text corpora. */
+  def crossCorpusPairs(train: DataFrame, eval: DataFrame, k: Int,
+                       threshold: Double,
+                       maxPostings: Long = DefaultMaxPostings): DataFrame =
+    crossCorpusPairsFromArr(docShingleHashes(train, k),
+      docShingleHashes(eval, k), threshold, maxPostings)
+
   /** Cross-document duplicated n-gram statistics — the detection pass of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better": duplicated spans across documents are

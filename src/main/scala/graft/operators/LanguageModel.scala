@@ -49,12 +49,19 @@ object LanguageModel {
     docBigrams(reference).groupBy("bg").agg(count(lit(1)).as("c12"))
 
   /** Bigram-START counts (conditional-probability denominators):
-    * `(w1, c1)` with `c1 = Σ_w2 c(w1 w2)`.
+    * `(w1, c1)` with `c1 = Σ_w2 c(w1 w2)` — derived by re-aggregating
+    * [[bigramCounts]] rather than re-exploding the reference corpus: the
+    * input is vocabulary-sized (Zipf-bounded), not corpus-sized, and when
+    * [[crossEntropy]] composes both tables the shared bigram-count
+    * exchange executes once (ReuseExchange collapses the identical
+    * subtrees).
     */
   def contextCounts(reference: DataFrame): DataFrame =
-    docBigrams(reference)
-      .select(substring_index(col("bg"), " ", 1).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    contextCountsFrom(bigramCounts(reference))
+
+  private def contextCountsFrom(c12: DataFrame): DataFrame =
+    c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
 
   /** Distinct-token count of the reference corpus as a 1-row frame `(v)`. */
   def vocabSize(reference: DataFrame): DataFrame =
@@ -68,10 +75,11 @@ object LanguageModel {
     * than two tokens have no bigrams and are absent from the output.
     */
   def crossEntropy(reference: DataFrame, docs: DataFrame): DataFrame = {
+    val c12 = bigramCounts(reference)
     val scored = docBigrams(docs)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(bigramCounts(reference), Seq("bg"), "left")
-      .join(contextCounts(reference), Seq("w1"), "left")
+      .join(c12, Seq("bg"), "left")
+      .join(contextCountsFrom(c12), Seq("w1"), "left")
       .crossJoin(vocabSize(reference))
     scored
       .select(col("doc_id"),

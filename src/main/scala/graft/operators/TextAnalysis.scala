@@ -202,6 +202,76 @@ object TextAnalysis {
           col("total_ngrams").cast("double")).as("contaminated_share"))
   }
 
+  /** Hashed-feature bucket count of the [[qualityModelScore]] classifier. */
+  val QualityModelBuckets = 256
+
+  /** The classifier's weight vector, derived (not trained) so both engines
+    * can re-create it bit-for-bit: weight(b) is the 32-bit md5 prefix of
+    * `"w_<b>"` mapped affinely into [-1000, 1000] — kept as INTEGERS so
+    * the per-document feature sum is exact in a long and the score's only
+    * float ops are one division and one `exp`, independent of
+    * accumulation order (the same determinism trick as [[graft.operators.Packing]]'s
+    * integer prefix sums). A production system would load trained weights;
+    * every plan property (narrow, codegen'd, no join) is identical.
+    */
+  val QualityModelWeights: IndexedSeq[Long] = (0 until QualityModelBuckets).map { b =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"w_$b".getBytes("UTF-8"))
+    val h32 = d.take(4).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+    h32 % 2001L - 1000L
+  }
+
+  /** fastText-style linear quality-classifier INFERENCE over hashed
+    * set-of-words features: each distinct token hashes to one of
+    * [[QualityModelBuckets]] buckets (the hashing trick — collisions are
+    * part of the model), the document's bucket weights are summed, and
+    * the mean weight passes through a sigmoid. `round(…, 6)` is the
+    * repo's cross-engine convention.
+    *
+    * Scale shape: a pure narrow projection — the token hashing rides the
+    * fused 31-bit shingle kernel (k=1), the weight lookup is an
+    * `element_at` into a 256-literal array, and no explode, join or
+    * shuffle exists at any corpus size. This is why hashed linear models
+    * are THE quality filter run over full crawls (fastText in CCNet,
+    * DCLM): inference cost is one scan.
+    */
+  def qualityModelScore(text: Column): Column = {
+    val hs = graft.functions.TextFunctions.shingle_hash31_array(text, 1)
+    val w = array(QualityModelWeights.map(lit): _*)
+    val s = aggregate(hs, lit(0L),
+      (acc, h) => acc + element_at(w, (h % QualityModelBuckets).cast("int") + 1))
+    val x = s.cast("double") / (lit(1000.0) * size(hs).cast("double"))
+    round(lit(1.0) / (lit(1.0) + exp(-x)), 6)
+  }
+
+  /** Tokenizer-induction telemetry: the `topK` most frequent tokens with
+    * their corpus counts and cumulative coverage share — the curve read
+    * before sizing a vocabulary (how many types cover 95% of tokens).
+    *
+    * Scale shape: ONE map-side-combining aggregate over exploded tokens
+    * (shuffle is vocabulary-sized, Zipf-bounded); the total rides the
+    * same counts table as a 1-row broadcast. Only the top-`topK` slice —
+    * bounded by the parameter, not the data — passes through the global
+    * rank/cumsum window, so the single-partition window that makes naive
+    * formulations a scale cliff here touches `topK` rows.
+    */
+  def vocabCoverage(docs: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, "vocabCoverage: topK must be positive")
+    val counts = docs.select(explode(words(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val ord = Seq(col("cnt").desc, col("token").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    counts.orderBy(ord: _*).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long")) // BIGINT parity
+      .withColumn("__cum", sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        round(col("__cum").cast("double") / col("__total").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   /** Full per-document text-statistics projection. */
   def profile(docs: DataFrame): DataFrame =
     docs.select(

@@ -251,6 +251,44 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     got.count(!_._3) should be > 0 // the threshold actually bites here
   }
 
+  test("crossCorpusPairs: eval near-dups found, identical ids excluded") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta THETA"), // near-dup of 1
+      (3L, "one two three four five six seven")          // disjoint
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),   // identical id+text
+      (9L, "alpha beta gamma delta epsilon zeta eta")    // same text, new id
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusPairs(train, eval, k = 5, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // doc1 vs eval9: identical 5-gram sets (3 shingles) → jaccard 1.0
+    got((1L, 9L)) shouldBe 1.0
+    // doc2 vs eval1/eval9: shares 2 of 3 shingles each side → 2/4 = 0.5
+    got((2L, 1L)) shouldBe 0.5
+    got((2L, 9L)) shouldBe 0.5
+    // (1,1) excluded as identical-id; doc3 matches nothing
+    got.keySet shouldBe Set((1L, 9L), (2L, 1L), (2L, 9L))
+  }
+
+  test("crossCorpusPairs df-cut: an over-cap shingle alone generates no pair") {
+    // one shared shingle, hot across the combined corpora (cap 2 < 3 postings)
+    val train = Seq(
+      (1L, "x y z w v"), (2L, "x y z w v AAA")).toDF("doc_id", "text")
+    val eval = Seq((9L, "x y z w v BBB")).toDF("doc_id", "text")
+    // "x y z w v" appears in all 3 docs → 3 postings > cap 2 → dropped from
+    // intersections; doc1 has ONLY that shingle, so it pairs with nothing
+    val got = Dedup.crossCorpusPairs(train, eval, k = 5, threshold = 0.01,
+        maxPostings = 2L)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    got should not contain ((1L, 9L))
+    // doc2⋈eval9 still pair via their OTHER shared shingles? they share
+    // none besides the capped one → no pairs at all
+    got shouldBe empty
+  }
+
   test("dupNgramStats: hand-computed document frequencies") {
     val docs3 = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
       .toDF("doc_id", "text")

@@ -65,6 +65,43 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     df.count() shouldBe 500L
   }
 
+  test("qualityModelScore: hand-computed hashed-linear sigmoid; deterministic") {
+    // replicate the derivation outside Spark: distinct token hashes →
+    // bucket → integer weight → mean/1000 → sigmoid, rounded to 6
+    def h31(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      val h32 = d.take(4).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+      h32 % 2147483647L
+    }
+    val text = "the quick brown fox the"
+    val toks = text.split(" ").map(h31).distinct // "the" collapses
+    toks.length shouldBe 4
+    val s = toks.map(h => TextAnalysis.QualityModelWeights((h % 256).toInt)).sum
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-(s.toDouble / (1000.0 * toks.length)))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    over(text)(TextAnalysis.qualityModelScore) shouldBe expected
+    over(text)(TextAnalysis.qualityModelScore) shouldBe expected // stable
+  }
+
+  test("qualityModelScore stays in (0, 1) over the documents table") {
+    val scores = graft.Tables.documents(spark, sf0001)
+      .select(TextAnalysis.qualityModelScore($"text").as("s"))
+      .agg(min($"s"), max($"s")).head()
+    scores.getDouble(0) should be > 0.0
+    scores.getDouble(1) should be < 1.0
+  }
+
+  test("vocabCoverage: hand-computed ranks, counts and cumulative shares") {
+    val docs = Seq((1L, "a b a c"), (2L, "a b d")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1, d=1 (total 7); ties break token-asc
+    val got = TextAnalysis.vocabCoverage(docs, topK = 3)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    got shouldBe Array(
+      (1L, "a", 3L, BigDecimal(3.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, "b", 2L, BigDecimal(5.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (3L, "c", 1L, BigDecimal(6.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("contamination: eval member fully contaminated, disjoint doc untouched") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),            // = eval doc
