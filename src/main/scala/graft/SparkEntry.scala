@@ -471,6 +471,18 @@ object SparkEntry {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
 
+    // A11 (beyond reference): exact interpolated percentiles per group —
+    // Spark's sort-based percentile agg, same interpolation as DuckDB's
+    // quantile_cont
+    "a11_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("p"), 1), 4).as("p50"),
+          round(element_at(col("p"), 2), 4).as("p90"),
+          round(element_at(col("p"), 3), 4).as("p99"))),
+
     // A9 (beyond reference): UNPIVOT/melt — wide measures to long form
     "a9_unpivot" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -946,6 +958,13 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"), col("total_value"))),
 
+    // SCD Type-2 dimension history: per-user event_type version intervals
+    // (one key exchange; change-flag window, filter, and valid_to window
+    // all share it)
+    "w5_scd2" -> ((s, d) =>
+      operators.History.scd2(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")),
+
     // per-source/lang corpus rollup: the curation dashboard every
     // training-data pipeline keeps (doc counts, token mass, size profile)
     "text_source_stats" -> ((s, d) =>
@@ -1012,6 +1031,17 @@ object SparkEntry {
       operators.TrainOrder.epochShuffle(
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id", seed = 7L)),
+
+    // deterministic 8-way shard materialization: round-robin along the
+    // seeded order → exactly-equal shard sizes, each an unbiased slice
+    "order_shards" -> ((s, d) =>
+      operators.TrainOrder.shardAssignments(
+          Tables.documents(s, d).select(col("doc_id")),
+          "doc_id", seed = 11L, numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          min(col("shuffle_pos")).as("pos_min"),
+          max(col("shuffle_pos")).as("pos_max"))),
 
     // token-budget head of the seeded shuffle: what a fixed-budget training
     // run actually consumes — at bench sf the budget cuts ~95% of the
@@ -1929,6 +1959,29 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
 
+    // same two-window derivation: null-safe change flag on (ts, event_id)
+    // order, lead() of the surviving change rows as valid_to
+    "w5_scd2" ->
+      """WITH o AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev
+        | FROM events),
+        |c AS (
+        | SELECT user_id, event_type, ts, event_id FROM o
+        | WHERE event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM c""".stripMargin,
+
+    // quantile_cont shares percentile()'s index-interpolation definition
+    "a11_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "w2_lag_sessions" ->
       """WITH e AS (
         | SELECT user_id, event_id, ts,
@@ -2127,6 +2180,15 @@ object SparkEntry {
         |   ('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
         |   doc_id) - 1 AS shuffle_pos
         |FROM documents""".stripMargin,
+
+    // same round-robin of the seed-11 order
+    "order_shards" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5('11_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |   doc_id) - 1 AS pos FROM documents)
+        |SELECT pos % 8 AS shard, count(*) AS n,
+        | min(pos) AS pos_min, max(pos) AS pos_max
+        |FROM r GROUP BY 1""".stripMargin,
 
     // running token total in the same seed-keyed order, cut at the budget
     "order_token_budget" ->

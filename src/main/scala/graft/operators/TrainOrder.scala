@@ -81,6 +81,20 @@ object TrainOrder {
       .drop("__graft_hk", "__graft_b", "__graft_rn", "__graft_off")
   }
 
+  /** Deterministic shard materialization: every doc's target shard in a
+    * `numShards`-way split, assigned round-robin along the
+    * [[epochShuffle]] order — so shards have exactly-equal sizes (±1) AND
+    * each is an unbiased slice of the shuffled order (a contiguous split
+    * would correlate shard with hash range; round-robin by position does
+    * not). Writing `partitionBy("shard")` materializes the layout.
+    */
+  def shardAssignments(docs: DataFrame, idCol: String, seed: Long,
+                       numShards: Int, buckets: Int = 1024): DataFrame = {
+    require(numShards > 0, "shardAssignments: numShards must be positive")
+    epochShuffle(docs, idCol, seed, buckets)
+      .withColumn("shard", pmod(col("shuffle_pos"), lit(numShards.toLong)))
+  }
+
   /** Token-budget head of the seeded shuffle: the documents a training run
     * with a fixed token budget actually consumes — every doc whose
     * cumulative token count, in [[epochShuffle]]'s (hash, id) order,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class HistorySpec extends AnyFunSuite with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val obs = Seq(
+    // user 1: A, A (no change), B, A again — 3 versions
+    (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+    (1L, "A", ts("2024-01-01 01:00:00"), 2L),
+    (1L, "B", ts("2024-01-01 02:00:00"), 3L),
+    (1L, "A", ts("2024-01-01 03:00:00"), 4L),
+    // user 2: single observation — one open version
+    (2L, "X", ts("2024-01-01 00:30:00"), 5L),
+    // user 3: same-ts collision, order decided by the tie-break id
+    (3L, "P", ts("2024-01-01 00:00:00"), 6L),
+    (3L, "Q", ts("2024-01-01 00:00:00"), 7L)
+  ).toDF("user_id", "event_type", "ts", "event_id")
+
+  test("scd2 collapses runs into versions with lead() valid_to") {
+    val got = History.scd2(obs, "user_id", "event_type", "ts", "event_id")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    got shouldBe Array(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 02:00:00"))),
+      (1L, "B", ts("2024-01-01 02:00:00"), Some(ts("2024-01-01 03:00:00"))),
+      (1L, "A", ts("2024-01-01 03:00:00"), None),
+      (2L, "X", ts("2024-01-01 00:30:00"), None),
+      (3L, "P", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 00:00:00"))),
+      (3L, "Q", ts("2024-01-01 00:00:00"), None))
+  }
+
+  test("scd2 treats null attribute as a distinct version value") {
+    val withNull = Seq(
+      (1L, Some("A"), ts("2024-01-01 00:00:00"), 1L),
+      (1L, None, ts("2024-01-01 01:00:00"), 2L),
+      (1L, None, ts("2024-01-01 02:00:00"), 3L), // no change
+      (1L, Some("A"), ts("2024-01-01 03:00:00"), 4L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    History.scd2(withNull, "user_id", "event_type", "ts", "event_id")
+      .count() shouldBe 3L
+  }
+
+  test("asOfVersion returns exactly the interval covering the instant") {
+    val hist = History.scd2(obs, "user_id", "event_type", "ts", "event_id")
+    val at = History.asOfVersion(hist, lit(ts("2024-01-01 02:30:00")))
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> r._2).toMap
+    at shouldBe Map(1L -> "B", 2L -> "X", 3L -> "Q")
+  }
+
+  test("scd2 plans one exchange (both windows and the filter share it)") {
+    val plan = History.scd2(obs, "user_id", "event_type", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).length shouldBe 1
+  }
+}

@@ -58,6 +58,15 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("shardAssignments: round-robin along the order → equal sizes, unbiased") {
+    val got = TrainOrder.shardAssignments(docs, "doc_id", seed = 5L, numShards = 8)
+      .select($"doc_id", $"shuffle_pos", $"shard").as[(Long, Long, Long)].collect()
+    got.length shouldBe 200
+    got.foreach { case (_, pos, shard) => shard shouldBe pos % 8 }
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    sizes.values.toSet shouldBe Set(25) // 200 / 8 exactly
+  }
+
   test("tokenBudgetHead: zero budget keeps nothing; huge budget keeps all") {
     val toks = docs.withColumn("n_tokens", lit(5L))
     TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens", seed = 1L, budget = 0L)
