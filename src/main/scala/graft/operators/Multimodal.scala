@@ -136,13 +136,83 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  /** Real video CONTAINER-HEADER decode: a minimal ISO BMFF (MP4/QuickTime)
+    * box walk, pure JVM — no codec library, because none is needed for
+    * metadata: dimensions and duration live in the `moov` header boxes,
+    * not in the sample data. Gated on the `ftyp` magic at offset 4.
+    * Walks top-level boxes to `moov`, reads `mvhd` (timescale + duration →
+    * milliseconds; v0 and v1 layouts) and every `trak`/`tkhd` (16.16
+    * fixed-point width/height; audio tracks declare 0×0, so the max over
+    * tracks is the video track's raster). Frame/pixel decode — the part
+    * that genuinely requires ffmpeg-class native code — is exactly what
+    * metadata extraction at ingest must NOT do per asset.
+    */
+  private[operators] def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def typ(o: Int): String = new String(bytes, o + 4, 4, "ISO-8859-1")
+    def hasFtyp: Boolean = bytes.length >= 12 && typ(0) == "ftyp"
+    if (!hasFtyp) return None
+    try {
+      // (start, end) of each box's PAYLOAD within [from, until)
+      def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var o = from
+          def hasNext: Boolean = o + 8 <= until
+          def next(): (String, Int, Int) = {
+            val declared = u32(o)
+            val t = typ(o)
+            val (hdr, size) =
+              if (declared == 1L && o + 16 <= until) (16, u64(o + 8))
+              else if (declared == 0L) (8, (until - o).toLong) // to end
+              else (8, declared)
+            val end = math.min(until.toLong, o + math.max(size, hdr.toLong)).toInt
+            val r = (t, o + hdr, end)
+            o = end
+            r
+          }
+        }
+      val moov = boxes(0, bytes.length).collectFirst { case ("moov", s, e) => (s, e) }
+      moov.flatMap { case (ms, me) =>
+        var durMs = -1L
+        var w = 0
+        var h = 0
+        boxes(ms, me).foreach {
+          case ("mvhd", s, e) =>
+            val v = bytes(s) & 0xff
+            if (v == 1 && s + 28 + 4 <= e) {
+              val scale = u32(s + 20); val dur = u64(s + 24)
+              if (scale > 0) durMs = dur * 1000L / scale
+            } else if (v == 0 && s + 16 + 4 <= e) {
+              val scale = u32(s + 12); val dur = u32(s + 16)
+              if (scale > 0) durMs = dur * 1000L / scale
+            }
+          case ("trak", s, e) =>
+            boxes(s, e).foreach {
+              case ("tkhd", ts, te) =>
+                val v = bytes(ts) & 0xff
+                val base = if (v == 1) ts + 88 else ts + 76 // width offset
+                if (base + 8 <= te) {
+                  w = math.max(w, (u32(base) >> 16).toInt)
+                  h = math.max(h, (u32(base + 4) >> 16).toInt)
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        if (w > 0 && h > 0) Some((w, h, durMs)) else None
+      }
+    } catch { case _: Throwable => None }
+  }
+
   /** Decode kernel: REAL for images (ImageIO — true width/height/channels
-    * from the container header, pixel-decode-free) and for audio
+    * from the container header, pixel-decode-free), for audio
     * (javax.sound.sampled — true channels/duration from WAV/AIFF/AU
-    * headers), STUB for video (*** replace with an
-    * ffmpeg/javacv JNI codec ***: deterministically fakes dimensions from
-    * the payload hash). Payloads carrying the image/audio kind that fail
-    * to decode (e.g. the text-bytes bench carrier) also fall back to the
+    * headers), and for video (ISO-BMFF `moov` box walk — true raster and
+    * duration from MP4/QuickTime headers). Payloads whose kind-specific
+    * parse fails (e.g. the text-bytes bench carrier) fall back to the
     * deterministic hash path, so the kernel is total — a corrupt blob in a
     * 100 TB corpus degrades to quarantine-able metadata instead of failing
     * the stage. The batched iteration, encoder, and null handling are
@@ -155,13 +225,17 @@ object Multimodal {
     val n = bytes.length.toLong
     val img = if (a.kind == "image") decodeImage(bytes) else None
     val aud = if (a.kind == "audio") decodeAudio(bytes) else None
-    (img, aud) match {
-      case (Some((w, hgt, c)), _) =>
+    val vid = if (a.kind == "video") decodeVideo(bytes) else None
+    (img, aud, vid) match {
+      case (Some((w, hgt, c)), _, _) =>
         DecodedMeta(a.asset_id, a.kind, n, hex(h),
           width = w, height = hgt, channels = c, est_duration_ms = 0L)
-      case (_, Some((ch, durMs))) =>
+      case (_, Some((ch, durMs)), _) =>
         DecodedMeta(a.asset_id, a.kind, n, hex(h),
           width = 0, height = 0, channels = ch, est_duration_ms = durMs)
+      case (_, _, Some((w, hgt, durMs))) =>
+        DecodedMeta(a.asset_id, a.kind, n, hex(h),
+          width = w, height = hgt, channels = 3, est_duration_ms = durMs)
       case _ =>
         DecodedMeta(a.asset_id, a.kind, n, hex(h),
           width = 1 + ((h(0) & 0x7f) << 4 | (h(1) & 0x0f)),

@@ -89,6 +89,36 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     meta(2).est_duration_ms shouldBe "not audio".getBytes.length.toLong * 8
   }
 
+  test("decodeMeta decodes REAL MP4 headers: raster and duration from the moov box walk") {
+    // deterministic in-memory ISO-BMFF fixture: ftyp + moov(mvhd v0 +
+    // trak(tkhd v0)) — real container structure, no committed binaries
+    def bmffBox(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    val mvhd = new Array[Byte](100) // v0 layout, zero-filled except the fields read
+    val mb = java.nio.ByteBuffer.wrap(mvhd)
+    mb.putInt(12, 1000) // timescale
+    mb.putInt(16, 5000) // duration → 5000 ms
+    val tkhd = new Array[Byte](84)
+    val tb = java.nio.ByteBuffer.wrap(tkhd)
+    tb.putInt(76, 640 << 16) // width, 16.16 fixed
+    tb.putInt(80, 360 << 16) // height
+    val mp4 = bmffBox("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+      bmffBox("moov", bmffBox("mvhd", mvhd) ++ bmffBox("trak", bmffBox("tkhd", tkhd)))
+    Multimodal.decodeVideo(mp4) shouldBe Some((640, 360, 5000L))
+
+    val media = Seq(
+      Multimodal.MediaAsset(1L, "video", mp4, "mem://mp4"),
+      Multimodal.MediaAsset(2L, "video", "not video".getBytes, "mem://txt"))
+      .toDS()
+    val meta = Multimodal.decodeMeta(media).collect().sortBy(_.asset_id)
+    (meta(0).width, meta(0).height, meta(0).est_duration_ms) shouldBe ((640, 360, 5000L))
+    // undecodable payload falls back to the deterministic hash path, total
+    meta(1).est_duration_ms shouldBe "not video".getBytes.length.toLong * 8
+  }
+
   test("decodeImage quarantines a decompression-bomb header instead of decoding it") {
     // take a real tiny PNG and patch its IHDR to declare 100000x100000
     // (10^10 pixels): header-only parsing must return None (over the
