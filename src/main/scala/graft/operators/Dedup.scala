@@ -523,22 +523,25 @@ object Dedup {
     * Input: (doc_a, doc_b) pairs. Output: (doc_id, component) where
     * component = min doc_id reachable — the canonical "keep" id.
     */
-  /** Eager localCheckpoint plus the ids of the RDD blocks it pinned.
+  /** Eager localCheckpoint plus the id of the RDD it pinned.
     * localCheckpoint storage lives outside the CacheManager —
     * `spark.catalog.clearCache()` does NOT release it — so iterative
     * algorithms must free superseded checkpoints explicitly or a long-lived
     * session accumulates dead blocks until executors spill and thrash.
     *
-    * The before/after `getPersistentRDDs` diff assumes no CONCURRENT
-    * persist activity on the same SparkContext during this single call
-    * (true for the sequential driver loops this library targets); a foreign
-    * persist landing inside the window would be mis-tracked and freed.
+    * The pinned RDD is read off the checkpointed plan itself
+    * ([[org.apache.spark.sql.GraftShims.checkpointRddId]]): a
+    * before/after `getPersistentRDDs` diff would mis-attribute — and later
+    * free — any OTHER persist that first materializes inside the window,
+    * e.g. the dedup family's shared cached hub filling lazily on the first
+    * family query after a `clearCache()` (observed: the hub's cache RDD was
+    * swept, every later hub access silently recomputed the full shingle
+    * pipeline, and the iterative queries blew up ~30x in a full bench
+    * session while benching fine in isolation).
     */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    (out, org.apache.spark.sql.GraftShims.checkpointRddId(out).toSet)
   }
 
   /** LAZY localCheckpoint whose materialization rides the witness count:
@@ -549,11 +552,9 @@ object Dedup {
     */
   private def checkpointCounted(df: DataFrame, witness: DataFrame => DataFrame)
       : (DataFrame, Long, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(eager = false)
     val n = witness(out).count()
-    (out, n, (sc.getPersistentRDDs.keySet -- before).toSet)
+    (out, n, org.apache.spark.sql.GraftShims.checkpointRddId(out).toSet)
   }
 
   private def freeCheckpoints(df: DataFrame, ids: Set[Int]): Unit = {

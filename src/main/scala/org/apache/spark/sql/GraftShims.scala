@@ -21,4 +21,18 @@ object GraftShims {
       d.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
     case _ => false
   }
+
+  /** The id of the RDD pinned by `Dataset.localCheckpoint` — the plan of a
+    * checkpointed Dataset is a single [[execution.LogicalRDD]] leaf wrapping
+    * exactly the persisted internal RDD. Lets an iterative algorithm free a
+    * superseded checkpoint by identity instead of diffing
+    * `sc.getPersistentRDDs` around the call, which mis-attributes (and then
+    * frees) ANY other persist that first materializes inside the window —
+    * e.g. a shared cached subtree filling lazily on first use.
+    */
+  def checkpointRddId(df: Dataset[_]): Option[Int] =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }
 }

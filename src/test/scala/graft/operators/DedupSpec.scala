@@ -209,6 +209,33 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     sc.getPersistentRDDs.size shouldBe baseline
   }
 
+  test("CC loops free only their own checkpoints — a shared cache filling inside the window survives") {
+    // Regression for the bench blowup: Bench clears the cache between
+    // passes, so the dedup family's shared persisted hub first MATERIALIZES
+    // inside the first CC call's localCheckpoint window. The old
+    // before/after getPersistentRDDs diff attributed the hub's cache RDD to
+    // the checkpoint and freed it — every later hub access then silently
+    // recomputed the full upstream pipeline (~30x blowups on the iterative
+    // queries). The fills accumulator detects any recompute of the hub.
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    for (cc <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        Dedup.duplicateClusters(_), Dedup.duplicateClustersStar(_))) {
+      val fills = sc.longAccumulator("hub-fills")
+      val counted = udf { (id: Long) => fills.add(1L); id }
+      val hub = docs.select(counted($"doc_id").as("doc_a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val labels = cc(hub.select($"doc_a", ($"doc_a" + 1L).as("doc_b")))
+        labels.unpersist(blocking = true)
+        val afterCC = fills.value.longValue()
+        afterCC should be > 0L // the CC call is what filled the hub
+        hub.count() // must be a cache hit: the loop must not have swept it
+        fills.value.longValue() shouldBe afterCC
+      } finally hub.unpersist(blocking = true)
+    }
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sigs = Dedup.simhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
