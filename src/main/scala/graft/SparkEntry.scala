@@ -694,6 +694,23 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.4, signBits = 8)
         .select(col("vec_a"), col("vec_b"))),
 
+    // near-dup provenance matrix: pair counts by (unordered) source pair —
+    // the read-out that tells a curation pipeline WHICH crawls/snapshots
+    // duplicate each other (within-source boilerplate vs cross-source
+    // mirroring). Rides the family's persisted pair subtree; the only new
+    // work is joining the (tiny) pair set to the doc→source projection.
+    "dedup_source_matrix" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      sharedJaccardPairs(s, d)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("__sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("__sb")), "doc_b")
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"), col("jaccard"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_strong"))
+    }),
+
     // ---- scale-path: similarity search ---------------------------------
 
     "ann_bruteforce" -> ((s, d) => {
@@ -736,6 +753,18 @@ object SparkEntry {
     // ---- scale-path: text analysis --------------------------------------
 
     "text_profile" -> ((s, d) => TextAnalysis.profile(Tables.documents(s, d))),
+
+    // training-sample construction: 32-word chunks, 8-word overlap (stride
+    // 24) — documents become model-sized pieces in one shuffle-free
+    // generate inside the scan stage
+    "text_chunk" -> ((s, d) =>
+      TextAnalysis.chunkWords(Tables.documents(s, d), chunkSize = 32, overlap = 8)),
+
+    // quality-threshold calibration: docs/tokens retained at each candidate
+    // cut-off; the corpus collapses to its ≤8 distinct score values before
+    // the grid expansion touches anything
+    "text_quality_sweep" -> ((s, d) =>
+      TextAnalysis.qualityThresholdSweep(Tables.documents(s, d), gridSteps = 10)),
 
     // train/eval n-gram contamination: every-50th doc stands in for the
     // eval set; per train doc, distinct 5-gram overlap count and share
@@ -1886,6 +1915,59 @@ object SparkEntry {
          |          ' +', ' ', 'g'))) AS fingerprint
          |FROM r""".stripMargin
     },
+
+    // chunk grid mirror: DuckDB range(0, greatest(n-overlap, 1), stride)
+    // excludes its bound; Spark sequence(0, greatest(n-overlap-1, 0),
+    // stride) includes its bound — both enumerate starts < n-overlap plus
+    // the mandatory start 0. Slices clamp at the document end identically.
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w, len(w) AS n FROM t),
+        |c AS (SELECT doc_id, w, n,
+        |        unnest(range(0, greatest(n - 8, 1), 24)) AS st FROM s)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |       CAST(least(32, n - st) AS BIGINT) AS n_words,
+        |       array_to_string(w[st+1:st+32], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    "text_quality_sweep" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT text, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT w, strlen(text) AS n,
+         |  strlen(text) - strlen(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         |  len(list_filter(w, t -> t IN ($stop))) AS n_stop
+         | FROM t),
+         |r AS (SELECT CAST(len(w) AS BIGINT) AS nt,
+         |  (CASE WHEN n BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
+         |  + (CASE WHEN (CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END) < 0.1
+         |       THEN 0.3 ELSE 0.0 END)
+         |  + (CASE WHEN (CASE WHEN len(w) > 0 THEN n_stop / len(w) ELSE 0.0 END)
+         |       BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END) AS q
+         | FROM m),
+         |by_q AS (SELECT q, count(*) AS c, sum(nt) AS t FROM r GROUP BY q),
+         |g AS (SELECT CAST(i AS DOUBLE)/10.0 AS threshold
+         |      FROM generate_series(0, 10) AS gs(i))
+         |SELECT threshold, CAST(sum(c) AS BIGINT) AS n_docs_kept,
+         |       CAST(sum(t) AS BIGINT) AS n_tokens_kept
+         |FROM g JOIN by_q ON q >= threshold GROUP BY threshold""".stripMargin
+    },
+
+    // identical pair derivation as dedup_ngram_jaccard (threshold 0.5),
+    // then provenance roll-up by unordered source pair
+    "dedup_source_matrix" ->
+      s"""WITH $ShinglesCte,
+         |$JaccardPrCte,
+         |pj AS (SELECT da, db, inter / (sa.n + sb.n - inter) AS j
+         |       FROM pr JOIN szh sa ON sa.doc_id = da
+         |               JOIN szh sb ON sb.doc_id = db
+         |       WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+         |sp AS (SELECT least(x.source, y.source) AS source_a,
+         |              greatest(x.source, y.source) AS source_b, j
+         |       FROM pj JOIN documents x ON x.doc_id = pj.da
+         |               JOIN documents y ON y.doc_id = pj.db)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
+         |FROM sp GROUP BY source_a, source_b""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH $ShinglesCte,

@@ -272,6 +272,57 @@ object TextAnalysis {
           .as("cum_share"))
   }
 
+  /** Fixed-size overlapping word-window chunks — the training-sample
+    * construction step that turns variable-length documents into
+    * model-sized pieces (the companion of [[graft.operators.Packing]],
+    * which packs the OTHER direction: many short docs into one sequence).
+    * Chunk starts are 0, stride, 2·stride, … with stride =
+    * chunkSize − overlap, keeping every start that contributes at least
+    * one new word (start < n − overlap; a document shorter than one chunk
+    * yields exactly one chunk). The trailing chunk may be short; no
+    * padding — padding is a tokenizer concern, not a corpus one.
+    *
+    * One narrow projection + generate: no shuffle, no state — at corpus
+    * scale each file split chunks independently inside the scan stage.
+    */
+  def chunkWords(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, "chunkWords: chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      "chunkWords: overlap must satisfy 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("w")) - overlap - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        least(lit(chunkSize), size(col("w")) - col("col")).cast("long").as("n_words"),
+        array_join(slice(col("w"), col("col") + 1, lit(chunkSize)), " ").as("chunk_text"))
+  }
+
+  /** Retention curve of a quality-threshold sweep: for each candidate
+    * threshold, how many documents and how many tokens survive a
+    * `quality_score >= t` filter — the calibration read-out a curation
+    * pipeline consults before committing to a cut-off.
+    *
+    * Scale shape: ONE narrow aggregation collapses the corpus to its
+    * distinct score values (the composite score takes ≤ 8 values), then
+    * the score×threshold expansion happens on that tiny aggregate — the
+    * corpus is never exploded by the grid width.
+    */
+  def qualityThresholdSweep(docs: DataFrame, gridSteps: Int = 10): DataFrame = {
+    require(gridSteps > 0, "qualityThresholdSweep: gridSteps must be positive")
+    val byScore = docs
+      .select(qualityScore(col("text")).as("q"), tokenCount(col("text")).as("nt"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("c"), sum(col("nt")).as("t"))
+    val grid = docs.sparkSession.range(0, gridSteps + 1)
+      .select((col("id").cast("double") / gridSteps.toDouble).as("threshold"))
+    byScore.join(broadcast(grid), col("q") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("c")).as("n_docs_kept"), sum(col("t")).as("n_tokens_kept"))
+  }
+
   /** Full per-document text-statistics projection. */
   def profile(docs: DataFrame): DataFrame =
     docs.select(

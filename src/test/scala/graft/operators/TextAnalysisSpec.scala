@@ -117,4 +117,46 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(2L)._1 shouldBe 1L // shares exactly "alpha beta gamma delta epsilon"
     out(3L) shouldBe ((0L, 3L, 0.0))
   }
+
+  test("chunkWords: stride windows, short tail, sub-chunk doc yields one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, (1 to 8).map(i => s"w$i").mkString(" "))   // n == chunkSize+overlap boundary
+    ).toDF("doc_id", "text")
+    // chunkSize 4, overlap 2 -> stride 2; starts < n-2 (plus mandatory 0)
+    val out = TextAnalysis.chunkWords(docs, chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // doc 1: starts 0,2,4,6 (start 8 adds no new word beyond the overlap)
+    out((1L, 0L)) shouldBe ((4L, "w1 w2 w3 w4"))
+    out((1L, 1L)) shouldBe ((4L, "w3 w4 w5 w6"))
+    out((1L, 2L)) shouldBe ((4L, "w5 w6 w7 w8"))
+    out((1L, 3L)) shouldBe ((4L, "w7 w8 w9 w10"))
+    out.keys.count(_._1 == 1L) shouldBe 4
+    // doc 2: one short chunk
+    out((2L, 0L)) shouldBe ((2L, "a b"))
+    out.keys.count(_._1 == 2L) shouldBe 1
+    // doc 3 (8 words): starts 0,2,4 — start 6 would only re-cover the overlap
+    out.keys.count(_._1 == 3L) shouldBe 3
+    out((3L, 2L)) shouldBe ((4L, "w5 w6 w7 w8"))
+    // every word of every doc is covered by at least one chunk
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.chunkWords(docs, chunkSize = 4, overlap = 4)
+  }
+
+  test("qualityThresholdSweep: retention counts over a hand-scored corpus") {
+    // doc A scores 1.0 (all three bands), doc B scores 0.0 (too short,
+    // high punct, no stopwords)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (2L, "!!!")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityThresholdSweep(docs, gridSteps = 2)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ntA = 13L
+    out(0.0) shouldBe ((2L, ntA + 1L)) // both kept at threshold 0
+    out(0.5) shouldBe ((1L, ntA))      // only the quality doc survives
+    out(1.0) shouldBe ((1L, ntA))
+  }
 }
