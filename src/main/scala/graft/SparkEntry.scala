@@ -127,6 +127,21 @@ object SparkEntry {
        |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Shared by `text_contamination` and `text_contamination_bloom` — the
+    * bloom pre-pass changes the plan, not the result.
+    */
+  private lazy val ContaminationOracleSql: String =
+    s"""WITH $ShinglesCte,
+       |ev AS (SELECT DISTINCT s FROM ds WHERE doc_id % 50 = 0),
+       |hits AS (SELECT ds.doc_id, count(*) AS contaminated_ngrams
+       |         FROM ds JOIN ev ON ds.s = ev.s GROUP BY ds.doc_id)
+       |SELECT z.doc_id,
+       | CAST(coalesce(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+       | z.n AS total_ngrams,
+       | CAST(coalesce(h.contaminated_ngrams, 0) AS DOUBLE) / CAST(z.n AS DOUBLE)
+       |   AS contaminated_share
+       |FROM sz z LEFT JOIN hits h ON z.doc_id = h.doc_id""".stripMargin
+
   // ---- queries ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -771,6 +786,15 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0), k = 5)
+    }),
+
+    // the same check through the bloom pre-pass (eval side collapsed to a
+    // ~10-bits-per-shingle filter probed inside the scan stage; exact join
+    // only over survivors) — byte-identical output, so it shares the
+    // text_contamination oracle verbatim
+    "text_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationBloom(docs, docs.filter(col("doc_id") % 50 === 0), k = 5)
     }),
 
     // CCNet-style LM quality signal: cross-entropy of every document under
@@ -1841,17 +1865,11 @@ object SparkEntry {
         |       (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s)
         |SELECT vec_id, cid AS cell FROM r WHERE rn = 1""".stripMargin,
 
-    "text_contamination" ->
-      s"""WITH $ShinglesCte,
-         |ev AS (SELECT DISTINCT s FROM ds WHERE doc_id % 50 = 0),
-         |hits AS (SELECT ds.doc_id, count(*) AS contaminated_ngrams
-         |         FROM ds JOIN ev ON ds.s = ev.s GROUP BY ds.doc_id)
-         |SELECT z.doc_id,
-         | CAST(coalesce(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
-         | z.n AS total_ngrams,
-         | CAST(coalesce(h.contaminated_ngrams, 0) AS DOUBLE) / CAST(z.n AS DOUBLE)
-         |   AS contaminated_share
-         |FROM sz z LEFT JOIN hits h ON z.doc_id = h.doc_id""".stripMargin,
+    "text_contamination" -> ContaminationOracleSql,
+
+    // the bloom pre-pass is an exact-result optimization (false positives
+    // are verified away), so the oracle is shared verbatim
+    "text_contamination_bloom" -> ContaminationOracleSql,
 
     // identical bigram-LM derivation: add-one-smoothed conditional
     // probabilities from the en slice's bigram/context counts, uniform 1/V

@@ -202,6 +202,43 @@ object TextAnalysis {
           col("total_ngrams").cast("double")).as("contaminated_share"))
   }
 
+  /** [[contamination]] with a bloom-filter pre-pass — the decontamination
+    * shape for a LARGE eval suite. Plain contamination broadcasts the full
+    * eval shingle-string set; at scale that build side is tens of bytes per
+    * shingle. Here the eval side is first collapsed to a serialized bloom
+    * filter over 64-bit shingle hashes (~10 bits per item, one tiny driver
+    * collect), which prunes the corpus' shingle stream INSIDE the scan
+    * stage via Catalyst's codegen'd `might_contain`; only the surviving
+    * (hit + ~1% false-positive) shingles enter the exact string join, so
+    * the join — left to Catalyst/AQE, broadcast at small scale, a
+    * survivors-only shuffle at large — never sees the corpus. The exact
+    * join makes the result byte-identical to [[contamination]]: bloom
+    * false positives are verified away, never reported.
+    */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val trainSh = Dedup.shingleTable(train, k)
+    val evalSh = Dedup.shingleTable(eval, k).select(col("s")).distinct()
+    // the count sizes the filter (fpp degrades past the estimate); the
+    // eval side is small by contract, so the extra pass is noise
+    val bloom = evalSh
+      .select(GraftShims.bloomFilterAgg(xxhash64(col("s")),
+        math.max(evalSh.count(), 1L)))
+      .head.getAs[Array[Byte]](0)
+    val pruned =
+      if (bloom == null) trainSh.filter(lit(false)) // empty eval: no hits
+      else trainSh.filter(GraftShims.bloomMightContain(lit(bloom), xxhash64(col("s"))))
+    val hits = pruned.join(evalSh, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
+    trainSh.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"),
+        col("total_ngrams"),
+        (coalesce(col("contaminated_ngrams"), lit(0L)).cast("double") /
+          col("total_ngrams").cast("double")).as("contaminated_share"))
+  }
+
   /** Hashed-feature bucket count of the [[qualityModelScore]] classifier. */
   val QualityModelBuckets = 256
 

@@ -35,4 +35,20 @@ object GraftShims {
       case l: execution.LogicalRDD => Some(l.rdd.id)
       case _ => None
     }
+
+  /** Catalyst's internal bloom-filter pair (the machinery behind runtime
+    * row-level join filtering, not exposed through `functions._`):
+    * `bloomFilterAgg` aggregates LONG hashes into a serialized bloom
+    * filter (binary, ~10 bits/item), `bloomMightContain` probes one —
+    * codegen'd, usable as a scan-stage filter. The bloom side of the
+    * probe must be foldable (a literal of the collected binary) or a
+    * scalar subquery, which Catalyst enforces at analysis.
+    */
+  def bloomFilterAgg(hash: Column, expectedItems: Long): Column =
+    column(new catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(hash), expectedItems).toAggregateExpression())
+
+  def bloomMightContain(bloom: Column, hash: Column): Column =
+    column(catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(hash)))
 }

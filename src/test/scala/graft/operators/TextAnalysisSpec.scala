@@ -118,6 +118,24 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(3L) shouldBe ((0L, 3L, 0.0))
   }
 
+  test("contaminationBloom matches exact contamination (false positives verified away)") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon nine ten eleven"),
+      (3L, "one two three four five six seven"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val eval = train.filter($"doc_id" === 1L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    canon(TextAnalysis.contaminationBloom(train, eval, k = 5)) shouldBe
+      canon(TextAnalysis.contamination(train, eval, k = 5))
+    // empty eval set: no hits, but every train doc still reports its totals
+    val none = TextAnalysis.contaminationBloom(train, train.filter($"doc_id" < 0), k = 5)
+    none.collect().map(_.getLong(1)).sum shouldBe 0L
+    none.count() shouldBe 3L // doc 4 has no 5-shingles at all
+  }
+
   test("chunkWords: stride windows, short tail, sub-chunk doc yields one chunk") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
