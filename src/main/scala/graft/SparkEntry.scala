@@ -709,6 +709,13 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.4, signBits = 8)
         .select(col("vec_a"), col("vec_b"))),
 
+    // overlap-coefficient (containment) near-dups: inter / min(|A|,|B|) —
+    // catches a small doc substantially contained in a large one (quote
+    // inclusion), which jaccard structurally caps at size-ratio. Rides the
+    // family's persisted hash-array hub
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairsFromArr(sharedShingleArr(s, d), threshold = 0.9)),
+
     // near-dup provenance matrix: pair counts by (unordered) source pair —
     // the read-out that tells a curation pipeline WHICH crawls/snapshots
     // duplicate each other (within-source boilerplate vs cross-source
@@ -1969,6 +1976,16 @@ object SparkEntry {
          |       CAST(sum(t) AS BIGINT) AS n_tokens_kept
          |FROM g JOIN by_q ON q >= threshold GROUP BY threshold""".stripMargin
     },
+
+    // same posting/df-cut derivation, overlap-coefficient scoring
+    "dedup_containment" ->
+      s"""WITH $ShinglesCte,
+         |$JaccardPrCte
+         |SELECT da AS doc_a, db AS doc_b, sa.n AS n_a, sb.n AS n_b,
+         |       inter / least(sa.n, sb.n) AS containment
+         |FROM pr JOIN szh sa ON sa.doc_id = da
+         |        JOIN szh sb ON sb.doc_id = db
+         |WHERE inter / least(sa.n, sb.n) >= 0.9""".stripMargin,
 
     // identical pair derivation as dedup_ngram_jaccard (threshold 0.5),
     // then provenance roll-up by unordered source pair

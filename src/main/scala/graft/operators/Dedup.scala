@@ -328,7 +328,37 @@ object Dedup {
     * session running several dedup queries hashes the corpus once.
     */
   def jaccardPairsFromArr(arr: DataFrame, threshold: Double,
-                          maxPostings: Long = DefaultMaxPostings): DataFrame = {
+                          maxPostings: Long = DefaultMaxPostings): DataFrame =
+    pairStatsFromArr(arr, maxPostings)
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Overlap-coefficient (containment) near-dup pairs over the same
+    * posting subtree: inter / min(|A|, |B|) — the similarity that catches
+    * a small document substantially CONTAINED in a large one (quote
+    * inclusion, boilerplate-wrapped copies), which Jaccard structurally
+    * misses (a doc 10% the size of its container caps jaccard at ~0.1
+    * however perfect the containment). Set sizes ride along for the
+    * caller to tell which side is the contained one.
+    */
+  def containmentPairsFromArr(arr: DataFrame, threshold: Double,
+                              maxPostings: Long = DefaultMaxPostings): DataFrame =
+    pairStatsFromArr(arr, maxPostings)
+      .withColumn("containment", col("__inter").cast("double") /
+        least(col("__na"), col("__nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+        col("containment"))
+
+  /** The candidate-pair statistics subtree shared by the jaccard and
+    * containment scorers: per co-occurring pair, the df-cut intersection
+    * count plus both (full-universe) set sizes.
+    */
+  private def pairStatsFromArr(arr: DataFrame,
+                               maxPostings: Long): DataFrame = {
     // each posting row carries its doc's set size alongside the shingle
     // hash (+8 bytes/row): the candidate aggregation below then has both
     // |A| and |B| in hand — no sizes side-table, no second corpus scan.
@@ -362,10 +392,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__inter"),
         first(col("a.__n")).as("__na"), first(col("b.__n")).as("__nb"))
-      .withColumn("jaccard", col("__inter").cast("double") /
-        (col("__na") + col("__nb") - col("__inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates, then exact Jaccard

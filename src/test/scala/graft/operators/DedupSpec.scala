@@ -38,6 +38,25 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     pairs(0).getDouble(2) shouldBe 5.0 / 9.0 +- 1e-12
   }
 
+  test("containmentPairs: a contained doc scores 1.0 where jaccard only sees the size ratio") {
+    // doc 11 = w1..w12, doc 12 = w1..w8: every 5-shingle of 12 is a
+    // shingle of 11 (containment 1.0), but jaccard = 4/8 = 0.5
+    val corpus = Seq(
+      (11L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (12L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (13L, "entirely unrelated content words here with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val arr = Dedup.docShingleHashes(corpus, k = 5)
+    val got = Dedup.containmentPairsFromArr(arr, threshold = 0.9).collect()
+    got.length shouldBe 1
+    val r = got(0)
+    (r.getLong(0), r.getLong(1)) shouldBe ((11L, 12L))
+    (r.getLong(2), r.getLong(3)) shouldBe ((8L, 4L)) // |A|=8, |B|=4 shingles
+    r.getDouble(4) shouldBe 1.0
+    // the same pair is invisible to jaccard at any threshold above 0.5
+    Dedup.jaccardPairsFromArr(arr, threshold = 0.6).count() shouldBe 0L
+  }
+
   test("minhashLshDedup candidates find high-jaccard pairs (exact docs always)") {
     val out = Dedup.minhashLshDedup(docs, k = 3, numPerm = 16, bands = 8, threshold = 0.9)
       .collect()
