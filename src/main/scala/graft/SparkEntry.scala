@@ -1972,9 +1972,9 @@ object SparkEntry {
          |by_q AS (SELECT q, count(*) AS c, sum(nt) AS t FROM r GROUP BY q),
          |g AS (SELECT CAST(i AS DOUBLE)/10.0 AS threshold
          |      FROM generate_series(0, 10) AS gs(i))
-         |SELECT threshold, CAST(sum(c) AS BIGINT) AS n_docs_kept,
-         |       CAST(sum(t) AS BIGINT) AS n_tokens_kept
-         |FROM g JOIN by_q ON q >= threshold GROUP BY threshold""".stripMargin
+         |SELECT threshold, CAST(coalesce(sum(c), 0) AS BIGINT) AS n_docs_kept,
+         |       CAST(coalesce(sum(t), 0) AS BIGINT) AS n_tokens_kept
+         |FROM g LEFT JOIN by_q ON q >= threshold GROUP BY threshold""".stripMargin
     },
 
     // same posting/df-cut derivation, overlap-coefficient scoring

@@ -567,8 +567,21 @@ object Dedup {
     */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val out = df.localCheckpoint()
-    (out, org.apache.spark.sql.GraftShims.checkpointRddId(out).toSet)
+    (out, ckptId(out))
   }
+
+  /** Fail fast if the checkpointed plan is not the expected LogicalRDD
+    * leaf (a Spark upgrade changing that shape would otherwise silently
+    * turn freeCheckpoints into a no-op and leak every iteration's blocks
+    * for the session lifetime).
+    */
+  private def ckptId(out: DataFrame): Set[Int] =
+    org.apache.spark.sql.GraftShims.checkpointRddId(out) match {
+      case Some(id) => Set(id)
+      case None => throw new IllegalStateException(
+        "localCheckpoint did not produce a LogicalRDD plan — checkpoint " +
+          "tracking cannot identify the pinned RDD and would leak blocks")
+    }
 
   /** LAZY localCheckpoint whose materialization rides the witness count:
     * `witness(out).count()` scans every partition of `out`, so the one job
@@ -580,7 +593,7 @@ object Dedup {
       : (DataFrame, Long, Set[Int]) = {
     val out = df.localCheckpoint(eager = false)
     val n = witness(out).count()
-    (out, n, org.apache.spark.sql.GraftShims.checkpointRddId(out).toSet)
+    (out, n, ckptId(out))
   }
 
   private def freeCheckpoints(df: DataFrame, ids: Set[Int]): Unit = {

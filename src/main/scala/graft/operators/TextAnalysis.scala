@@ -193,6 +193,13 @@ object TextAnalysis {
     val evalSh = Dedup.shingleTable(eval, k).select(col("s")).distinct()
     val hits = trainSh.join(broadcast(evalSh), Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
+    contaminationReadout(trainSh, hits)
+  }
+
+  /** The per-doc totals/share read-out shared by [[contamination]] and
+    * [[contaminationBloom]] — one place owns the output contract.
+    */
+  private def contaminationReadout(trainSh: DataFrame, hits: DataFrame): DataFrame =
     trainSh.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -200,7 +207,6 @@ object TextAnalysis {
         col("total_ngrams"),
         (coalesce(col("contaminated_ngrams"), lit(0L)).cast("double") /
           col("total_ngrams").cast("double")).as("contaminated_share"))
-  }
 
   /** [[contamination]] with a bloom-filter pre-pass — the decontamination
     * shape for a LARGE eval suite. Plain contamination broadcasts the full
@@ -218,25 +224,30 @@ object TextAnalysis {
   def contaminationBloom(train: DataFrame, eval: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftShims
     val trainSh = Dedup.shingleTable(train, k)
+    // the eval shingle set is read three times (sizing count, bloom build,
+    // exact-verify join) — persist it so the eval corpus is shingled and
+    // distinct-shuffled ONCE, not per use. Lifecycle matches
+    // minhashLshDedup: eager CacheManager-registered result, intermediates
+    // released before returning.
     val evalSh = Dedup.shingleTable(eval, k).select(col("s")).distinct()
-    // the count sizes the filter (fpp degrades past the estimate); the
-    // eval side is small by contract, so the extra pass is noise
-    val bloom = evalSh
-      .select(GraftShims.bloomFilterAgg(xxhash64(col("s")),
-        math.max(evalSh.count(), 1L)))
-      .head.getAs[Array[Byte]](0)
-    val pruned =
-      if (bloom == null) trainSh.filter(lit(false)) // empty eval: no hits
-      else trainSh.filter(GraftShims.bloomMightContain(lit(bloom), xxhash64(col("s"))))
-    val hits = pruned.join(evalSh, Seq("s"))
-      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
-    trainSh.groupBy("doc_id").agg(count(lit(1)).as("total_ngrams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"),
-        col("total_ngrams"),
-        (coalesce(col("contaminated_ngrams"), lit(0L)).cast("double") /
-          col("total_ngrams").cast("double")).as("contaminated_share"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the count both fills the cache and sizes the filter (fpp degrades
+      // past the estimate)
+      val bloom = evalSh
+        .select(GraftShims.bloomFilterAgg(xxhash64(col("s")),
+          math.max(evalSh.count(), 1L)))
+        .head.getAs[Array[Byte]](0)
+      val pruned =
+        if (bloom == null) trainSh.filter(lit(false)) // empty eval: no hits
+        else trainSh.filter(GraftShims.bloomMightContain(lit(bloom), xxhash64(col("s"))))
+      val hits = pruned.join(evalSh, Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("contaminated_ngrams"))
+      val result = contaminationReadout(trainSh, hits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count() // the one action: the exact join reads the cached eval set
+      result
+    } finally evalSh.unpersist(blocking = false)
   }
 
   /** Hashed-feature bucket count of the [[qualityModelScore]] classifier. */
@@ -355,9 +366,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"), sum(col("nt")).as("t"))
     val grid = docs.sparkSession.range(0, gridSteps + 1)
       .select((col("id").cast("double") / gridSteps.toDouble).as("threshold"))
-    byScore.join(broadcast(grid), col("q") >= col("threshold"))
+    // LEFT join from the grid: a threshold no document reaches must still
+    // report (t, 0, 0) — dropping it would hide exactly the cut-offs that
+    // kill the corpus, the most important rows of a calibration read-out
+    grid.join(broadcast(byScore), col("q") >= col("threshold"), "left")
       .groupBy(col("threshold"))
-      .agg(sum(col("c")).as("n_docs_kept"), sum(col("t")).as("n_tokens_kept"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs_kept"),
+        coalesce(sum(col("t")), lit(0L)).as("n_tokens_kept"))
   }
 
   /** Full per-document text-statistics projection. */

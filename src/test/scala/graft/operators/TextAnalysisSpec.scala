@@ -158,7 +158,12 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     // doc 3 (8 words): starts 0,2,4 — start 6 would only re-cover the overlap
     out.keys.count(_._1 == 3L) shouldBe 3
     out((3L, 2L)) shouldBe ((4L, "w5 w6 w7 w8"))
-    // every word of every doc is covered by at least one chunk
+    // coverage invariant: the chunks of each doc reproduce its full word set
+    for ((docId, n) <- Seq(1L -> 10, 3L -> 8)) {
+      val covered = out.collect { case ((d, _), (_, t)) if d == docId => t }
+        .flatMap(_.split(" ")).toSet
+      covered shouldBe (1 to n).map(i => s"w$i").toSet
+    }
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.chunkWords(docs, chunkSize = 4, overlap = 4)
   }
@@ -176,5 +181,13 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(0.0) shouldBe ((2L, ntA + 1L)) // both kept at threshold 0
     out(0.5) shouldBe ((1L, ntA))      // only the quality doc survives
     out(1.0) shouldBe ((1L, ntA))
+    // thresholds NO document reaches still appear, reporting zero retention
+    // (the most important rows of the calibration read-out)
+    val junkOnly = TextAnalysis.qualityThresholdSweep(
+      docs.filter($"doc_id" === 2L), gridSteps = 2)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    junkOnly.keySet shouldBe Set(0.0, 0.5, 1.0)
+    junkOnly(0.5) shouldBe ((0L, 0L))
+    junkOnly(1.0) shouldBe ((0L, 0L))
   }
 }
