@@ -788,6 +788,11 @@ object SparkEntry {
     "text_quality_sweep" -> ((s, d) =>
       TextAnalysis.qualityThresholdSweep(Tables.documents(s, d), gridSteps = 10)),
 
+    // top-3 salient terms per doc by the exact-rational tf-idf variant
+    // (keyword extraction; ln would diverge in the last ulp across engines)
+    "text_keywords" -> ((s, d) =>
+      TextAnalysis.keywordSalience(Tables.documents(s, d), topK = 3)),
+
     // train/eval n-gram contamination: every-50th doc stands in for the
     // eval set; per train doc, distinct 5-gram overlap count and share
     "text_contamination" -> ((s, d) => {
@@ -1871,6 +1876,24 @@ object SparkEntry {
         |r AS (SELECT vec_id, cid, row_number() OVER
         |       (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s)
         |SELECT vec_id, cid AS cell FROM r WHERE rn = 1""".stripMargin,
+
+    // identical tf/df/score derivation; (tf*(N+1))/(df+1) is two
+    // correctly-rounded IEEE ops, so scores (and the rank window ordered
+    // by score desc, term asc) agree bit-for-bit
+    "text_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf,
+        |        CAST(tf AS DOUBLE) * (n + 1) / (df + 1) AS score
+        |      FROM tf JOIN dft USING (term) CROSS JOIN nn),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "text_contamination" -> ContaminationOracleSql,
 

@@ -375,6 +375,37 @@ object TextAnalysis {
         coalesce(sum(col("t")), lit(0L)).as("n_tokens_kept"))
   }
 
+  /** Top-k salient terms per document by a tf-idf-style score — the
+    * keyword-extraction read-out (document tagging, index keys, topic
+    * drift monitoring). The idf factor is the exact rational
+    * (N+1)/(df+1) rather than its logarithm: same ranking monotonicity
+    * (increasing in tf, decreasing in df), but every arithmetic step is a
+    * single correctly-rounded IEEE operation, so the score is
+    * bit-identical across engines — `ln` carries no such guarantee and
+    * its last-ulp disagreements would break rank ties differently.
+    * Ties break ascending by term for a fully deterministic list.
+    *
+    * Scale shape: one shuffle by (doc, term) for tf, one by term for df,
+    * a broadcast of the 1-row corpus count, and the per-doc top-k window
+    * partitioned by doc_id — no global sort, no driver state.
+    */
+  def keywordSalience(docs: DataFrame, topK: Int = 3): DataFrame = {
+    require(topK > 0, "keywordSalience: topK must be positive")
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("__n") + 1L) / (col("df") + 1L))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+  }
+
   /** Full per-document text-statistics projection. */
   def profile(docs: DataFrame): DataFrame =
     docs.select(

@@ -118,6 +118,26 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(3L) shouldBe ((0L, 3L, 0.0))
   }
 
+  test("keywordSalience: hand-computed scores, corpus-frequent terms demoted, term tie-break") {
+    val docs = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "gamma common common"),
+      (3L, "delta common")
+    ).toDF("doc_id", "text")
+    // N = 3; df: alpha 1, beta 1, gamma 1, delta 1, common 3
+    // idf-rational: rare terms (3+1)/(1+1) = 2.0, common (3+1)/(3+1) = 1.0
+    val out = TextAnalysis.keywordSalience(docs, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+    out((1L, 1L)) shouldBe (("alpha", 2L, 4.0)) // tf 2 × 2.0
+    out((1L, 2L)) shouldBe (("beta", 1L, 2.0))  // beats common (1.0) despite tf tie
+    // gamma (1×2.0) ties common (2×1.0) at 2.0 — ascending term tie-break
+    out((2L, 1L)) shouldBe (("common", 2L, 2.0))
+    out((2L, 2L)) shouldBe (("gamma", 1L, 2.0))
+    out((3L, 1L)) shouldBe (("delta", 1L, 2.0))
+    out((3L, 2L)) shouldBe (("common", 1L, 1.0))
+  }
+
   test("contaminationBloom matches exact contamination (false positives verified away)") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),
