@@ -196,6 +196,24 @@ object TextAnalysis {
     contaminationReadout(trainSh, hits)
   }
 
+  /** Serialized bloom filter over the eval set's distinct k-shingle
+    * 64-bit hashes (`null` for an empty eval set) — build once, ship to
+    * any batch filter or streaming guard
+    * ([[graft.streaming.EventStreams.contaminationGuard]]). ~10 bits per
+    * shingle at the default ~1% fpp; probing never misses a real member,
+    * so a zero-hit document is PROVABLY clean.
+    */
+  def evalShingleBloom(eval: DataFrame, k: Int): Array[Byte] = {
+    import org.apache.spark.sql.GraftShims
+    val evalSh = Dedup.shingleTable(eval, k).select(col("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      evalSh.select(GraftShims.bloomFilterAgg(xxhash64(col("s")),
+          math.max(evalSh.count(), 1L)))
+        .head.getAs[Array[Byte]](0)
+    finally evalSh.unpersist(blocking = false)
+  }
+
   /** The per-doc totals/share read-out shared by [[contamination]] and
     * [[contaminationBloom]] — one place owns the output contract.
     */

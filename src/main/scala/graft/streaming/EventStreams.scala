@@ -143,6 +143,27 @@ object EventStreams {
     }
   }
 
+  /** Stateless streaming decontamination guard: marks each document of a
+    * (streaming or batch) frame with how many of its k-shingles hit the
+    * eval-set bloom filter
+    * ([[graft.operators.TextAnalysis.evalShingleBloom]]). Zero hits is
+    * PROVABLY clean (a bloom never misses a member) and can flow straight
+    * to the training sink; positive hits quarantine for exact offline
+    * verification (≈fpp share of clean docs flagged spuriously). The
+    * probe is a scalar expression over a broadcast-literal filter — no
+    * state store, no watermark, no shuffle — so it composes with any
+    * downstream streaming operator.
+    */
+  def contaminationGuard(docs: DataFrame, bloom: Array[Byte], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, filter, lit, size, xxhash64}
+    val hits =
+      if (bloom == null) lit(0L) // empty eval set: everything is clean
+      else size(filter(graft.operators.TextAnalysis.shingles(col("text"), k),
+        s => org.apache.spark.sql.GraftShims.bloomMightContain(lit(bloom), xxhash64(s))))
+        .cast("long")
+    docs.withColumn("n_flagged_shingles", hits)
+  }
+
   // ---- custom state: sessionization ------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

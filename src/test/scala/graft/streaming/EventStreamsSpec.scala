@@ -209,6 +209,41 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("contaminationGuard flags eval-overlapping stream docs, passes provably-clean ones") {
+    import graft.operators.TextAnalysis
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bloom = TextAnalysis.evalShingleBloom(eval, k = 5)
+    bloom should not be null
+    val in = MemoryStream[(Long, String)]
+    // 20 shares eval 5-shingles; 21 is disjoint and must pass untouched
+    in.addData((20L, "alpha beta gamma delta epsilon zeta eta"),
+      (21L, "one two three four five six seven"))
+    val out = EventStreams.contaminationGuard(
+      in.toDF().toDF("doc_id", "text"), bloom, k = 5)
+    val sink = s"guard_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(sink).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got(20L) should be >= 2L // both eval shingles of doc 20 hit the bloom
+    got(21L) shouldBe 0L     // zero hits: provably clean, no exact pass needed
+    // the guard agrees with the exact batch check on the clean doc (a bloom
+    // has no false negatives — only the flagged side ever needs verification)
+    val exact = TextAnalysis.contamination(
+      Seq((20L, "alpha beta gamma delta epsilon zeta eta"),
+        (21L, "one two three four five six seven")).toDF("doc_id", "text"),
+      eval, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact(21L) shouldBe 0L
+    exact(20L) should be >= 2L
+    // null bloom (empty eval) marks everything clean
+    EventStreams.contaminationGuard(
+      Seq((30L, "anything")).toDF("doc_id", "text"), null, k = 5)
+      .select($"n_flagged_shingles").as[Long].head() shouldBe 0L
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val input = MemoryStream[Event]
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
