@@ -290,14 +290,50 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: re-encodes the payload to a bounded-size thumbnail
-    * (here: truncated bytes + marker). Real impl swaps the body only.
+  /** Full image resize, JDK-only: ImageIO decode (behind the same magic
+    * gate and declared-pixel bomb cap as [[decodeImage]] — the full-pixel
+    * decode only happens AFTER the header passes the cap), bilinear
+    * `Graphics2D` scale to fit `maxDim` on the longest side, PNG
+    * re-encode. Any failure degrades to None, never a stage failure.
     */
-  def resize(assets: Dataset[MediaAsset], maxBytes: Int = 4096): Dataset[MediaAsset] = {
+  private[operators] def resizeImageBytes(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    decodeImage(bytes).flatMap { case (w0, h0, _) =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w0, h0))
+          val w = math.max(1, math.round(w0 * scale).toInt)
+          val h = math.max(1, math.round(h0 * scale).toInt)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: Throwable => None }
+    }
+
+  /** Resize kernel: REAL for decodable images (ImageIO decode → bilinear
+    * scale to fit `maxDim` → PNG re-encode, bomb-capped like
+    * [[decodeImage]]); audio/video and undecodable payloads keep the
+    * documented deterministic stand-in (byte truncation) — a bare JVM
+    * ships no audio/video transcoder, and the Spark shape (typed map over
+    * the asset envelope) is identical either way.
+    */
+  def resize(assets: Dataset[MediaAsset], maxBytes: Int = 4096,
+             maxDim: Int = 64): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.map { a =>
       val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
-      a.copy(payload = bytes.take(maxBytes))
+      a.copy(payload = resizeImageBytes(bytes, maxDim)
+        .getOrElse(bytes.take(maxBytes)))
     }
   }
 

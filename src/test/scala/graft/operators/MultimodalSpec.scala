@@ -159,6 +159,35 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     small.filter(F.length($"payload") > 16).count() shouldBe 0L
   }
 
+  test("resize REALLY rescales decodable images: aspect kept, PNG re-encoded") {
+    def encode(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaAsset(1L, "image", encode(64, 32), "mem://wide"),
+      Multimodal.MediaAsset(2L, "image", encode(8, 4), "mem://tiny"))
+      .toDS()
+    val out = Multimodal.resize(media, maxDim = 16).collect().sortBy(_.asset_id)
+    // 64x32 fit into 16 on the long side -> 16x8, decodable PNG
+    Multimodal.decodeImage(out(0).payload) shouldBe Some((16, 8, 3))
+    // already within bounds: scale capped at 1.0, dimensions unchanged
+    Multimodal.decodeImage(out(1).payload) shouldBe Some((8, 4, 3))
+    // a bomb header refuses the pixel decode and degrades to truncation
+    val bombPng = {
+      val real = encode(4, 4)
+      // overwrite the IHDR width field with a huge value
+      val b = real.clone()
+      b(16) = 0x7f.toByte; b(17) = 0xff.toByte; b(18) = 0xff.toByte; b(19) = 0xff.toByte
+      b
+    }
+    Multimodal.resizeImageBytes(bombPng, maxDim = 16) shouldBe None
+  }
+
   test("profile joins meta and features on asset_id") {
     val p = Multimodal.profile(graft.Tables.documents(spark, sf0001),
       "doc_id", "text", "image")
