@@ -245,17 +245,127 @@ object Multimodal {
     }
   }
 
+  /** Bilinear-scaled luma grid of a decodable image (bomb-capped like
+    * [[decodeImage]]): the raw material of the perceptual-hash family.
+    * Row-major, ITU-R 601 luma. None for undecodable payloads.
+    */
+  private[operators] def lumaGrid(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Float]] =
+    decodeImage(bytes).flatMap { _ =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(gw, gh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, gw, gh, null)
+          } finally g.dispose()
+          val luma = new Array[Float](gw * gh)
+          var i = 0
+          while (i < luma.length) {
+            val rgb = out.getRGB(i % gw, i / gw)
+            luma(i) = 0.299f * ((rgb >> 16) & 0xff) +
+              0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+            i += 1
+          }
+          Some(luma)
+        }
+      } catch { case _: Throwable => None }
+    }
+
+  /** dHash (difference hash): 9×8 luma grid, bit r*8+c set when
+    * luma(r,c) < luma(r,c+1) — the standard 64-bit perceptual fingerprint,
+    * robust to uniform brightness/contrast shifts (only the horizontal
+    * ORDER of neighboring cells matters). None for undecodable payloads.
+    */
+  private[operators] def dhash64(bytes: Array[Byte]): Option[Long] =
+    lumaGrid(bytes, 9, 8).map { g =>
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(r * 9 + c) < g(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+  case class PerceptualHash(asset_id: Long, dhash: Long, decoded: Boolean)
+
+  /** Per-asset perceptual fingerprint: REAL dHash for decodable images;
+    * undecodable payloads fall back to a deterministic md5-derived 64-bit
+    * stand-in (flagged `decoded = false`) so the operator stays total.
+    */
+  def perceptualHashes(assets: Dataset[MediaAsset]): Dataset[PerceptualHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
+      dhash64(bytes) match {
+        case Some(h) => PerceptualHash(a.asset_id, h, decoded = true)
+        case None =>
+          val m = md5Bytes(bytes)
+          val h = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (m(i) & 0xffL))
+          PerceptualHash(a.asset_id, h, decoded = false)
+      }
+    })
+  }
+
+  /** Image near-dup pairs by banded hamming over dHash — the visual
+    * counterpart of [[Dedup]]'s SimHash path. The 64-bit hash splits into
+    * 8 one-byte bands; two hashes within hamming distance `maxDist` < 8
+    * agree on at least one band (pigeonhole), so candidates come from 8
+    * shuffle-partitioned equi-joins on (band, byte) — never an all-pairs
+    * scan — and `bit_count(xor)` verifies exactly. At corpus scale the
+    * candidate volume is governed by band-collision rates exactly like
+    * MinHash LSH banding.
+    */
+  def imageNearDups(hashes: Dataset[PerceptualHash], maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist < 8,
+      "imageNearDups: the 8-band pigeonhole guarantee needs maxDist < 8")
+    import org.apache.spark.sql.functions.{bit_count, col, explode, expr, sequence, lit}
+    val banded = hashes.toDF()
+      .select(col("asset_id"), col("dhash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bkey", expr("shiftrightunsigned(dhash, band * 8) % 256"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   private def featuresOne(a: MediaAsset, dim: Int): Array[Float] = {
     val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
-    val emb = new Array[Float](dim)
-    var h = md5Bytes(bytes)
-    var i = 0
-    while (i < dim) {
-      if (i % 16 == 0 && i > 0) h = md5Bytes(h)
-      emb(i) = ((h(i % 16) & 0xff) - 128) / 128.0f
-      i += 1
+    // REAL perceptual features for decodable images: zero-mean, unit-norm
+    // bilinear luma grid (the pHash family's embedding) — directly
+    // consumable by Similarity / embeddingNearDups. The magic-byte gate
+    // inside decodeImage keeps non-image payloads off the decoder.
+    lumaGrid(bytes, 8, (dim + 7) / 8).map { g =>
+      val take = g.take(dim).padTo(dim, 0.0f)
+      val mean = take.sum / dim
+      val centered = take.map(_ - mean)
+      val norm = math.sqrt(centered.map(x => x.toDouble * x).sum).toFloat
+      if (norm > 0f) centered.map(_ / norm) else centered
+    }.getOrElse {
+      // deterministic hash-chain stand-in keeps the operator total
+      val emb = new Array[Float](dim)
+      var h = md5Bytes(bytes)
+      var i = 0
+      while (i < dim) {
+        if (i % 16 == 0 && i > 0) h = md5Bytes(h)
+        emb(i) = ((h(i % 16) & 0xff) - 128) / 128.0f
+        i += 1
+      }
+      emb
     }
-    emb
   }
 
   def decodeMeta(assets: Dataset[MediaAsset]): Dataset[DecodedMeta] = {
@@ -264,9 +374,12 @@ object Multimodal {
     assets.mapPartitions(_.map(decodeOne))
   }
 
-  /** STUB feature extraction: deterministic `dim`-float embedding from the
-    * payload hash chain (stands in for a vision/audio model forward pass).
-    * Output feeds [[Similarity]] / [[Dedup.embeddingNearDups]] unchanged.
+  /** Feature extraction: REAL for decodable images (zero-mean unit-norm
+    * bilinear luma grid — the pHash family's perceptual embedding);
+    * audio/video and undecodable payloads keep the deterministic
+    * hash-chain stand-in (a model forward pass needs weights a bare JVM
+    * does not ship). Output feeds [[Similarity]] /
+    * [[Dedup.embeddingNearDups]] unchanged.
     */
   def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 64): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._

@@ -188,6 +188,46 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     Multimodal.resizeImageBytes(bombPng, maxDim = 16) shouldBe None
   }
 
+  test("perceptual pipeline: dHash collides near-identical images, separates distinct ones") {
+    def encode(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // gradient, the same gradient uniformly brightened (dHash-invariant:
+    // only neighbor ORDER matters), and an unrelated checkerboard
+    val grad = encode((x, _) => (x * 8) << 16)
+    val gradBright = encode((x, _) => math.min(255, x * 8 + 30) << 16)
+    val checker = encode((x, y) => if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0)
+    val media = Seq(
+      Multimodal.MediaAsset(1L, "image", grad, "mem://g"),
+      Multimodal.MediaAsset(2L, "image", gradBright, "mem://gb"),
+      Multimodal.MediaAsset(3L, "image", checker, "mem://c"),
+      Multimodal.MediaAsset(4L, "image", "not an image".getBytes, "mem://t"))
+      .toDS()
+    val hashes = Multimodal.perceptualHashes(media)
+    val byId = hashes.collect().map(h => h.asset_id -> h).toMap
+    byId(1L).decoded shouldBe true
+    byId(4L).decoded shouldBe false // stand-in path flagged, still total
+    java.lang.Long.bitCount(byId(1L).dhash ^ byId(2L).dhash) should be <= 6
+    java.lang.Long.bitCount(byId(1L).dhash ^ byId(3L).dhash) should be > 6
+    val pairs = Multimodal.imageNearDups(hashes, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs.exists { case (a, b) => Set(a, b).contains(3L) } shouldBe false
+    // REAL luma features: the brightened twin stays close in cosine, the
+    // checkerboard far — directly consumable by the ANN/near-dup operators
+    val f = Multimodal.extractFeatures(media, dim = 64).collect()
+      .map(x => x.asset_id -> x.embedding).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    cos(f(1L), f(2L)) should be > 0.95
+    cos(f(1L), f(3L)) should be < 0.5
+  }
+
   test("profile joins meta and features on asset_id") {
     val p = Multimodal.profile(graft.Tables.documents(spark, sf0001),
       "doc_id", "text", "image")
