@@ -342,8 +342,74 @@ object Multimodal {
       .distinct()
   }
 
+  /** Cap on PCM bytes pulled for the envelope: a multi-hour WAV costs at
+    * most this much memory per row (the tail is simply not windowed).
+    */
+  private[operators] val MaxEnvelopeBytes: Int = 16 * 1024 * 1024
+
+  /** REAL audio features for decodable 16-bit PCM containers: the
+    * RMS-energy envelope over `dim` equal time windows (channel-mixed,
+    * unit-norm) — the classic energy fingerprint (silence detection,
+    * loudness near-dup). Reads at most [[MaxEnvelopeBytes]] of samples.
+    * None for undecodable payloads or non-16-bit encodings.
+    */
+  private[operators] def audioRmsEnvelope(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeAudio(bytes).flatMap { _ =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val pcm = ais.readNBytes(MaxEnvelopeBytes)
+            val ch = fmt.getChannels
+            val big = fmt.isBigEndian
+            val nSamples = pcm.length / 2 / ch // mono-mixed sample count
+            if (nSamples < dim) None
+            else {
+              val env = new Array[Float](dim)
+              var w = 0
+              while (w < dim) {
+                val from = (w.toLong * nSamples / dim).toInt
+                val until = ((w + 1).toLong * nSamples / dim).toInt
+                var acc = 0.0
+                var i = from
+                while (i < until) {
+                  var mix = 0.0
+                  var c = 0
+                  while (c < ch) {
+                    val o = (i * ch + c) * 2
+                    val s = if (big) (pcm(o) << 8) | (pcm(o + 1) & 0xff)
+                            else (pcm(o + 1) << 8) | (pcm(o) & 0xff)
+                    mix += s / 32768.0
+                    c += 1
+                  }
+                  mix /= ch
+                  acc += mix * mix
+                  i += 1
+                }
+                env(w) = math.sqrt(acc / math.max(until - from, 1)).toFloat
+                w += 1
+              }
+              val norm = math.sqrt(env.map(x => x.toDouble * x).sum).toFloat
+              Some(if (norm > 0f) env.map(_ / norm) else env)
+            }
+          }
+        } finally ais.close()
+      } catch { case _: Throwable => None }
+    }
+
   private def featuresOne(a: MediaAsset, dim: Int): Array[Float] = {
     val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
+    // REAL audio features for decodable PCM: the RMS-energy envelope
+    if (a.kind == "audio") {
+      audioRmsEnvelope(bytes, dim) match {
+        case Some(env) => return env
+        case None => // fall through to the image probe / stand-in below
+      }
+    }
     // REAL perceptual features for decodable images: zero-mean, unit-norm
     // bilinear luma grid (the pHash family's embedding) — directly
     // consumable by Similarity / embeddingNearDups. The magic-byte gate

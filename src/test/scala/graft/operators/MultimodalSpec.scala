@@ -228,6 +228,41 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     cos(f(1L), f(3L)) should be < 0.5
   }
 
+  test("audio features are the REAL RMS envelope: loud burst then silence") {
+    // 1s mono 8kHz 16-bit PCM: full-scale square wave for the first half,
+    // silence for the second — the envelope must read high-high-low-low
+    def wavBurst(attenuate: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val n = 8000
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n / 2) {
+        val s = (math.signum(math.sin(i * 0.5)) * 30000 * attenuate).toInt
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaAsset(1L, "audio", wavBurst(1.0), "mem://a"),
+      Multimodal.MediaAsset(2L, "audio", wavBurst(0.7), "mem://b"))
+      .toDS()
+    val f = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(x => x.asset_id -> x.embedding).toMap
+    val env = f(1L)
+    env(0) should be > 0.5f
+    env(1) should be > 0.5f
+    env(2) shouldBe 0.0f +- 1e-4f
+    env(3) shouldBe 0.0f +- 1e-4f
+    // unit-norm envelope is amplitude-invariant: the attenuated twin matches
+    val cos = env.zip(f(2L)).map { case (x, y) => x.toDouble * y }.sum
+    cos should be > 0.999
+  }
+
   test("profile joins meta and features on asset_id") {
     val p = Multimodal.profile(graft.Tables.documents(spark, sf0001),
       "doc_id", "text", "image")
