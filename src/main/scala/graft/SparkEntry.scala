@@ -1097,6 +1097,13 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id", seed = 7L)),
 
+    // domain-diversity ordering: reading by interleave_pos cycles sources
+    // round-robin, so no training batch is a single-domain run
+    "order_interleave" -> ((s, d) =>
+      operators.TrainOrder.sourceInterleave(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", seed = 13L)),
+
     // deterministic 8-way shard materialization: round-robin along the
     // seeded order → exactly-equal shard sizes, each an unbiased slice
     "order_shards" -> ((s, d) =>
@@ -2320,6 +2327,21 @@ object SparkEntry {
         |   ('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
         |   doc_id) - 1 AS shuffle_pos
         |FROM documents""".stripMargin,
+
+    // identical within-source seeded rank + source-index arithmetic;
+    // sources order by their ASCII string form in both engines
+    "order_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY
+        |    ('0x' || substr(md5('13_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |    doc_id) - 1 AS srk
+        |  FROM documents),
+        |s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+        |      FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*) AS ns FROM (SELECT DISTINCT source FROM documents))
+        |SELECT r.doc_id, r.source, CAST(srk AS BIGINT) AS source_rank,
+        |  CAST(srk * ns + sidx AS BIGINT) AS interleave_pos
+        |FROM r JOIN s USING (source) CROSS JOIN n""".stripMargin,
 
     // same round-robin of the seed-11 order
     "order_shards" ->

@@ -159,4 +159,73 @@ object TrainOrder {
       .filter(col("cum_tokens") <= budget)
       .drop("__graft_hk", "__graft_b", "__graft_cum", "__graft_off")
   }
+
+  /** Deterministic source-interleaved training order: every document gets
+    * `source_rank` (its seeded within-source rank) and `interleave_pos` =
+    * source_rank × #sources + source_index, so reading in `interleave_pos`
+    * order cycles through sources round-robin — the domain-diversity
+    * ordering a curriculum wants so no batch is a single-domain run.
+    * Exact round-robin while every source still has documents; once a
+    * source exhausts, its positions are simply absent (order preserved,
+    * contiguity not — a training reader consumes by ORDER, not by index
+    * arithmetic). Same determinism contract as [[epochShuffle]].
+    *
+    * Scale shape: within-source ranks come from the same fixed-width hash
+    * buckets, windowed per (source, bucket) — no per-source single-task
+    * sort however skewed the sources. Driver state is one (source, bucket)
+    * count per occupied pair, guarded by `maxGroups`; source indexes come
+    * from the same collect. Sources are ordered by their string form
+    * (ASCII-stable across engines).
+    */
+  def sourceInterleave(docs: DataFrame, idCol: String, sourceCol: String,
+                       seed: Long, buckets: Int = 1024,
+                       maxGroups: Int = 1 << 20): DataFrame = {
+    require(buckets > 0, "sourceInterleave: buckets must be positive")
+    val hkey = conv(substring(
+      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    val width = math.max(1L, 4294967296L / buckets + 1)
+    val keyed = docs
+      .withColumn("__graft_hk", hkey)
+      .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
+      .repartition(col(sourceCol), col("__graft_b"))
+    val wIn = Window.partitionBy(col(sourceCol), col("__graft_b"))
+      .orderBy(col("__graft_hk"), col(idCol))
+    val local = keyed.withColumn("__graft_rn", row_number().over(wIn))
+
+    val totals = keyed.groupBy(col(sourceCol).cast("string").as("__graft_s"),
+        col("__graft_b"))
+      .agg(count(lit(1)).as("__graft_n")).collect()
+    require(totals.length <= maxGroups,
+      s"sourceInterleave: ${totals.length} (source × bucket) groups exceed " +
+        s"maxGroups=$maxGroups — lower `buckets` or raise the guard")
+    require(totals.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      s"sourceInterleave: null '$sourceCol' or '$idCol' row(s) — both must " +
+        "be non-null for a deterministic order")
+    val srcs = totals.map(_.getString(0)).distinct.sorted
+    val sIdx = srcs.zipWithIndex.toMap
+    val nS = srcs.length.toLong
+    val offsetRows = totals.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, b, n) =>
+          val row = org.apache.spark.sql.Row(s, b, acc, sIdx(s).toLong)
+          acc += n; row
+        }
+      }
+    val offsets = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*),
+      StructType(Seq(StructField("__graft_s", org.apache.spark.sql.types.StringType),
+        StructField("__graft_b", LongType), StructField("__graft_off", LongType),
+        StructField("__graft_sx", LongType))))
+
+    local
+      .join(broadcast(offsets),
+        col(sourceCol).cast("string") === col("__graft_s") &&
+          local("__graft_b") === offsets("__graft_b"))
+      .withColumn("source_rank", col("__graft_off") + col("__graft_rn") - 1)
+      .withColumn("interleave_pos", col("source_rank") * nS + col("__graft_sx"))
+      .drop("__graft_hk", "__graft_b", "__graft_rn", "__graft_off",
+        "__graft_s", "__graft_sx")
+  }
 }

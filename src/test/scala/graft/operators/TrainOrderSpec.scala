@@ -92,4 +92,33 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
     e.getMessage should include("null 'doc_id'")
   }
+
+  test("sourceInterleave: positions cycle sources round-robin; bucket-count invariant") {
+    val mixed = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("doc_id", "source")
+    val out = TrainOrder.sourceInterleave(mixed, "doc_id", "source",
+      seed = 13L, buckets = 4)
+      .select($"doc_id", $"source", $"source_rank", $"interleave_pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // pos = rank*3 + idx(source): a->0,3,6  b->1,4  c->2
+    out.map(_._4).sorted shouldBe Array(0L, 1L, 2L, 3L, 4L, 6L)
+    // reading in position order alternates sources while all are live
+    val bySrcOrder = out.sortBy(_._4).map(_._2)
+    bySrcOrder.take(3) shouldBe Array("a", "b", "c")
+    // within-source ranks are contiguous 0-based
+    out.filter(_._2 == "a").map(_._3).sorted shouldBe Array(0L, 1L, 2L)
+    out.filter(_._2 == "b").map(_._3).sorted shouldBe Array(0L, 1L)
+    // bucket count changes the plan, not the order
+    val wide = TrainOrder.sourceInterleave(mixed, "doc_id", "source",
+      seed = 13L, buckets = 64)
+      .select($"doc_id", $"interleave_pos").as[(Long, Long)].collect().toMap
+    wide shouldBe out.map(t => t._1 -> t._4).toMap
+    // group-bound guard fails fast with an actionable message
+    val e = intercept[IllegalArgumentException] {
+      TrainOrder.sourceInterleave(mixed, "doc_id", "source",
+        seed = 13L, buckets = 4, maxGroups = 2)
+    }
+    e.getMessage should include("maxGroups")
+  }
 }
