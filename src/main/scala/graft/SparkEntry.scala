@@ -618,6 +618,16 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
           grouping_id().as("gid"))),
 
+    // arbitrary GROUPING SETS (neither rollup nor cube): per-flag, per-status
+    // and grand-total slices in one pass, tagged by the grouping_id bitmap
+    "a12_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))),
+
     // deterministic hash sample: md5-prefix filter is engine-portable
     // (unlike TABLESAMPLE/rand whose PRNG differs per engine)
     "sample_hash" -> ((s, d) =>
@@ -1536,6 +1546,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a12_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
