@@ -73,8 +73,18 @@ object SparkEntry {
     Dedup.docShingleHashes(Tables.documents(s, d), k = 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The unfiltered candidate-pair statistics, one persisted copy per
+    * session: every pair scorer (jaccard at any threshold ≥ the family's
+    * lowest, containment, the source matrix) is a narrow filter over this
+    * table, so the posting self-join runs once per session, not once per
+    * scorer.
+    */
+  private def sharedPairStats(s: SparkSession, d: String): DataFrame =
+    Dedup.pairStatsFromArr(sharedShingleArr(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairsFromArr(sharedShingleArr(s, d), threshold = 0.5)
+    Dedup.jaccardFromStats(sharedPairStats(s, d), threshold = 0.5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** dedup_clusters / dedup_keep share ONE connected-components labeling
@@ -724,7 +734,7 @@ object SparkEntry {
     // inclusion), which jaccard structurally caps at size-ratio. Rides the
     // family's persisted hash-array hub
     "dedup_containment" -> ((s, d) =>
-      Dedup.containmentPairsFromArr(sharedShingleArr(s, d), threshold = 0.9)),
+      Dedup.containmentFromStats(sharedPairStats(s, d), threshold = 0.9)),
 
     // near-dup provenance matrix: pair counts by (unordered) source pair —
     // the read-out that tells a curation pipeline WHICH crawls/snapshots

@@ -329,7 +329,12 @@ object Dedup {
     */
   def jaccardPairsFromArr(arr: DataFrame, threshold: Double,
                           maxPostings: Long = DefaultMaxPostings): DataFrame =
-    pairStatsFromArr(arr, maxPostings)
+    jaccardFromStats(pairStatsFromArr(arr, maxPostings), threshold)
+
+  /** The jaccard read-out over a (possibly persisted, caller-shared)
+    * [[pairStatsFromArr]] table. */
+  def jaccardFromStats(stats: DataFrame, threshold: Double): DataFrame =
+    stats
       .withColumn("jaccard", col("__inter").cast("double") /
         (col("__na") + col("__nb") - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -345,7 +350,11 @@ object Dedup {
     */
   def containmentPairsFromArr(arr: DataFrame, threshold: Double,
                               maxPostings: Long = DefaultMaxPostings): DataFrame =
-    pairStatsFromArr(arr, maxPostings)
+    containmentFromStats(pairStatsFromArr(arr, maxPostings), threshold)
+
+  /** The containment read-out over a shared [[pairStatsFromArr]] table. */
+  def containmentFromStats(stats: DataFrame, threshold: Double): DataFrame =
+    stats
       .withColumn("containment", col("__inter").cast("double") /
         least(col("__na"), col("__nb")).cast("double"))
       .filter(col("containment") >= threshold)
@@ -354,11 +363,14 @@ object Dedup {
         col("containment"))
 
   /** The candidate-pair statistics subtree shared by the jaccard and
-    * containment scorers: per co-occurring pair, the df-cut intersection
-    * count plus both (full-universe) set sizes.
+    * containment scorers — per co-occurring pair, the df-cut intersection
+    * count plus both (full-universe) set sizes. Public as a composition
+    * point (like [[docShingleHashes]]): a session running several
+    * pair-scored queries persists ONE stats table and derives every
+    * scorer from it with a narrow filter.
     */
-  private def pairStatsFromArr(arr: DataFrame,
-                               maxPostings: Long): DataFrame = {
+  def pairStatsFromArr(arr: DataFrame,
+                       maxPostings: Long = DefaultMaxPostings): DataFrame = {
     // each posting row carries its doc's set size alongside the shingle
     // hash (+8 bytes/row): the candidate aggregation below then has both
     // |A| and |B| in hand — no sizes side-table, no second corpus scan.
