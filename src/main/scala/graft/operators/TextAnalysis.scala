@@ -411,15 +411,20 @@ object TextAnalysis {
     require(topK > 0, "keywordSalience: topK must be positive")
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as an unbounded window over an explicit term repartition, not a
+    // separate aggregate joined back: the aggregate formulation costs two
+    // exchanges (dft build + re-keying tf for the join); the window reads
+    // df off the SAME term exchange the tf rows already need
     val n = docs.agg(count(lit(1)).as("__n"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    tf.join(dft, Seq("term"))
+    tf.repartition(col("term"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * (col("__n") + 1L) / (col("df") + 1L))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank", row_number().over(wDoc).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
   }
