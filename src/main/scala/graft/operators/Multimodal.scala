@@ -61,6 +61,14 @@ object Multimodal {
     */
   private[operators] val MaxDeclaredPixels: Long = 512L * 1024 * 1024
 
+  /** Tighter cap for the FULL-pixel decode paths ([[lumaGrid]],
+    * [[resizeImageBytes]]): `ImageIO.read` allocates width×height×4 bytes,
+    * so the header-parse cap above (sized for pixel-free metadata reads)
+    * would admit ~2 GB single-row rasters. 16M px bounds a task's decode
+    * buffer at ~64 MB.
+    */
+  private[operators] val MaxFullDecodePixels: Long = 16L * 1024 * 1024
+
   /** Real image header decode, JDK-only (`javax.imageio` — PNG/JPEG/GIF/BMP
     * ship with the JRE; no native deps). Gated on the container magic bytes
     * so non-image payloads skip reader probing entirely — at corpus scale
@@ -250,7 +258,9 @@ object Multimodal {
     * Row-major, ITU-R 601 luma. None for undecodable payloads.
     */
   private[operators] def lumaGrid(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Float]] =
-    decodeImage(bytes).flatMap { _ =>
+    decodeImage(bytes)
+      .filter { case (w, h, _) => w.toLong * h.toLong <= MaxFullDecodePixels }
+      .flatMap { _ =>
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) None
@@ -332,8 +342,15 @@ object Multimodal {
     val banded = hashes.toDF()
       .select(col("asset_id"), col("dhash"),
         explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bkey", expr("shiftrightunsigned(dhash, band * 8) % 256"))
-    banded.as("a").join(banded.as("b"),
+      // & 255, not % 256: Spark's % keeps the dividend's sign, so band 0
+      // (shift 0) would key a negative dhash's low byte differently from a
+      // positive one's and break the pigeonhole guarantee at maxDist = 7
+      .withColumn("bkey", expr("shiftrightunsigned(dhash, band * 8) & 255"))
+    // shuffle_hash on both sides: AQE's broadcast conversion would stop
+    // ReuseExchange from collapsing the two identical decode+hash subtrees
+    // (the pairStatsFromArr pattern) — without it every image is decoded
+    // and hashed twice
+    banded.as("a").hint("shuffle_hash").join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.asset_id") < col("b.asset_id"))
       .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
@@ -476,7 +493,9 @@ object Multimodal {
     * re-encode. Any failure degrades to None, never a stage failure.
     */
   private[operators] def resizeImageBytes(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
-    decodeImage(bytes).flatMap { case (w0, h0, _) =>
+    decodeImage(bytes)
+      .filter { case (w, h, _) => w.toLong * h.toLong <= MaxFullDecodePixels }
+      .flatMap { case (w0, h0, _) =>
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) None
@@ -504,7 +523,10 @@ object Multimodal {
     * [[decodeImage]]); audio/video and undecodable payloads keep the
     * documented deterministic stand-in (byte truncation) — a bare JVM
     * ships no audio/video transcoder, and the Spark shape (typed map over
-    * the asset envelope) is identical either way.
+    * the asset envelope) is identical either way. `maxBytes` is a hard
+    * payload bound on EVERY output row: a re-encoded PNG that still exceeds
+    * it (tiny `maxBytes`, incompressible pixels) falls back to truncation
+    * rather than shipping an over-budget blob to the downstream store.
     */
   def resize(assets: Dataset[MediaAsset], maxBytes: Int = 4096,
              maxDim: Int = 64): Dataset[MediaAsset] = {
@@ -512,6 +534,7 @@ object Multimodal {
     assets.map { a =>
       val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
       a.copy(payload = resizeImageBytes(bytes, maxDim)
+        .filter(_.length <= maxBytes)
         .getOrElse(bytes.take(maxBytes)))
     }
   }

@@ -204,15 +204,21 @@ object TextAnalysis {
     * so a zero-hit document is PROVABLY clean.
     */
   def evalShingleBloom(eval: DataFrame, k: Int): Array[Byte] = {
-    import org.apache.spark.sql.GraftShims
     val evalSh = Dedup.shingleTable(eval, k).select(col("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
-      evalSh.select(GraftShims.bloomFilterAgg(xxhash64(col("s")),
-          math.max(evalSh.count(), 1L)))
-        .head.getAs[Array[Byte]](0)
+    try buildShingleBloom(evalSh)
     finally evalSh.unpersist(blocking = false)
   }
+
+  /** Bloom build over an (already persisted) distinct-shingle frame —
+    * the one block [[evalShingleBloom]] and [[contaminationBloom]] share.
+    * The sizing `count` doubles as the cache fill; fpp degrades past the
+    * estimate, so the filter is sized to the exact distinct cardinality.
+    */
+  private def buildShingleBloom(evalSh: DataFrame): Array[Byte] =
+    evalSh.select(org.apache.spark.sql.GraftShims.bloomFilterAgg(
+        xxhash64(col("s")), math.max(evalSh.count(), 1L)))
+      .head.getAs[Array[Byte]](0)
 
   /** The per-doc totals/share read-out shared by [[contamination]] and
     * [[contaminationBloom]] — one place owns the output contract.
@@ -250,12 +256,7 @@ object TextAnalysis {
     val evalSh = Dedup.shingleTable(eval, k).select(col("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // the count both fills the cache and sizes the filter (fpp degrades
-      // past the estimate)
-      val bloom = evalSh
-        .select(GraftShims.bloomFilterAgg(xxhash64(col("s")),
-          math.max(evalSh.count(), 1L)))
-        .head.getAs[Array[Byte]](0)
+      val bloom = buildShingleBloom(evalSh)
       val pruned =
         if (bloom == null) trainSh.filter(lit(false)) // empty eval: no hits
         else trainSh.filter(GraftShims.bloomMightContain(lit(bloom), xxhash64(col("s"))))
@@ -411,16 +412,20 @@ object TextAnalysis {
     require(topK > 0, "keywordSalience: topK must be positive")
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // df as an unbounded window over an explicit term repartition, not a
-    // separate aggregate joined back: the aggregate formulation costs two
-    // exchanges (dft build + re-keying tf for the join); the window reads
-    // df off the SAME term exchange the tf rows already need
+    // df off ONE explicit term exchange, skew-safely: both the df aggregate
+    // and the join read the same repartition(term) subtree (ReuseExchange
+    // collapses them; shuffle_hash pins the join so AQE's broadcast
+    // conversion can't break the reuse), and the already-partitioned
+    // children add no further exchange. A per-term unbounded WINDOW would
+    // read df off the same exchange but buffer+sort every row of a hot
+    // term (a stopword ≈ one row per document) in a single window task —
+    // the hash join streams the probe side instead.
     val n = docs.agg(count(lit(1)).as("__n"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    tf.repartition(col("term"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val tfByTerm = tf.repartition(col("term"))
+    val dft = tfByTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tfByTerm.join(dft.hint("shuffle_hash"), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * (col("__n") + 1L) / (col("df") + 1L))

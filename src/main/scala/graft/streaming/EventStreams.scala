@@ -155,13 +155,16 @@ object EventStreams {
     * downstream streaming operator.
     */
   def contaminationGuard(docs: DataFrame, bloom: Array[Byte], k: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, filter, lit, size, xxhash64}
+    import org.apache.spark.sql.functions.{coalesce, col, filter, lit, size, xxhash64}
     val hits =
       if (bloom == null) lit(0L) // empty eval set: everything is clean
       else size(filter(graft.operators.TextAnalysis.shingles(col("text"), k),
         s => org.apache.spark.sql.GraftShims.bloomMightContain(lit(bloom), xxhash64(s))))
         .cast("long")
-    docs.withColumn("n_flagged_shingles", hits)
+    // coalesce: shingles(NULL) is NULL and size(NULL) is NULL, which would
+    // route a null-text doc to NEITHER the zero-hit training sink NOR the
+    // positive-hit quarantine — a no-shingle doc is provably clean, so 0
+    docs.withColumn("n_flagged_shingles", coalesce(hits, lit(0L)))
   }
 
   // ---- custom state: sessionization ------------------------------------

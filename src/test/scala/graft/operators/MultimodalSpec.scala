@@ -157,6 +157,55 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("resize bounds payload size") {
     val small = Multimodal.resize(assets, maxBytes = 16)
     small.filter(F.length($"payload") > 16).count() shouldBe 0L
+    // the bound holds for DECODABLE payloads too: a re-encoded PNG always
+    // exceeds 16 bytes, so the kernel must fall back to truncation rather
+    // than ship an over-budget blob
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaAsset(1L, "image", bos.toByteArray, "mem://p"))
+      .toDS()
+    Multimodal.resize(media, maxBytes = 16)
+      .filter(F.length($"payload") > 16).count() shouldBe 0L
+  }
+
+  test("full-pixel decode paths refuse rasters the header-only cap admits") {
+    // a real 4x4 PNG with IHDR patched to declare 5000x5000: 25M px passes
+    // the 512M header cap (decodeMeta stays cheap and real) but must be
+    // refused by lumaGrid/resizeImageBytes, whose ImageIO.read would
+    // allocate the full ~100 MB raster
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val b = bos.toByteArray.clone()
+    val dim = 5000
+    b(16) = (dim >> 24).toByte; b(17) = (dim >> 16).toByte
+    b(18) = (dim >> 8).toByte; b(19) = dim.toByte
+    b(20) = (dim >> 24).toByte; b(21) = (dim >> 16).toByte
+    b(22) = (dim >> 8).toByte; b(23) = dim.toByte
+    Multimodal.decodeImage(b) shouldBe Some((5000, 5000, 3))
+    Multimodal.lumaGrid(b, 8, 8) shouldBe None
+    Multimodal.resizeImageBytes(b, maxDim = 16) shouldBe None
+  }
+
+  test("imageNearDups pigeonhole survives mixed-sign hashes at maxDist = 7") {
+    // A >= 0 and B < 0 share ONLY band 0 (low byte) and differ by exactly
+    // one bit in each of bands 1-7 (including bit 63): hamming = 7, so the
+    // banded join must surface the pair via band 0 — a signed % band key
+    // would map the shared byte 0xAB to 171 vs -85 and drop it
+    val a = 0x00010101010101ABL
+    val mask = (1L << 63) | (1L to 6L).map(b => 1L << (8 * b)).reduce(_ | _)
+    val bHash = a ^ mask
+    bHash should be < 0L
+    java.lang.Long.bitCount(a ^ bHash) shouldBe 7
+    val hashes = Seq(
+      Multimodal.PerceptualHash(1L, a, decoded = true),
+      Multimodal.PerceptualHash(2L, bHash, decoded = true)).toDS()
+    val pairs = Multimodal.imageNearDups(hashes, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L))
   }
 
   test("resize REALLY rescales decodable images: aspect kept, PNG re-encoded") {

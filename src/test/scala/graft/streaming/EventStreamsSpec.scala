@@ -242,6 +242,11 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkFixture {
     EventStreams.contaminationGuard(
       Seq((30L, "anything")).toDF("doc_id", "text"), null, k = 5)
       .select($"n_flagged_shingles").as[Long].head() shouldBe 0L
+    // a null-text doc is provably clean (no shingles), NOT null-flagged:
+    // a NULL count would route it to neither the clean sink nor quarantine
+    EventStreams.contaminationGuard(
+      Seq((31L, null: String)).toDF("doc_id", "text"), bloom, k = 5)
+      .select($"n_flagged_shingles").as[Long].head() shouldBe 0L
   }
 
   test("sessionize closes sessions on gap and on timeout") {
