@@ -134,6 +134,35 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Term-frequency pairs of a single-space-tokenized text (tokens
+    * INCLUDING empties, mirroring `split(text, " ")` with limit -1 and
+    * DuckDB's `string_split`) as `array<struct<term, tf>>`, in
+    * first-occurrence order. The fused, shuffle-free form of
+    * `explode(split(text)) → groupBy(doc, term) → count`: term counting is
+    * per-row arithmetic, so doing it inside the scan stage removes the
+    * corpus-wide (doc, term) exchange entirely — only the already-counted
+    * distinct pairs ever leave the stage.
+    */
+  def termCounts(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val m = new java.util.LinkedHashMap[String, Long](math.min(toks.length * 2, 1024))
+    var i = 0
+    while (i < toks.length) {
+      m.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    var idx = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(idx) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      idx += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All strictly-ordered (a < b) pairs of a long array after sort+dedup —
     * see [[ArrayPairs]]. Equal values never pair (no (x, x) self-pairs),
     * exactly the `a.id < b.id` predicate of the self-join this replaces.
@@ -348,6 +377,30 @@ case class ShingleHash31Array(child: Expression, k: Int) extends UnaryExpression
   * ids never self-pair. Output size is m(m-1)/2 over distinct ids: callers
   * MUST bound m (the band df-cut) before expanding.
   */
+/** Per-document term-frequency struct array — see [[TextOps.termCounts]]. */
+case class TermCountArray(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "term_count_array"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.termCounts(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.termCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ArrayPairs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "array_pairs"
   override def dataType: DataType = ArrayType(
@@ -462,6 +515,7 @@ object TextFunctions {
   def minhash_sig_array(hs: Column, numPerm: Int): Column =
     column(MinhashSigArray(expression(hs), numPerm))
   def array_pairs(ids: Column): Column = column(ArrayPairs(expression(ids)))
+  def term_count_array(text: Column): Column = column(TermCountArray(expression(text)))
   def simhash16(text: Column): Column = column(SimHash16(expression(text)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
 }

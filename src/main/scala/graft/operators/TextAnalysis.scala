@@ -410,8 +410,12 @@ object TextAnalysis {
     */
   def keywordSalience(docs: DataFrame, topK: Int = 3): DataFrame = {
     require(topK > 0, "keywordSalience: topK must be positive")
-    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf fused into the scan stage ([[graft.functions.TermCountArray]]):
+    // term counting is per-row arithmetic, so the corpus-wide
+    // explode→groupBy(doc, term) exchange disappears — only the counted
+    // distinct (term, tf) pairs leave the stage.
+    val tf = docs.select(col("doc_id"),
+      inline(graft.functions.TextFunctions.term_count_array(col("text"))))
     // df off ONE explicit term exchange, skew-safely: both the df aggregate
     // and the join read the same repartition(term) subtree (ReuseExchange
     // collapses them; shuffle_hash pins the join so AQE's broadcast

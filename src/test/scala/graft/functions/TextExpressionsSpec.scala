@@ -34,6 +34,26 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .head.getSeq[String](0) shouldBe Seq("a  b", " b c")
   }
 
+  test("term_count_array matches explode+groupBy term counting on real docs") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val fused = docs.select($"doc_id",
+      inline(TextFunctions.term_count_array($"text")))
+    val composed = docs.select($"doc_id",
+      explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    fused.join(composed, Seq("doc_id", "term"), "full")
+      .filter(fused("tf").isNull || composed("tf").isNull ||
+        fused("tf") =!= composed("tf"))
+      .count() shouldBe 0L
+    // edge cases: empty text is ONE empty token; double space keeps the
+    // empty middle token; null text yields no rows (inline of null)
+    val edge = Seq((1L, ""), (2L, "a  b a"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = edge.select($"doc_id", inline(TextFunctions.term_count_array($"text")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe Set((1L, "", 1L), (2L, "a", 2L), (2L, "", 1L), (2L, "b", 1L))
+  }
+
   test("shingle_hash31_array matches the composed md5-transform formulation on real docs") {
     val docs = graft.Tables.documents(spark, sf0001)
     Dedup.docShingleHashes(docs, 5)
