@@ -813,6 +813,11 @@ object SparkEntry {
     "text_keywords" -> ((s, d) =>
       TextAnalysis.keywordSalience(Tables.documents(s, d), topK = 3)),
 
+    // tokenize-to-ids against the corpus' own top-24 frequency vocab
+    // (24 < the corpus' 31 distinct tokens, so the OOV path is exercised)
+    "text_token_ids" -> ((s, d) =>
+      TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24)),
+
     // train/eval n-gram contamination: every-50th doc stands in for the
     // eval set; per train doc, distinct 5-gram overlap count and share
     "text_contamination" -> ((s, d) => {
@@ -1927,6 +1932,18 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "text_token_ids" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS id
+        |          FROM vc ORDER BY c DESC, tok ASC LIMIT 24),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tokd AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS ord, ts FROM toks),
+        |sel AS (SELECT doc_id, ord, ts[ord] AS tok FROM tokd)
+        |SELECT s.doc_id, list(coalesce(v.id, 0) ORDER BY s.ord) AS ids
+        |FROM sel s LEFT JOIN vocab v USING (tok)
+        |GROUP BY s.doc_id""".stripMargin,
 
     "text_contamination" -> ContaminationOracleSql,
 

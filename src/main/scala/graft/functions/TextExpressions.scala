@@ -377,6 +377,53 @@ case class ShingleHash31Array(child: Expression, k: Int) extends UnaryExpression
   * ids never self-pair. Output size is m(m-1)/2 over distinct ids: callers
   * MUST bound m (the band df-cut) before expanding.
   */
+/** Token-id encoding of a single-space-tokenized text against a FIXED
+  * vocabulary: token i of the text maps to `1 + indexOf(vocab)` (rank ids,
+  * 1-based), unknown tokens to `oovId`. The vocabulary rides the plan as a
+  * reference object (one broadcast per task via the serialized expression,
+  * O(1) hash lookups per token) — encoding is per-row arithmetic, so a
+  * corpus encodes inside the scan stage with ZERO shuffles; only the vocab
+  * build ([[graft.operators.TextAnalysis.tokenEncode]]) ever aggregates.
+  */
+case class VocabEncode(child: Expression, vocab: Seq[String], oovId: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "vocab_encode"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  @transient private lazy val ids: java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long](vocab.size * 2)
+    vocab.zipWithIndex.foreach { case (t, i) => m.put(t, i + 1L) }
+    m
+  }
+
+  def encode(t: UTF8String): ArrayData = {
+    val toks = t.toString.split(" ", -1)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val id = ids.get(toks(i))
+      out(i) = if (id == null) oovId else id.longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(t: Any): Any = encode(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabEncode", this, classOf[VocabEncode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-document term-frequency struct array — see [[TextOps.termCounts]]. */
 case class TermCountArray(child: Expression) extends UnaryExpression {
   override def prettyName: String = "term_count_array"
@@ -516,6 +563,8 @@ object TextFunctions {
     column(MinhashSigArray(expression(hs), numPerm))
   def array_pairs(ids: Column): Column = column(ArrayPairs(expression(ids)))
   def term_count_array(text: Column): Column = column(TermCountArray(expression(text)))
+  def vocab_encode(text: Column, vocab: Seq[String], oovId: Long = 0L): Column =
+    column(VocabEncode(expression(text), vocab, oovId))
   def simhash16(text: Column): Column = column(SimHash16(expression(text)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
 }

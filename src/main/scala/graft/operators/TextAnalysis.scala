@@ -339,6 +339,38 @@ object TextAnalysis {
           .as("cum_share"))
   }
 
+  /** Driver-memory bound for [[tokenEncode]]'s collected vocabulary — the
+    * same bounded-collect contract as IVF's centroid pull: the result is
+    * sized by the PARAMETER, never the data.
+    */
+  val MaxVocabSize: Int = 1 << 22
+
+  /** Tokenize-to-ids — the encoding step between corpus cleaning and
+    * sequence packing: each document's single-space tokens become a
+    * token-id array against the corpus' own frequency-ranked vocabulary
+    * (ids 1..vocabSize by count desc / token asc; out-of-vocab → 0).
+    *
+    * Scale shape: the vocab build aggregates already-counted per-doc
+    * (term, tf) pairs ([[graft.functions.TermCountArray]] — no raw-token
+    * explode leaves the scan stage) and takes the top slice as a bounded
+    * TakeOrdered (driver state ≤ vocabSize, fail-fast capped). Encoding is
+    * a native expression ([[graft.functions.VocabEncode]]) with the vocab
+    * riding the serialized plan — per-row hash lookups inside the scan
+    * stage, ZERO corpus shuffles.
+    */
+  def tokenEncode(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0 && vocabSize <= MaxVocabSize,
+      s"tokenEncode: vocabSize must be in 1..$MaxVocabSize — the vocab is " +
+        "collected to the driver (bounded by the parameter, not the data)")
+    val vocab = docs
+      .select(inline(graft.functions.TextFunctions.term_count_array(col("text"))))
+      .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.vocab_encode(col("text"), vocab).as("ids"))
+  }
+
   /** Fixed-size overlapping word-window chunks — the training-sample
     * construction step that turns variable-length documents into
     * model-sized pieces (the companion of [[graft.operators.Packing]],

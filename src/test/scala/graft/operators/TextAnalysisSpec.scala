@@ -102,6 +102,24 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
       (3L, "c", 1L, BigDecimal(6.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("tokenEncode: rank ids by count desc/token asc, OOV to 0, empty tokens kept") {
+    val docs = Seq((1L, "a b a c"), (2L, "a b d"), (3L, "a  b")).toDF("doc_id", "text")
+    // counts: a=5, b=3, ""=1 (double space), c=1, d=1 → vocab(3) = a,b,""
+    // (tie among "", c, d breaks token-asc: "" sorts first)
+    val got = TextAnalysis.tokenEncode(docs, vocabSize = 3)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    got shouldBe Array(
+      (1L, Seq(1L, 2L, 1L, 0L)), // c is OOV
+      (2L, Seq(1L, 2L, 0L)),     // d is OOV
+      (3L, Seq(1L, 3L, 2L)))     // the empty middle token IS vocab id 3
+    // vocab larger than the token universe: nothing is OOV
+    TextAnalysis.tokenEncode(docs, vocabSize = 100)
+      .as[(Long, Seq[Long])].collect().flatMap(_._2) should not contain 0L
+    // driver-bound guard fails fast
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.tokenEncode(docs, vocabSize = 0)
+  }
+
   test("contamination: eval member fully contaminated, disjoint doc untouched") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),            // = eval doc
