@@ -1114,6 +1114,14 @@ object SparkEntry {
           .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", capacity = 512L)),
 
+    // the materialized form: encode to ids (top-24 vocab, as
+    // text_token_ids), pack at 512, emit the actual training sequences —
+    // every row exactly 512 ids except the tail, straddling docs split
+    "pack_materialize" -> ((s, d) =>
+      operators.Packing.packMaterialize(
+        TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24),
+        "doc_id", "ids", capacity = 512L)),
+
     // reproducible epoch shuffle: contiguous 0-based training order from a
     // seed-keyed content hash, enumerated by the two-phase prefix scan
     // (no single-task global window)
@@ -2348,6 +2356,30 @@ object SparkEntry {
 
     // the single-window ORDER BY formulation IS the semantic definition the
     // distributed two-phase scan must reproduce exactly
+    "pack_materialize" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS id
+        |          FROM vc ORDER BY c DESC, tok ASC LIMIT 24),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tokd AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS ord, ts FROM toks),
+        |sel AS (SELECT doc_id, ord, ts[ord] AS tok FROM tokd),
+        |enc AS (SELECT s.doc_id, list(coalesce(v.id, 0) ORDER BY s.ord) AS ids
+        |        FROM sel s LEFT JOIN vocab v USING (tok) GROUP BY s.doc_id),
+        |t AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM enc),
+        |c AS (SELECT doc_id, ids, n, CAST(sum(n) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t),
+        |d AS (SELECT doc_id, ids, n, cum - n AS s0 FROM c WHERE n > 0),
+        |sq AS (SELECT doc_id, ids, n, s0,
+        |        unnest(generate_series(s0 // 512, (s0 + n - 1) // 512)) AS seq_id FROM d),
+        |parts AS (SELECT seq_id, s0,
+        |        list_slice(ids, CAST(greatest(seq_id*512 - s0, 0) + 1 AS BIGINT),
+        |                        CAST(least((seq_id+1)*512, s0 + n) - s0 AS BIGINT)) AS part FROM sq)
+        |SELECT seq_id, flatten(list(part ORDER BY s0)) AS ids,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(len(flatten(list(part ORDER BY s0))) AS BIGINT) AS n_tokens
+        |FROM parts GROUP BY seq_id""".stripMargin,
+
     "pack_sequences" ->
       """WITH t AS (
         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

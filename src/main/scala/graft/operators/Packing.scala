@@ -95,4 +95,56 @@ object Packing {
         expr(s"start_offset DIV ${capacity}L").as("seq_id"),
         pmod(col("start_offset"), lit(capacity)).as("seq_offset"))
   }
+
+  /** MATERIALIZE packed training sequences: where [[packSequences]] only
+    * assigns offsets, this emits the sequences themselves — one row per
+    * `seq_id` with the concatenated token-id slice of every document (or
+    * document part) that lands in it, in global id order. Every sequence
+    * holds exactly `capacity` ids except the final tail; documents
+    * straddling a cut are split across the adjacent sequences, exactly
+    * like the GPT-style token stream they model. Output:
+    * (seq_id, ids, n_docs, n_tokens) — n_docs counts the doc PARTS in the
+    * sequence.
+    *
+    * Scale shape: the offset assignment runs on the NARROW (id, count)
+    * projection through the two-phase scan above — the heavy id arrays
+    * never enter the prefix sum. The arrays then move twice, and only
+    * twice: the assignment join (keyed on the unique id) and the final
+    * regroup on seq_id — the materialization shuffle any training-shard
+    * writer pays. Per-row state is bounded by the PARAMETER everywhere: a
+    * sequence row holds ≤ `capacity` ids and ≤ `capacity` collected parts,
+    * so no key can go quadratic regardless of the corpus.
+    */
+  def packMaterialize(docs: DataFrame, idCol: String, idsCol: String,
+                      capacity: Long, buckets: Int = 1024): DataFrame = {
+    require(capacity > 0, "packMaterialize: capacity must be positive")
+    val assign = packSequences(
+      docs.select(col(idCol), size(col(idsCol)).cast(LongType).as("__graft_n")),
+      idCol, "__graft_n", capacity, buckets)
+      .select(col(idCol), col("start_offset"))
+    val parts = docs.select(col(idCol), col(idsCol))
+      .filter(size(col(idsCol)) > 0)
+      .join(assign, Seq(idCol))
+      .withColumn("__graft_end",
+        col("start_offset") + size(col(idsCol)).cast(LongType)) // exclusive
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_offset DIV ${capacity}L"),
+        expr(s"(__graft_end - 1) DIV ${capacity}L"))))
+      // this doc's ids that fall inside [seq_id*cap, (seq_id+1)*cap), as
+      // 1-based local slice bounds (start/length for Spark's slice)
+      .withColumn("__graft_ls",
+        greatest(col("seq_id") * capacity - col("start_offset"), lit(0L)) + 1L)
+      .withColumn("__graft_le",
+        least((col("seq_id") + 1L) * capacity, col("__graft_end")) - col("start_offset"))
+      .select(col("seq_id"), col("start_offset"),
+        slice(col(idsCol), col("__graft_ls").cast("int"),
+          (col("__graft_le") - col("__graft_ls") + 1L).cast("int")).as("__graft_part"))
+    parts.groupBy(col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("start_offset"), col("__graft_part"))))
+        .as("__graft_ps"))
+      .select(col("seq_id"),
+        flatten(transform(col("__graft_ps"), p => p.getField("__graft_part"))).as("ids"),
+        size(col("__graft_ps")).cast(LongType).as("n_docs"))
+      .withColumn("n_tokens", size(col("ids")).cast(LongType))
+  }
 }

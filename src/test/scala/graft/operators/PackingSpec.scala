@@ -32,6 +32,29 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe exp
   }
 
+  test("packMaterialize: exact-capacity sequences, straddling docs split across cuts") {
+    // ids streams: doc 1 = [1,2,3], doc 2 = [4,5,6,7], doc 3 = [8], doc 4 = [9,10]
+    // global stream 1..10 cut at capacity 4: [1,2,3,4] [5,6,7,8] [9,10]
+    // doc 2 straddles the first cut (parts [4] and [5,6,7])
+    val docs = Seq(
+      (1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L, 6L, 7L)),
+      (3L, Seq(8L)), (4L, Seq(9L, 10L)))
+      .toDF("doc_id", "ids")
+    val got = Packing.packMaterialize(docs, "doc_id", "ids", capacity = 4L,
+        buckets = 2)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+    got shouldBe Array(
+      (0L, Seq(1L, 2L, 3L, 4L), 2L, 4L),
+      (1L, Seq(5L, 6L, 7L, 8L), 2L, 4L),
+      (2L, Seq(9L, 10L), 1L, 2L))
+    // empty-id docs contribute nothing but do not break the stream
+    val withEmpty = docs.union(Seq((5L, Seq.empty[Long])).toDF("doc_id", "ids"))
+    Packing.packMaterialize(withEmpty, "doc_id", "ids", capacity = 4L, buckets = 2)
+      .agg(sum(org.apache.spark.sql.functions.size($"ids")).cast("long"))
+      .as[Long].head() shouldBe 10L
+  }
+
   test("packSequences: offsets are a permutation-insensitive function of the data") {
     val a = (1L to 200L).map(i => (i, (i % 13) + 1))
     val df1 = a.toDF("doc_id", "n_tokens").repartition(7)
