@@ -966,6 +966,15 @@ object SparkEntry {
         .select(col("asset_id"), col("n_bytes"), col("content_hash"),
           col("width"), col("height"), col("channels"))),
 
+    // perceptual-hash kernel over the (undecodable-text) asset carrier:
+    // the md5-derived stand-in dhash, signed-64-bit parity with DuckDB's
+    // HUGEINT nibble fold — the real-image path is spec-covered
+    // (MultimodalSpec's dHash/near-dup golden tests)
+    "mm_perceptual_hash" -> ((s, d) =>
+      operators.Multimodal.perceptualHashes(operators.Multimodal.asAssets(
+          Tables.documents(s, d), "doc_id", "text", "image"))
+        .toDF()),
+
     // ---- chess pipeline end-to-end (rows-only check: not SQL-expressible;
     // runs the real 514-game sample through bronze→silver→gold→analytics
     // when the reference checkout is present, else an empty result) -------
@@ -2236,6 +2245,19 @@ object SparkEntry {
         | CAST(1 + ((x5 % 8) * 16 + x6) * 16 + x8 AS INT) AS height,
         | CAST(3 AS INT) AS channels
         |FROM d""".stripMargin,
+
+    "mm_perceptual_hash" ->
+      """WITH t AS (SELECT doc_id AS asset_id, md5(text) AS h FROM documents),
+        |f AS (SELECT asset_id,
+        |  list_reduce(list_transform(str_split_regex(substr(h, 1, 16), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+        |    (a, b) -> a * 16 + b) AS v
+        | FROM t)
+        |SELECT asset_id,
+        | CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+        |           ELSE v END AS BIGINT) AS dhash,
+        | false AS decoded
+        |FROM f""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,
