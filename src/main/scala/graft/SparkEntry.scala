@@ -1166,6 +1166,14 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", seed = 3L, budget = 15000L)),
 
+    // per-source (domain-cap) token budget: within every source keep the
+    // seeded-hash-order head whose running total stays <= 800 tokens
+    "order_budget_per_source" -> ((s, d) =>
+      operators.TrainOrder.tokenBudgetPerSource(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", "source", seed = 5L, budget = 800L)),
+
     // quality-weighted deterministic resample: keep probability scales with
     // doc length (a stand-in quality weight), decided by content hash —
     // a pure narrow filter, stable under retry/partitioning
@@ -2461,6 +2469,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         | FROM t)
         |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000""".stripMargin,
+
+    "order_budget_per_source" ->
+      """WITH t AS (
+        | SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5('5_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 800""".stripMargin,
 
     "w4_session_window" ->
       """WITH e AS (

@@ -160,6 +160,79 @@ object TrainOrder {
       .drop("__graft_hk", "__graft_b", "__graft_cum", "__graft_off")
   }
 
+  /** Per-SOURCE token budget — the domain-cap curation step (no single
+    * domain may contribute more than `budget` tokens): within every
+    * source, keep the seeded-hash-order head of documents whose running
+    * total stays ≤ `budget`, exactly [[tokenBudgetHead]]'s keep rule
+    * applied per source. Returns every column of `docs` plus `cum_tokens`
+    * (the within-source running total including the row itself).
+    *
+    * Scale shape: the within-source prefix sums run per (source, bucket)
+    * window — no per-source single-task sort however skewed the domains.
+    * Per-source bucket offsets are prefix-summed on the driver (one row
+    * per OCCUPIED (source, bucket) pair, guarded by `maxGroups` — the
+    * [[sourceInterleave]] contract) and only LIVE pairs (offset ≤ budget)
+    * are broadcast back, so the inner join prunes every dead bucket in
+    * the scan stage: for tight budgets over a 100 TB corpus, the bulk of
+    * the data is dropped before the one exchange the cumsum needs.
+    * `idCol` unique non-null, `tokenCol` non-null, `sourceCol` non-null
+    * (fails fast); `docs` must not already contain `__graft_*` columns.
+    */
+  def tokenBudgetPerSource(docs: DataFrame, idCol: String, tokenCol: String,
+                           sourceCol: String, seed: Long, budget: Long,
+                           buckets: Int = 1024,
+                           maxGroups: Int = 1 << 20): DataFrame = {
+    require(buckets > 0, "tokenBudgetPerSource: buckets must be positive")
+    require(budget >= 0, "tokenBudgetPerSource: budget must be non-negative")
+    val hkey = conv(substring(
+      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    val width = math.max(1L, 4294967296L / buckets + 1)
+    val keyed = docs
+      .withColumn("__graft_hk", hkey)
+      .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
+
+    val totals = keyed.groupBy(col(sourceCol).cast("string").as("__graft_s"),
+        col("__graft_b"))
+      .agg(sum(col(tokenCol).cast(LongType)).as("__graft_t"),
+        count(when(col(idCol).isNull || col(tokenCol).isNull, 1)).as("__graft_bad"))
+      .collect()
+    require(totals.length <= maxGroups,
+      s"tokenBudgetPerSource: ${totals.length} (source × bucket) groups " +
+        s"exceed maxGroups=$maxGroups — lower `buckets` or raise the guard")
+    require(totals.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(3) == 0L),
+      s"tokenBudgetPerSource: null '$sourceCol', '$idCol' or '$tokenCol' " +
+        "row(s) — all must be non-null for an exact per-source budget")
+    val offsetRows = totals.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).flatMap { case (_, b, t) =>
+          // a bucket whose offset already exceeds the budget cannot
+          // contribute a kept row (cum ≥ offset > budget) — dead, pruned
+          val row = if (acc > budget) None
+                    else Some(org.apache.spark.sql.Row(s, b, acc))
+          acc += t; row
+        }
+      }
+    val offsets = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*),
+      StructType(Seq(StructField("__graft_s", org.apache.spark.sql.types.StringType),
+        StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
+
+    val wIn = Window.partitionBy(col(sourceCol), col("__graft_b"))
+      .orderBy(col("__graft_hk"), col(idCol))
+    keyed
+      .join(broadcast(offsets), // scan-stage prune: dead buckets never shuffle
+        col(sourceCol).cast("string") === col("__graft_s") &&
+          keyed("__graft_b") === offsets("__graft_b"))
+      .drop(offsets("__graft_b")).drop("__graft_s")
+      .repartition(col(sourceCol), col("__graft_b"))
+      .withColumn("__graft_cum", sum(col(tokenCol).cast(LongType)).over(wIn))
+      .withColumn("cum_tokens", col("__graft_off") + col("__graft_cum"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__graft_hk", "__graft_b", "__graft_cum", "__graft_off")
+  }
+
   /** Deterministic source-interleaved training order: every document gets
     * `source_rank` (its seeded within-source rank) and `interleave_pos` =
     * source_rank × #sources + source_index, so reading in `interleave_pos`

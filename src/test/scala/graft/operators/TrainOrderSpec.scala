@@ -58,6 +58,32 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("tokenBudgetPerSource matches the per-source single-window definition") {
+    val toks = docs.withColumn("n_tokens", ($"doc_id" % 30 + 1).cast("long"))
+    val h = conv(substring(md5(concat_ws("_", lit(5L), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val oracle = toks
+      .withColumn("cum", sum($"n_tokens").over(
+        Window.partitionBy($"source").orderBy(h, $"doc_id")))
+      .filter($"cum" <= 300L)
+      .select($"doc_id", $"cum".cast("long")).as[(Long, Long)].collect().toMap
+    oracle should not be empty
+    oracle.size should be < 200 // the cap actually cuts
+    for (b <- Seq(4, 64, 1000)) { // dead-bucket prune exercised at several widths
+      val got = TrainOrder.tokenBudgetPerSource(toks, "doc_id", "n_tokens",
+          "source", seed = 5L, budget = 300L, buckets = b)
+        .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+      got shouldBe oracle
+    }
+    // every source is individually capped, and each contributes something
+    val bySrc = TrainOrder.tokenBudgetPerSource(toks, "doc_id", "n_tokens",
+        "source", seed = 5L, budget = 300L)
+      .groupBy($"source").agg(max($"cum_tokens").as("m"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    bySrc.length shouldBe 4
+    bySrc.foreach { case (_, m, n) => m should be <= 300L; n should be > 0L }
+  }
+
   test("shardAssignments: round-robin along the order → equal sizes, unbiased") {
     val got = TrainOrder.shardAssignments(docs, "doc_id", seed = 5L, numShards = 8)
       .select($"doc_id", $"shuffle_pos", $"shard").as[(Long, Long, Long)].collect()
