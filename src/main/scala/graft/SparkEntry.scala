@@ -816,7 +816,8 @@ object SparkEntry {
     // tokenize-to-ids against the corpus' own top-24 frequency vocab
     // (24 < the corpus' 31 distinct tokens, so the OOV path is exercised)
     "text_token_ids" -> ((s, d) =>
-      TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24)),
+      TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24)
+        .select(col("doc_id"), col("ids"))),
 
     // train/eval n-gram contamination: every-50th doc stands in for the
     // eval set; per train doc, distinct 5-gram overlap count and share
@@ -1128,8 +1129,13 @@ object SparkEntry {
     // every row exactly 512 ids except the tail, straddling docs split
     "pack_materialize" -> ((s, d) =>
       operators.Packing.packMaterialize(
-        TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24),
-        "doc_id", "ids", capacity = 512L)),
+        TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24)
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id", "ids", capacity = 512L,
+        // the cheap whitespace count equals size(ids) by construction, so
+        // the assignment branches never evaluate the encoder (asserted
+        // row-by-row in the payload branch)
+        tokenCol = Some("n_tokens"))),
 
     // reproducible epoch shuffle: contiguous 0-based training order from a
     // seed-keyed content hash, enumerated by the two-phase prefix scan

@@ -116,13 +116,29 @@ object Packing {
     * so no key can go quadratic regardless of the corpus.
     */
   def packMaterialize(docs: DataFrame, idCol: String, idsCol: String,
-                      capacity: Long, buckets: Int = 1024): DataFrame = {
+                      capacity: Long, buckets: Int = 1024,
+                      tokenCol: Option[String] = None): DataFrame = {
     require(capacity > 0, "packMaterialize: capacity must be positive")
+    // the assignment path only needs SIZES. When the ids column is an
+    // expensive expression (e.g. vocab_encode over text), a caller-supplied
+    // count column keeps the two assignment branches (bucket cumsum +
+    // totals) from evaluating the encoder at all — it runs exactly once,
+    // in the payload branch below. The contract (tokenCol == size(ids),
+    // row by row) is asserted IN that branch, where both sides are free.
+    val nExpr = tokenCol.map(col(_).cast(LongType))
+      .getOrElse(size(col(idsCol)).cast(LongType))
     val assign = packSequences(
-      docs.select(col(idCol), size(col(idsCol)).cast(LongType).as("__graft_n")),
+      docs.select(col(idCol), nExpr.as("__graft_n")),
       idCol, "__graft_n", capacity, buckets)
       .select(col(idCol), col("start_offset"))
-    val parts = docs.select(col(idCol), col(idsCol))
+    val checked = tokenCol match {
+      case Some(n) => docs.filter(assert_true(
+          size(col(idsCol)).cast(LongType) === col(n).cast(LongType),
+          lit(s"packMaterialize: '$n' must equal size('$idsCol') row by row"))
+        .isNull)
+      case None => docs
+    }
+    val parts = checked.select(col(idCol), col(idsCol))
       .filter(size(col(idsCol)) > 0)
       .join(assign, Seq(idCol))
       .withColumn("__graft_end",

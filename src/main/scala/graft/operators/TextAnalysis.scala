@@ -349,6 +349,9 @@ object TextAnalysis {
     * sequence packing: each document's single-space tokens become a
     * token-id array against the corpus' own frequency-ranked vocabulary
     * (ids 1..vocabSize by count desc / token asc; out-of-vocab → 0).
+    * Returns every column of `docs` plus `ids`, so downstream stages
+    * (e.g. [[graft.operators.Packing.packMaterialize]]) can ride cheap
+    * sibling columns instead of re-evaluating the encoder.
     *
     * Scale shape: the vocab build aggregates already-counted per-doc
     * (term, tf) pairs ([[graft.functions.TermCountArray]] — no raw-token
@@ -367,8 +370,8 @@ object TextAnalysis {
       .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
       .select(col("term")).collect().map(_.getString(0)).toSeq
-    docs.select(col("doc_id"),
-      graft.functions.TextFunctions.vocab_encode(col("text"), vocab).as("ids"))
+    docs.withColumn("ids",
+      graft.functions.TextFunctions.vocab_encode(col("text"), vocab))
   }
 
   /** Fixed-size overlapping word-window chunks — the training-sample

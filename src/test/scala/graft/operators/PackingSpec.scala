@@ -53,6 +53,20 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
     Packing.packMaterialize(withEmpty, "doc_id", "ids", capacity = 4L, buckets = 2)
       .agg(sum(org.apache.spark.sql.functions.size($"ids")).cast("long"))
       .as[Long].head() shouldBe 10L
+    // tokenCol fast path: identical output off the precomputed counts...
+    val counted = docs.withColumn("n",
+      org.apache.spark.sql.functions.size($"ids").cast("long"))
+    Packing.packMaterialize(counted, "doc_id", "ids", capacity = 4L,
+        buckets = 2, tokenCol = Some("n"))
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+      .toSeq shouldBe got.toSeq
+    // ...and a count that lies about the sizes fails fast, not silently
+    val lying = docs.withColumn("n",
+      org.apache.spark.sql.functions.size($"ids").cast("long") + 1L)
+    an[Exception] should be thrownBy
+      Packing.packMaterialize(lying, "doc_id", "ids", capacity = 4L,
+          buckets = 2, tokenCol = Some("n")).collect()
   }
 
   test("packSequences: offsets are a permutation-insensitive function of the data") {

@@ -107,6 +107,7 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     // counts: a=5, b=3, ""=1 (double space), c=1, d=1 → vocab(3) = a,b,""
     // (tie among "", c, d breaks token-asc: "" sorts first)
     val got = TextAnalysis.tokenEncode(docs, vocabSize = 3)
+      .select($"doc_id", $"ids")
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
     got shouldBe Array(
       (1L, Seq(1L, 2L, 1L, 0L)), // c is OOV
@@ -114,6 +115,7 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
       (3L, Seq(1L, 3L, 2L)))     // the empty middle token IS vocab id 3
     // vocab larger than the token universe: nothing is OOV
     TextAnalysis.tokenEncode(docs, vocabSize = 100)
+      .select($"doc_id", $"ids")
       .as[(Long, Seq[Long])].collect().flatMap(_._2) should not contain 0L
     // driver-bound guard fails fast
     an[IllegalArgumentException] should be thrownBy
