@@ -379,13 +379,17 @@ case class ShingleHash31Array(child: Expression, k: Int) extends UnaryExpression
   */
 /** Token-id encoding of a single-space-tokenized text against a FIXED
   * vocabulary: token i of the text maps to `1 + indexOf(vocab)` (rank ids,
-  * 1-based), unknown tokens to `oovId`. The vocabulary rides the plan as a
-  * reference object (one broadcast per task via the serialized expression,
-  * O(1) hash lookups per token) — encoding is per-row arithmetic, so a
-  * corpus encodes inside the scan stage with ZERO shuffles; only the vocab
-  * build ([[graft.operators.TextAnalysis.tokenEncode]]) ever aggregates.
+  * 1-based), unknown tokens to `oovId`. The vocabulary ships as a REAL
+  * Spark broadcast — the serialized expression carries only the handle, so
+  * the strings deserialize once per executor and the lookup map is built
+  * once per executor ([[VocabEncode.mapFor]]), not per task. Encoding is
+  * per-row arithmetic (O(1) hash lookups per token), so a corpus encodes
+  * inside the scan stage with ZERO shuffles; only the vocab build
+  * ([[graft.operators.TextAnalysis.tokenEncode]]) ever aggregates.
   */
-case class VocabEncode(child: Expression, vocab: Seq[String], oovId: Long)
+case class VocabEncode(child: Expression,
+                       vocab: org.apache.spark.broadcast.Broadcast[Array[String]],
+                       oovId: Long)
     extends UnaryExpression {
   override def prettyName: String = "vocab_encode"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -396,11 +400,11 @@ case class VocabEncode(child: Expression, vocab: Seq[String], oovId: Long)
         s"$prettyName requires a string argument")
     }
 
-  @transient private lazy val ids: java.util.HashMap[String, Long] = {
-    val m = new java.util.HashMap[String, Long](vocab.size * 2)
-    vocab.zipWithIndex.foreach { case (t, i) => m.put(t, i + 1L) }
-    m
-  }
+  // built ONCE per executor (keyed by broadcast id), not per task: the
+  // expression deserializes per task, but it carries only the broadcast
+  // HANDLE — the vocab strings and the lookup map are shared executor-wide
+  @transient private lazy val ids: java.util.HashMap[String, java.lang.Long] =
+    VocabEncode.mapFor(vocab)
 
   def encode(t: UTF8String): ArrayData = {
     val toks = t.toString.split(" ", -1)
@@ -408,7 +412,9 @@ case class VocabEncode(child: Expression, vocab: Seq[String], oovId: Long)
     var i = 0
     while (i < toks.length) {
       val id = ids.get(toks(i))
-      out(i) = if (id == null) oovId else id.longValue()
+      // boxed lookup: a primitive-typed map would silently unbox a missing
+      // key's null to 0 and make the OOV branch unreachable
+      out(i) = if (id eq null) oovId else id.longValue()
       i += 1
     }
     new GenericArrayData(out)
@@ -422,6 +428,23 @@ case class VocabEncode(child: Expression, vocab: Seq[String], oovId: Long)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object VocabEncode {
+  // executor-wide cache of built lookup maps, one per broadcast vocab —
+  // tasks share the map instead of re-inserting up to MaxVocabSize entries
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashMap[String, java.lang.Long]]()
+
+  private[functions] def mapFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[String]]): java.util.HashMap[String, java.lang.Long] =
+    built.computeIfAbsent(bc.id, _ => {
+      val v = bc.value
+      val m = new java.util.HashMap[String, java.lang.Long](v.length * 2)
+      var i = 0
+      while (i < v.length) { m.put(v(i), java.lang.Long.valueOf(i + 1L)); i += 1 }
+      m
+    })
 }
 
 /** Per-document term-frequency struct array — see [[TextOps.termCounts]]. */
@@ -563,8 +586,10 @@ object TextFunctions {
     column(MinhashSigArray(expression(hs), numPerm))
   def array_pairs(ids: Column): Column = column(ArrayPairs(expression(ids)))
   def term_count_array(text: Column): Column = column(TermCountArray(expression(text)))
-  def vocab_encode(text: Column, vocab: Seq[String], oovId: Long = 0L): Column =
-    column(VocabEncode(expression(text), vocab, oovId))
+  def vocab_encode(text: Column, vocab: Seq[String], oovId: Long = 0L): Column = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    column(VocabEncode(expression(text), sc.broadcast(vocab.toArray), oovId))
+  }
   def simhash16(text: Column): Column = column(SimHash16(expression(text)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -119,30 +119,39 @@ object Packing {
                       capacity: Long, buckets: Int = 1024,
                       tokenCol: Option[String] = None): DataFrame = {
     require(capacity > 0, "packMaterialize: capacity must be positive")
-    // the assignment path only needs SIZES. When the ids column is an
+    // Null-safe size: legacy (non-ANSI) Spark evaluates size(null) = -1,
+    // which would sail through packSequences' null-contract check and
+    // silently shift every later offset — mapping null ids to null n
+    // fails fast with the contract error in BOTH modes.
+    def sizeOf: Column =
+      when(col(idsCol).isNotNull, size(col(idsCol)).cast(LongType))
+    // The assignment path only needs SIZES. When the ids column is an
     // expensive expression (e.g. vocab_encode over text), a caller-supplied
-    // count column keeps the two assignment branches (bucket cumsum +
-    // totals) from evaluating the encoder at all — it runs exactly once,
-    // in the payload branch below. The contract (tokenCol == size(ids),
-    // row by row) is asserted IN that branch, where both sides are free.
-    val nExpr = tokenCol.map(col(_).cast(LongType))
-      .getOrElse(size(col(idsCol)).cast(LongType))
+    // count column keeps the assignment branches (bucket cumsum + totals)
+    // AND the payload-side filter/bounds from evaluating the encoder: it
+    // then runs exactly once, in the final slice projection (whose size
+    // check shares the one evaluation via codegen subexpression
+    // elimination). The tokenCol == size(ids) contract is asserted there,
+    // row by row — a lying count fails the stage, never corrupts slices.
+    def nExpr: Column = tokenCol.map(col(_).cast(LongType)).getOrElse(sizeOf)
     val assign = packSequences(
       docs.select(col(idCol), nExpr.as("__graft_n")),
       idCol, "__graft_n", capacity, buckets)
       .select(col(idCol), col("start_offset"))
-    val checked = tokenCol match {
-      case Some(n) => docs.filter(assert_true(
-          size(col(idsCol)).cast(LongType) === col(n).cast(LongType),
-          lit(s"packMaterialize: '$n' must equal size('$idsCol') row by row"))
-        .isNull)
-      case None => docs
+    val sliced = slice(col(idsCol), col("__graft_ls").cast("int"),
+      (col("__graft_le") - col("__graft_ls") + 1L).cast("int"))
+    val partExpr = tokenCol match {
+      case Some(n) => when(size(col(idsCol)).cast(LongType) === col("__graft_nn"),
+          sliced)
+        .otherwise(raise_error(lit(
+          s"packMaterialize: '$n' must equal size('$idsCol') row by row")))
+      case None => sliced
     }
-    val parts = checked.select(col(idCol), col(idsCol))
-      .filter(size(col(idsCol)) > 0)
+    val parts = docs.select(col(idCol), col(idsCol), nExpr.as("__graft_nn"))
+      .filter(col("__graft_nn") > 0)
       .join(assign, Seq(idCol))
       .withColumn("__graft_end",
-        col("start_offset") + size(col(idsCol)).cast(LongType)) // exclusive
+        col("start_offset") + col("__graft_nn")) // exclusive
       .withColumn("seq_id", explode(sequence(
         expr(s"start_offset DIV ${capacity}L"),
         expr(s"(__graft_end - 1) DIV ${capacity}L"))))
@@ -152,9 +161,7 @@ object Packing {
         greatest(col("seq_id") * capacity - col("start_offset"), lit(0L)) + 1L)
       .withColumn("__graft_le",
         least((col("seq_id") + 1L) * capacity, col("__graft_end")) - col("start_offset"))
-      .select(col("seq_id"), col("start_offset"),
-        slice(col(idsCol), col("__graft_ls").cast("int"),
-          (col("__graft_le") - col("__graft_ls") + 1L).cast("int")).as("__graft_part"))
+      .select(col("seq_id"), col("start_offset"), partExpr.as("__graft_part"))
     parts.groupBy(col("seq_id"))
       .agg(sort_array(collect_list(struct(col("start_offset"), col("__graft_part"))))
         .as("__graft_ps"))

@@ -35,6 +35,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object TrainOrder {
 
+  /** THE determinism contract of this family, in one place: the 32-bit
+    * md5 prefix of `"<seed>_<id>"` as a long — the content-derived sort
+    * key every operator here ([[epochShuffle]], [[tokenBudgetHead]],
+    * [[tokenBudgetPerSource]], [[sourceInterleave]]) and every DuckDB
+    * oracle re-derivation agrees on. `concat` (NOT `concat_ws`, which
+    * skips nulls): a null id must propagate to a null hash so each
+    * operator's contract check can see it.
+    */
+  private def seededHashKey(idCol: String, seed: Long) =
+    conv(substring(
+      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+
+  /** Fixed-width slice of the 32-bit hash range per bucket (ceil, so the
+    * max hash still lands in the last bucket) — order-aligned buckets
+    * with no data-dependent boundaries.
+    */
+  private def bucketWidth(buckets: Int): Long =
+    math.max(1L, 4294967296L / buckets + 1)
+
   /** Every column of `docs` plus `shuffle_pos` — the document's 0-based
     * position in the seed-keyed pseudo-random order. `idCol` must be
     * unique and non-null (fails fast otherwise; a null id has no hash and
@@ -45,12 +65,8 @@ object TrainOrder {
   def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
                    buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "epochShuffle: buckets must be positive")
-    // concat (NOT concat_ws, which skips nulls): a null id must propagate
-    // to a null hash so the contract check below can see it
-    val hkey = conv(substring(
-      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast(LongType)
-    val width = math.max(1L, 4294967296L / buckets + 1)
+    val hkey = seededHashKey(idCol, seed)
+    val width = bucketWidth(buckets)
     val keyed = docs
       .withColumn("__graft_hk", hkey)
       .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
@@ -117,10 +133,8 @@ object TrainOrder {
                       seed: Long, budget: Long, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "tokenBudgetHead: buckets must be positive")
     require(budget >= 0, "tokenBudgetHead: budget must be non-negative")
-    val hkey = conv(substring(
-      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast(LongType)
-    val width = math.max(1L, 4294967296L / buckets + 1)
+    val hkey = seededHashKey(idCol, seed)
+    val width = bucketWidth(buckets)
     val keyed = docs
       .withColumn("__graft_hk", hkey)
       .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
@@ -184,10 +198,8 @@ object TrainOrder {
                            maxGroups: Int = 1 << 20): DataFrame = {
     require(buckets > 0, "tokenBudgetPerSource: buckets must be positive")
     require(budget >= 0, "tokenBudgetPerSource: budget must be non-negative")
-    val hkey = conv(substring(
-      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast(LongType)
-    val width = math.max(1L, 4294967296L / buckets + 1)
+    val hkey = seededHashKey(idCol, seed)
+    val width = bucketWidth(buckets)
     val keyed = docs
       .withColumn("__graft_hk", hkey)
       .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
@@ -254,10 +266,8 @@ object TrainOrder {
                        seed: Long, buckets: Int = 1024,
                        maxGroups: Int = 1 << 20): DataFrame = {
     require(buckets > 0, "sourceInterleave: buckets must be positive")
-    val hkey = conv(substring(
-      md5(concat(lit(s"${seed}_"), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast(LongType)
-    val width = math.max(1L, 4294967296L / buckets + 1)
+    val hkey = seededHashKey(idCol, seed)
+    val width = bucketWidth(buckets)
     val keyed = docs
       .withColumn("__graft_hk", hkey)
       .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))

@@ -54,6 +54,13 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe Set((1L, "", 1L), (2L, "a", 2L), (2L, "", 1L), (2L, "b", 1L))
   }
 
+  test("vocab_encode honors a non-zero oovId (boxed lookup, not unboxed-null-to-0)") {
+    val got = Seq("a b zzz a").toDF("text")
+      .select(TextFunctions.vocab_encode($"text", Seq("a", "b"), oovId = -7L))
+      .as[Seq[Long]].head()
+    got shouldBe Seq(1L, 2L, -7L, 1L)
+  }
+
   test("shingle_hash31_array matches the composed md5-transform formulation on real docs") {
     val docs = graft.Tables.documents(spark, sf0001)
     Dedup.docShingleHashes(docs, 5)
