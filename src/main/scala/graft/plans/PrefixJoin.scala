@@ -159,6 +159,7 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
       BoundedLevenshtein(args.head, args(1),
         litInt(args(2), "graft_bounded_levenshtein", "maxDist"))
     }),
+    ("graft_term_counts", "(text)", 1, { args: Seq[Expression] => TermCountArray(args.head) }),
     ("graft_vec_dot", "(vec, vec)", 2, { args: Seq[Expression] => DotProduct(args.head, args(1)) }),
     ("graft_vec_cosine", "(vec, vec)", 2, { args: Seq[Expression] => CosineSimilarity(args.head, args(1)) }),
     ("graft_vec_norm", "(vec)", 1, { args: Seq[Expression] => VectorNorm(args.head) }))

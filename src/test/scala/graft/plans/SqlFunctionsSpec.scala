@@ -35,6 +35,16 @@ class SqlFunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     sql.map(_.toSeq) shouldBe api.map(_.toSeq)
   }
 
+  test("term counting via SQL equals the Column API") {
+    docs
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    val api = docs.select($"doc_id", term_count_array($"text").as("tc")).collect()
+    val sql = spark.sql(
+      "SELECT doc_id, graft_term_counts(text) AS tc FROM sqlfn_docs").collect()
+    sql.map(_.toSeq) shouldBe api.map(_.toSeq)
+  }
+
   test("minhash signature and bounded levenshtein via SQL") {
     docs
     val sig = spark.sql(
