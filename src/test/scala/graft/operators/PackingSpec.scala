@@ -69,6 +69,28 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
           buckets = 2, tokenCol = Some("n")).collect()
   }
 
+  test("packMaterialize round-trip: concatenated sequences reconstruct the id-order stream") {
+    // irregular lengths (including empty and exactly-capacity docs), sparse
+    // unsorted ids — flattening the sequences in seq_id order must equal
+    // the doc-id-order concatenation of all ids, with every sequence except
+    // the last holding exactly `capacity`
+    val rng = new scala.util.Random(42)
+    val rows = Seq.tabulate(60) { i =>
+      val id = i * 37L % 1000L // sparse, non-contiguous
+      (id, Seq.fill(rng.nextInt(12))(rng.nextLong()))
+    }
+    val docs = rows.toDF("doc_id", "ids")
+    val out = Packing.packMaterialize(docs, "doc_id", "ids", capacity = 7L,
+        buckets = 8)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val stream = rows.sortBy(_._1).flatMap(_._2)
+    out.flatMap(_._2).toSeq shouldBe stream
+    out.map(_._1).toSeq shouldBe out.indices.map(_.toLong) // contiguous seq ids
+    out.dropRight(1).foreach(_._2.length shouldBe 7)
+    out.last._2.length should be <= 7
+  }
+
   test("packSequences: offsets are a permutation-insensitive function of the data") {
     val a = (1L to 200L).map(i => (i, (i % 13) + 1))
     val df1 = a.toDF("doc_id", "n_tokens").repartition(7)
