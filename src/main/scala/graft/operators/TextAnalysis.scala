@@ -451,14 +451,17 @@ object TextAnalysis {
     // distinct (term, tf) pairs leave the stage.
     val tf = docs.select(col("doc_id"),
       inline(graft.functions.TextFunctions.term_count_array(col("text"))))
-    // df off ONE explicit term exchange, skew-safely: both the df aggregate
-    // and the join read the same repartition(term) subtree (ReuseExchange
-    // collapses them; shuffle_hash pins the join so AQE's broadcast
-    // conversion can't break the reuse), and the already-partitioned
-    // children add no further exchange. A per-term unbounded WINDOW would
-    // read df off the same exchange but buffer+sort every row of a hot
-    // term (a stopword ≈ one row per document) in a single window task —
-    // the hash join streams the probe side instead.
+    // df skew-safely: the df aggregate and the join both derive from the
+    // same repartition(term) subtree; column pruning then pushes a
+    // term-only projection below the df branch's exchange (defeating
+    // exchange reuse, but shipping ONE pruned column, partial-agg'd —
+    // plan-audited), the join is pinned shuffle_hash on the same key so
+    // the already-partitioned children add no third corpus exchange, and
+    // Spark's WindowGroupLimit cuts the rank window to partial top-k
+    // before the doc exchange. A per-term unbounded WINDOW would save the
+    // narrow df exchange but buffer+sort every row of a hot term (a
+    // stopword ≈ one row per document) in a single window task — the hash
+    // join streams the probe side instead.
     val n = docs.agg(count(lit(1)).as("__n"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)

@@ -108,6 +108,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("text_token_ids: the corpus encodes with ZERO exchanges, one encoder eval") {
+    val p = plan("text_token_ids")
+    p should not include "Exchange"
+    "vocab_encode".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("text_keywords: df rides a streamed hash join, never a per-term window") {
+    val p = plan("text_keywords")
+    // a hot term must stream through the join probe, not buffer+sort in
+    // one window task — the only window is the per-doc rank
+    p should not include "windowspecdefinition(term"
+    p should not include "SortMergeJoin"
+  }
+
+  test("order_budget_per_source: one corpus exchange; offsets broadcast") {
+    val p = plan("order_budget_per_source")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include("BroadcastExchange")
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("pack_materialize: the encoder runs exactly once, in the payload branch") {
+    val p = plan("pack_materialize")
+    "vocab_encode".r.findAllIn(p).length shouldBe 1
+    p should not include "Exchange rangepartitioning" // no global sort anywhere
+    p should not include "SortMergeJoin"
+  }
+
   test("jaccard: df-cut and self-join are co-located — no broadcast, no array re-join") {
     val p = plan("dedup_ngram_jaccard")
     // the over-cap anti-join and the posting self-join both ride the one
