@@ -736,6 +736,13 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentFromStats(sharedPairStats(s, d), threshold = 0.9)),
 
+    // threshold calibration curve: pairs flagged per candidate jaccard
+    // cutoff, zero-retention thresholds included. Rides the family's
+    // persisted pair-stats hub — no posting self-join re-run
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(sharedPairStats(s, d),
+        thresholds = (1 to 9).map(_ / 10.0))),
+
     // near-dup provenance matrix: pair counts by (unordered) source pair —
     // the read-out that tells a curation pipeline WHICH crawls/snapshots
     // duplicate each other (within-source boilerplate vs cross-source
@@ -1623,6 +1630,18 @@ object SparkEntry {
          | inter / (sa.n + sb.n - inter) AS jaccard
          |FROM pr JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
          |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    // same candidate universe; grid LEFT JOIN so zero-retention cutoffs
+    // report 0 instead of vanishing
+    "dedup_threshold_sweep" ->
+      s"""WITH $ShinglesCte,
+         |$JaccardPrCte,
+         |jac AS (SELECT inter / (sa.n + sb.n - inter) AS jaccard
+         |        FROM pr JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db),
+         |grid AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+         |SELECT g.threshold, CAST(count(j.jaccard) AS BIGINT) AS n_pairs
+         |FROM grid g LEFT JOIN jac j ON j.jaccard >= g.threshold
+         |GROUP BY g.threshold""".stripMargin,
 
     "dedup_clusters" -> ClustersOracleSql,
 

@@ -340,6 +340,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Jaccard-threshold retention sweep over a (caller-shared, ideally
+    * persisted) [[pairStatsFromArr]] table: for each candidate threshold,
+    * how many pairs a dedup run at that cutoff would flag — the tuning
+    * curve consulted before committing a corpus-wide dedup to one number.
+    * Thresholds that flag nothing are reported as 0, not dropped (the
+    * [[TextAnalysis.qualityThresholdSweep]] contract): a calibration
+    * consumer must SEE that a cutoff kills the candidate set.
+    *
+    * Scale shape: one narrow pass over the already-materialized pair
+    * stats — each pair joins the broadcast grid once per threshold it
+    * clears (grid-size-bounded fan-out), then a grid-size aggregate. The
+    * posting self-join is NOT re-run; candidates below the family's
+    * df-cut floor are absent by construction, so the curve reads over the
+    * same candidate universe every scorer shares.
+    */
+  def thresholdSweep(stats: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: thresholds must be non-empty")
+    val grid = stats.sparkSession
+      .createDataset(thresholds)(org.apache.spark.sql.Encoders.scalaDouble)
+      .toDF("threshold")
+    stats
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")).cast("double"))
+      .join(broadcast(grid), col("jaccard") >= col("threshold"), "right")
+      .groupBy(col("threshold"))
+      .agg(count(col("jaccard")).as("n_pairs")) // count skips the no-pair nulls
+  }
+
   /** Overlap-coefficient (containment) near-dup pairs over the same
     * posting subtree: inter / min(|A|, |B|) — the similarity that catches
     * a small document substantially CONTAINED in a large one (quote

@@ -57,6 +57,20 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     Dedup.jaccardPairsFromArr(arr, threshold = 0.6).count() shouldBe 0L
   }
 
+  test("thresholdSweep: monotone retention curve, zero-retention cutoffs reported") {
+    // doc 11 ⊃ doc 12 with jaccard 4/8 = 0.5; doc 13 unrelated → exactly
+    // one candidate pair, visible at t ≤ 0.5, gone (but REPORTED 0) above
+    val corpus = Seq(
+      (11L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (12L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (13L, "entirely unrelated content words here with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.pairStatsFromArr(Dedup.docShingleHashes(corpus, k = 5))
+    val got = Dedup.thresholdSweep(stats, thresholds = Seq(0.2, 0.5, 0.8))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    got shouldBe Map(0.2 -> 1L, 0.5 -> 1L, 0.8 -> 0L)
+  }
+
   test("minhashLshDedup candidates find high-jaccard pairs (exact docs always)") {
     val out = Dedup.minhashLshDedup(docs, k = 3, numPerm = 16, bands = 8, threshold = 0.9)
       .collect()
