@@ -698,6 +698,12 @@ object SparkEntry {
     "dedup_dupngram" -> ((s, d) =>
       Dedup.dupNgramStats(sharedShingleArr(s, d))),
 
+    // the matching REMOVAL pass: duplicated 5-word spans cut everywhere
+    // except their earliest corpus occurrence, texts rebuilt (positional
+    // shingles, so it hashes fresh rather than riding the distinct-set hub)
+    "dedup_span_cut" -> ((s, d) =>
+      Dedup.spanCut(Tables.documents(s, d), l = 5)),
+
     // SemDeDup (Abbas et al. 2023): same deterministic first-32-centroid /
     // argmax-cell convention as ann_ivf_assign, near-identical vectors
     // pruned within cells only — nlist bounded self-joins, no all-pairs
@@ -1716,6 +1722,37 @@ object SparkEntry {
          |   AS dup_share
          |FROM hsd h JOIN df ON h.h31 = df.h31
          |GROUP BY h.doc_id""".stripMargin,
+
+    // the removal pass re-derived on POSITIONAL (non-distinct) 5-grams:
+    // identical md5-prefix hash, canonical = min (doc_id, pos) per hash
+    // via row_number, duplicate occurrences expand to their <= 5 covered
+    // word positions, survivors re-joined in order
+    "dedup_span_cut" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |oc0 AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS i, w
+        |        FROM t WHERE len(w) >= 5),
+        |occ AS (SELECT doc_id, i - 1 AS pos,
+        |         ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 8))::BIGINT
+        |           % 2147483647 AS h
+        |        FROM oc0),
+        |rk AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |        count(*) OVER (PARTITION BY h) AS cnt
+        |       FROM occ),
+        |dup AS (SELECT doc_id, pos FROM rk WHERE cnt > 1 AND rn > 1),
+        |cov0 AS (SELECT doc_id, pos, unnest(range(0, 5)) AS o FROM dup),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM cov0),
+        |wd0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pi, w FROM t),
+        |words AS (SELECT doc_id, pi - 1 AS p, w[pi] AS word FROM wd0),
+        |kept AS (SELECT wo.doc_id, wo.p, wo.word FROM words wo
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                           WHERE c.doc_id = wo.doc_id AND c.p = wo.p)),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text_clean,
+        |         count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        | CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_cut
+        |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
 
     // identical derivation to ann_ivf_assign's cell map, then keep-lowest-id
     // within each cell at round(cos,6) >= 0.4

@@ -8,7 +8,14 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.create()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop: GRAFT_VERIFY_ONLY=q1,q2 restricts the dump to named
+    // queries; the driver leaves it unset and dumps everything
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

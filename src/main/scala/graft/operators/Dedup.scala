@@ -987,4 +987,69 @@ object Dedup {
         (col("n_dup_ngrams").cast("double") / col("n_ngrams").cast("double"))
           .as("dup_share"))
   }
+
+  /** Repeated-span CUT — the removal pass of exact-substring dedup (Lee et
+    * al. 2022; [[dupNgramStats]] is the matching detection pass): every
+    * occurrence of an l-word span that appears more than once in the
+    * corpus is cut from the rebuilt text, EXCEPT the canonical occurrence
+    * — the lexicographically first `(doc_id, position)` holding the span —
+    * so exactly one copy of every duplicated span survives corpus-wide
+    * (the suffix-array paper's keep-one contract, realized with a
+    * deterministic earliest-occurrence rule instead of suffix order).
+    * Within-doc repeats are cut by the same rule. A word position is
+    * removed iff ANY duplicate occurrence covers it; surviving words are
+    * re-joined in order. Returns (doc_id, text_clean, n_cut) for every
+    * input document (fully-cut docs keep a row with empty text).
+    *
+    * Scale shape: occurrences are (long doc, long pos, long hash) triples
+    * — the shuffle never carries span strings; span stats are ONE
+    * map-side-combining aggregate (skew-safe partial aggregation even on a
+    * corpus-stopword span); the join back is hash-partitioned on the span
+    * key with exactly one build row per key, so a hot span skews partition
+    * SIZE only (AQE splits it), never the output; covered positions
+    * expand ≤ l rows per duplicate occurrence before a distinct on
+    * (doc, position). The rebuild groups by doc — per-task state is one
+    * document's words, the same bound as any per-doc window.
+    *
+    * Uses positional (non-distinct) shingles, so it cannot ride the dedup
+    * family's distinct-set hub; the hash function IS the family's
+    * [[shingleHash31]], which the DuckDB oracle re-derives verbatim (a
+    * cross-span hash collision merges the same occurrence groups in both
+    * engines).
+    */
+  def spanCut(docs: DataFrame, l: Int): DataFrame = {
+    require(l >= 1, "spanCut: span length must be >= 1")
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.shinglesAll(col("text"), l)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        shingleHash31(col("s")).as("h"))
+    val stats = occ.groupBy("h")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("__canon"))
+      .filter(col("__cnt") > 1)
+    val dup = occ.join(stats.select(col("h"), col("__canon")), Seq("h"))
+      .filter(col("doc_id") =!= col("__canon").getField("doc_id") ||
+        col("pos") =!= col("__canon").getField("pos"))
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("p"))
+      .distinct()
+    val words = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("w"))
+    val rebuilt = words.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          x => x.getField("w")), " ").as("text_clean"),
+        count(lit(1)).as("__n_kept"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("__n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("__n_words") - coalesce(col("__n_kept"), lit(0L))).as("n_cut"))
+  }
 }

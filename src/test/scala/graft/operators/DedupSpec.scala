@@ -359,6 +359,37 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe Array((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0))
   }
 
+  test("spanCut: duplicated spans cut everywhere but their earliest occurrence") {
+    val c = Seq(
+      (1L, "a b c d"),   // holds the canonical "a b" (pos 0) and "c d" (pos 2)
+      (2L, "x a b y"),   // its "a b" @1 is a duplicate -> words 1,2 cut
+      (3L, "p q"),       // unique span, untouched
+      (4L, "c d"),       // whole doc duplicates doc 1's span -> fully cut
+      (5L, "m n m n m"), // within-doc repeats: "m n"@2 and "n m"@3 cover 2,3,4
+      (6L, "z")          // shorter than l: no spans, unchanged
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanCut(c, l = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    got shouldBe Array(
+      (1L, "a b c d", 0L),
+      (2L, "x y", 2L),
+      (3L, "p q", 0L),
+      (4L, "", 2L),
+      (5L, "m n", 3L),
+      (6L, "z", 0L))
+  }
+
+  test("spanCut keeps exactly one copy of a corpus-wide duplicated span") {
+    // the keep-one contract: a span duplicated across many docs survives in
+    // exactly one place (its earliest occurrence), not zero and not several
+    val c = Seq(5L, 9L, 2L, 7L).map(id => (id, s"u$id v$id AAA BBB CCC w$id"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanCut(c, l = 3).as[(Long, String, Long)].collect()
+    out.count(_._2.contains("AAA BBB CCC")) shouldBe 1
+    out.find(_._2.contains("AAA BBB CCC")).get._1 shouldBe 2L // earliest doc
+    out.filter(_._1 != 2L).foreach(_._3 shouldBe 3L)
+  }
+
   test("embeddingNearDups on synthetic embeddings agrees with brute force") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val viaLsh = Dedup.embeddingNearDups(emb, threshold = 0.8, signBits = 4)
