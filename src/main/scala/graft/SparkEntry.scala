@@ -1078,6 +1078,19 @@ object SparkEntry {
       operators.History.scd2(Tables.events(s, d),
         "user_id", "event_type", "ts", "event_id")),
 
+    // corpus snapshot diff (the incremental-pipeline delta): old = docs
+    // minus the % 11 slice, new = docs minus the % 13 slice with the % 17
+    // slice rewritten — exercises all four statuses
+    "snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.History.snapshotDiff(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 17 === 0,
+            upper(col("text"))).otherwise(col("text"))),
+        "doc_id", Seq("text"))
+    }),
+
     // per-source/lang corpus rollup: the curation dashboard every
     // training-data pipeline keeps (doc counts, token mass, size profile)
     "text_source_stats" -> ((s, d) =>
@@ -2250,6 +2263,22 @@ object SparkEntry {
         |SELECT user_id, event_type, ts AS valid_from,
         | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
         |FROM c""".stripMargin,
+
+    // same md5-fingerprint comparison; single payload column, so the
+    // unit-separator concat_ws image is the column itself
+    "snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+        |           WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id,
+        |       CASE WHEN doc_id % 17 = 0 THEN md5(upper(text))
+        |            ELSE md5(text) END AS h
+        |      FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.h IS NULL THEN 'added'
+        |      WHEN n.h IS NULL THEN 'removed'
+        |      WHEN o.h <> n.h THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // quantile_cont shares percentile()'s index-interpolation definition
     "a11_percentiles" ->

@@ -52,4 +52,31 @@ object History {
   def asOfVersion(scd2Table: DataFrame, asOf: Column): DataFrame =
     scd2Table.filter(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
+
+  /** Corpus snapshot diff — the incremental-pipeline primitive: classify
+    * every key across two snapshot versions as `added` / `removed` /
+    * `changed` / `unchanged` by comparing a content fingerprint of the
+    * payload columns, so a 100 TB re-crawl reprocesses only the delta
+    * instead of the corpus. Keys must be unique within each snapshot
+    * (duplicate keys multiply through the outer join); payload columns are
+    * compared as their null-skipping `concat_ws` string image (a null and
+    * an absent value collapse — pre-coalesce upstream if that distinction
+    * matters).
+    *
+    * Scale shape: each side reduces to `(key, 16-byte md5)` inside its
+    * scan stage — the full-outer join exchanges fingerprint rows, never
+    * payloads, and is the pipeline's only shuffle per side.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff: need at least one payload column")
+    def fp(df: DataFrame, name: String) = df.select(col(idCol),
+      md5(concat_ws("", payloadCols.map(c => col(c).cast("string")): _*)).as(name))
+    fp(oldSnap, "__h_old").join(fp(newSnap, "__h_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

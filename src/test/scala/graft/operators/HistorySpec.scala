@@ -60,4 +60,23 @@ class HistorySpec extends AnyFunSuite with Matchers with SparkFixture {
       .queryExecution.executedPlan.toString
     "Exchange".r.findAllIn(plan).length shouldBe 1
   }
+
+  test("snapshotDiff classifies all four statuses") {
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "p1", "p2")
+    val nw = Seq((2L, "b", "y"), (3L, "c", "CHANGED"), (4L, "d", "w"))
+      .toDF("id", "p1", "p2")
+    val got = History.snapshotDiff(old, nw, "id", Seq("p1", "p2"))
+      .as[(Long, String)].collect().toMap
+    got shouldBe Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added")
+  }
+
+  test("snapshotDiff separates shifted payload boundaries (unit separator)") {
+    // ("ab","c") vs ("a","bc") must NOT fingerprint equal
+    val old = Seq((1L, "ab", "c")).toDF("id", "p1", "p2")
+    val nw = Seq((1L, "a", "bc")).toDF("id", "p1", "p2")
+    History.snapshotDiff(old, nw, "id", Seq("p1", "p2"))
+      .as[(Long, String)].head()._2 shouldBe "changed"
+  }
 }
