@@ -196,6 +196,31 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("ShuffledHashJoin")
   }
 
+  test("dedup_span_cut: no window over span occurrences; anti-join removal; no cartesian") {
+    // canonical-occurrence selection is groupBy+min (partial aggregation,
+    // skew-safe on a corpus-stopword span), NOT a per-hash window; covered
+    // positions remove via left_anti; nothing plans a nested-loop join
+    val p = plan("dedup_span_cut")
+    p should not include "Window"
+    p should include("LeftAnti")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("snapshot_diff: both sides reduce to fingerprints before the outer join") {
+    plan("snapshot_diff") should include("FullOuter")
+    // md5 is computed in the scan-side projections, not after the join —
+    // the exchange carries (key, 16-byte hash) rows, never payloads
+    val join = SparkEntry.queries("snapshot_diff")(spark, sf0001)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.head
+    join.left.output.map(_.name) should contain("__h_old")
+    join.left.output.map(_.name) should not contain "text"
+    join.right.output.map(_.name) should contain("__h_new")
+    join.right.output.map(_.name) should not contain "text"
+  }
+
   test("custom vector expression participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf0001)
     val df = emb.select(graft.functions.VectorFunctions.vec_cosine(
