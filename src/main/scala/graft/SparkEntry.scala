@@ -711,13 +711,14 @@ object SparkEntry {
       Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.4, nlist = 32)),
 
     // fuzzy decontamination: Jaccard near-dups BETWEEN the corpus and a
-    // held-out eval slice; both posting sides are filters over the
-    // family's persisted hash-array hub
-    "dedup_cross_corpus" -> ((s, d) => {
-      val arr = sharedShingleArr(s, d)
-      Dedup.crossCorpusPairsFromArr(arr,
-        arr.filter(col("doc_id") % 7 === 0), threshold = 0.5)
-    }),
+    // held-out eval slice. The eval set is a slice of the corpus, so the
+    // scorer is a symmetrized filter over the family's persisted
+    // pair-stats hub — zero posting passes beyond the one the family
+    // already paid (the general two-corpus operator,
+    // Dedup.crossCorpusPairsFromArr, is equivalence-spec'd against this)
+    "dedup_cross_corpus" -> ((s, d) =>
+      Dedup.crossCorpusFromStats(sharedPairStats(s, d),
+        _ % 7 === 0, threshold = 0.5)),
 
     // deterministic stratified sample: fixed per-stratum quota by md5 rank —
     // the balance-the-domains curation op (vs sample_hash's fixed fraction).
@@ -1709,20 +1710,20 @@ object SparkEntry {
 
     // identical posting derivation; the df-cut HAVING mirrors the combined
     // (train ∪ eval) posting heat exactly like the operator
+    // the eval set is a corpus slice, so the scorer symmetrizes the SAME
+    // unordered pair CTE the jaccard family shares (corpus-postings df-cut,
+    // mirroring Dedup.crossCorpusFromStats over the hub): (a,b) reports as
+    // (train=a, eval=b) when b is eval and as (train=b, eval=a) when a is
     "dedup_cross_corpus" ->
       s"""WITH $ShinglesCte,
-         |ep AS (SELECT doc_id, h31 FROM hsd WHERE doc_id % 7 = 0),
-         |hot AS (SELECT h31 FROM (SELECT h31 FROM hsd UNION ALL SELECT h31 FROM ep) u
-         |        GROUP BY h31 HAVING count(*) > ${Dedup.DefaultMaxPostings}),
-         |tpr AS (SELECT doc_id, h31 FROM hsd WHERE h31 NOT IN (SELECT h31 FROM hot)),
-         |epr AS (SELECT doc_id, h31 FROM ep WHERE h31 NOT IN (SELECT h31 FROM hot)),
-         |pr AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS inter
-         |       FROM tpr t JOIN epr e ON t.h31 = e.h31 AND t.doc_id <> e.doc_id
-         |       GROUP BY 1, 2)
-         |SELECT train_id, eval_id, inter / (st.n + se.n - inter) AS jaccard
-         |FROM pr JOIN szh st ON st.doc_id = train_id
-         |        JOIN szh se ON se.doc_id = eval_id
-         |WHERE inter / (st.n + se.n - inter) >= 0.5""".stripMargin,
+         |$JaccardPrCte,
+         |jac AS (SELECT da, db, inter / (sa.n + sb.n - inter) AS jaccard
+         |        FROM pr JOIN szh sa ON sa.doc_id = da
+         |                JOIN szh sb ON sb.doc_id = db
+         |        WHERE inter / (sa.n + sb.n - inter) >= 0.5)
+         |SELECT da AS train_id, db AS eval_id, jaccard FROM jac WHERE db % 7 = 0
+         |UNION ALL
+         |SELECT db AS train_id, da AS eval_id, jaccard FROM jac WHERE da % 7 = 0""".stripMargin,
 
     // same df: one aggregate over the distinct per-doc shingle hashes; a
     // shingle is "duplicated" iff its document frequency is ≥ 2

@@ -958,6 +958,38 @@ object Dedup {
     crossCorpusPairsFromArr(docShingleHashes(train, k),
       docShingleHashes(eval, k), threshold, maxPostings)
 
+  /** Decontamination read-out for the common special case where the eval
+    * set is a SLICE of the corpus (held-out split, benchmark drawn from
+    * the crawl): the family's shared unordered pair-stats table
+    * ([[pairStatsFromArr]]) already holds every train×eval co-occurrence,
+    * so the scorer is a symmetrization + filter over it — ZERO additional
+    * posting passes when the hub is persisted. An unordered pair (a, b)
+    * emits (train=a, eval=b) when b is an eval doc and (train=b, eval=a)
+    * when a is — both when both are (each eval doc screens against the
+    * other), matching [[crossCorpusPairsFromArr]] run on overlapping
+    * corpora.
+    *
+    * df-cut caveat: the hub's `maxPostings` cap counts CORPUS postings
+    * once, while the general two-corpus operator counts train ∪ eval (an
+    * eval slice's postings twice). The read-outs agree whenever the cap
+    * binds on neither count — everywhere except a shingle within 2× of
+    * the cap; callers comparing against the general operator under a
+    * deliberately-binding cap should use [[crossCorpusPairsFromArr]].
+    */
+  def crossCorpusFromStats(stats: DataFrame, isEval: Column => Column,
+                           threshold: Double): DataFrame = {
+    val scored = stats
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    scored.filter(isEval(col("doc_b")))
+      .select(col("doc_a").as("train_id"), col("doc_b").as("eval_id"),
+        col("jaccard"))
+      .unionAll(scored.filter(isEval(col("doc_a")))
+        .select(col("doc_b").as("train_id"), col("doc_a").as("eval_id"),
+          col("jaccard")))
+  }
+
   /** Cross-document duplicated n-gram statistics — the detection pass of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better": duplicated spans across documents are

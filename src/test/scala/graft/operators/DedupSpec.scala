@@ -349,6 +349,23 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe empty
   }
 
+  test("crossCorpusFromStats equals the general operator on an eval slice") {
+    // the hub read-out (symmetrized pair-stats filter) must produce the
+    // identical pair set the two-corpus posting join produces when the
+    // eval corpus is a slice of the train corpus and the cap is non-binding
+    val docs = graft.Tables.documents(spark, sf0001)
+    val arr = Dedup.docShingleHashes(docs, k = 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect()
+        .map(t => (t._1, t._2, math.rint(t._3 * 1e9))).toSet
+    val general = canon(Dedup.crossCorpusPairsFromArr(
+      arr, arr.filter($"doc_id" % 7 === 0), threshold = 0.5))
+    val viaHub = canon(Dedup.crossCorpusFromStats(
+      Dedup.pairStatsFromArr(arr), _ % 7 === 0, threshold = 0.5))
+    viaHub shouldBe general
+    viaHub should not be empty // non-vacuous on the synthetic corpus
+  }
+
   test("dupNgramStats: hand-computed document frequencies") {
     val docs3 = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
       .toDF("doc_id", "text")
