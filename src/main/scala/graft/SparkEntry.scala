@@ -103,6 +103,32 @@ object SparkEntry {
   private val clustersMemo =
     new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
 
+  /** `text_token_ids` and `pack_materialize` encode the same corpus
+    * against the same top-24 vocab; the vocab build ends in a driver-side
+    * collect ([[operators.TextAnalysis.tokenEncode]]), which CacheManager
+    * plan-matching cannot deduplicate across invocations — so the encoded
+    * handle is memoized per (session, sf dir), same lifecycle discipline
+    * as [[sharedClusters]]: sweep stopped sessions, recompute after
+    * `clearCache()`.
+    */
+  private val encodedMemo =
+    new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+
+  private def sharedEncoded(s: SparkSession, d: String): DataFrame =
+    encodedMemo.synchronized {
+      encodedMemo.keySet.removeIf(k => k.sparkContext.isStopped)
+      val m = encodedMemo.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty[String, DataFrame])
+      m.get(d).filter(org.apache.spark.sql.GraftShims.isCached) match {
+        case Some(df) => df
+        case None =>
+          val df = TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          m(d) = df
+          df
+      }
+    }
+
   private def sharedClusters(s: SparkSession, d: String): DataFrame =
     clustersMemo.synchronized {
       clustersMemo.keySet.removeIf(k => k.sparkContext.isStopped)
@@ -830,8 +856,7 @@ object SparkEntry {
     // tokenize-to-ids against the corpus' own top-24 frequency vocab
     // (24 < the corpus' 31 distinct tokens, so the OOV path is exercised)
     "text_token_ids" -> ((s, d) =>
-      TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24)
-        .select(col("doc_id"), col("ids"))),
+      sharedEncoded(s, d).select(col("doc_id"), col("ids"))),
 
     // train/eval n-gram contamination: every-50th doc stands in for the
     // eval set; per train doc, distinct 5-gram overlap count and share
@@ -1156,7 +1181,7 @@ object SparkEntry {
     // every row exactly 512 ids except the tail, straddling docs split
     "pack_materialize" -> ((s, d) =>
       operators.Packing.packMaterialize(
-        TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24)
+        sharedEncoded(s, d)
           .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long")),
         "doc_id", "ids", capacity = 512L,
         // the cheap whitespace count equals size(ids) by construction, so

@@ -45,9 +45,34 @@ object Packing {
     * `buckets` caps the driver-side offset state (one long per bucket).
     */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
-                    capacity: Long, buckets: Int = 1024): DataFrame = {
+                    capacity: Long, buckets: Int = 1024,
+                    smallBytes: Long = 256L << 20): DataFrame = {
     require(capacity > 0, "packSequences: capacity must be positive")
     val spark = docs.sparkSession
+    // size-adaptive (same gate as Sampling.stratified): when Catalyst
+    // stats bound the NARROW (id, count) projection under `smallBytes`,
+    // the exact cumsum is one in-plan global window — zero driver
+    // actions, one exchange — instead of the two-phase scan's two
+    // actions (min/max, bucket totals). The single sort task moves
+    // < smallBytes by construction; the null contract is enforced
+    // in-plan (raise_error) instead of by the fused min/max action.
+    // Unknown stats (negative) or big inputs take the two-phase path.
+    val proj = docs.select(col(idCol), col(tokenCol).cast(LongType).as(tokenCol))
+    val sizeHint = proj.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+      val guarded = proj.withColumn(tokenCol,
+        when(col(idCol).isNull || col(tokenCol).isNull, raise_error(lit(
+          s"packSequences: null '$idCol' or '$tokenCol' — both must be " +
+            "non-null (unique id, token count) for an exact global prefix sum")))
+          .otherwise(col(tokenCol)))
+      val w = Window.orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return guarded
+        .withColumn("start_offset", sum(col(tokenCol)).over(w) - col(tokenCol))
+        .select(col(idCol), col(tokenCol), col("start_offset"),
+          expr(s"start_offset DIV ${capacity}L").as("seq_id"),
+          pmod(col("start_offset"), lit(capacity)).as("seq_offset"))
+    }
     // id range → monotone bucket width (ceil so the max id still lands in
     // the last bucket). Empty input short-circuits: no range to bucket.
     // The null-contract check rides the SAME action (zero extra jobs):

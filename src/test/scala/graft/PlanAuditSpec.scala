@@ -130,7 +130,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("pack_materialize: the encoder runs exactly once, in the payload branch") {
-    val p = plan("pack_materialize")
+    // audited on the OPERATOR with a raw (uncached) encode input — the
+    // query entry now feeds it the session-shared persisted encode, which
+    // would satisfy run-once trivially via the cache
+    val enc = operators.TextAnalysis.tokenEncode(
+        Tables.documents(spark, sf0001), vocabSize = 24)
+      .withColumn("n_tokens",
+        operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val p = operators.Packing.packMaterialize(enc, "doc_id", "ids",
+        capacity = 512L, tokenCol = Some("n_tokens"))
+      .queryExecution.executedPlan.toString
     "vocab_encode".r.findAllIn(p).length shouldBe 1
     p should not include "Exchange rangepartitioning" // no global sort anywhere
     p should not include "SortMergeJoin"
@@ -155,11 +164,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
   }
 
-  test("pack_sequences: no global-sort window — cumsum partitions by range bucket") {
+  test("pack_sequences: size-adaptive — small input takes the 1-exchange window") {
+    // stats bound the bench/test input, so the in-plan global window runs
+    // (zero driver actions); no bucket scaffolding in the plan
     val p = plan("pack_sequences")
     p should include("Window")
-    p should not include "Exchange rangepartitioning" // no single-task global sort
-    p should include("_b")
+    (p should not).include("_graft_b")
+  }
+
+  test("packSequences scale path: no global-sort window — cumsum partitions by bucket") {
+    // smallBytes = -1 forces the 100 TB formulation: bucketed parallel
+    // windows + driver-bounded offsets, never a single-task global sort
+    val df = Tables.documents(spark, sf0001).select(col("doc_id"),
+      operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val p = operators.Packing.packSequences(df, "doc_id", "n_tokens",
+        capacity = 512L, smallBytes = -1L)
+      .queryExecution.executedPlan.toString
+    p should include("Window")
+    (p should not).include("Exchange SinglePartition")
+    p should include("_graft_b")
   }
 
   test("AQE re-plans the executed join at runtime (coalesced shuffle read)") {

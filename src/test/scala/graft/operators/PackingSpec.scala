@@ -15,8 +15,10 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
       (100L, 10L), (7L, 3L), (9999L, 5L), (501L, 7L), (502L, 1L),
       (4L, 2L), (4000L, 11L), (250L, 6L))
     val df = rows.toDF("doc_id", "n_tokens")
+    // smallBytes = -1 forces the two-phase scan — the point of the test is
+    // that it matches the window definition (the small path IS the window)
     val got = Packing.packSequences(df, "doc_id", "n_tokens", capacity = 8L,
-        buckets = 4)
+        buckets = 4, smallBytes = -1L)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
 
@@ -95,11 +97,17 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
     val a = (1L to 200L).map(i => (i, (i % 13) + 1))
     val df1 = a.toDF("doc_id", "n_tokens").repartition(7)
     val df2 = scala.util.Random.shuffle(a).toDF("doc_id", "n_tokens").repartition(3)
-    val r1 = Packing.packSequences(df1, "doc_id", "n_tokens", 32L, buckets = 16)
+    val r1 = Packing.packSequences(df1, "doc_id", "n_tokens", 32L,
+        buckets = 16, smallBytes = -1L)
       .orderBy("doc_id").collect().toSeq
-    val r2 = Packing.packSequences(df2, "doc_id", "n_tokens", 32L, buckets = 16)
+    val r2 = Packing.packSequences(df2, "doc_id", "n_tokens", 32L,
+        buckets = 16, smallBytes = -1L)
       .orderBy("doc_id").collect().toSeq
     r1 shouldBe r2
+    // and the size-adaptive small path computes the identical assignment
+    val viaSmall = Packing.packSequences(df1, "doc_id", "n_tokens", 32L)
+      .orderBy("doc_id").collect().toSeq
+    viaSmall shouldBe r1
     // total tokens of each fully-packed sequence is exactly the capacity:
     // consecutive start offsets tile [0, total) with no gaps
     val offs = r1.map(_.getLong(2))
@@ -113,8 +121,11 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("packSequences on empty input returns an empty frame with the contract schema") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
-    val out = Packing.packSequences(empty, "doc_id", "n_tokens", 16L)
-    out.columns.toSeq shouldBe Seq("doc_id", "n_tokens", "start_offset", "seq_id", "seq_offset")
-    out.count() shouldBe 0L
+    for (sb <- Seq(256L << 20, -1L)) { // both the small and two-phase paths
+      val out = Packing.packSequences(empty, "doc_id", "n_tokens", 16L,
+        smallBytes = sb)
+      out.columns.toSeq shouldBe Seq("doc_id", "n_tokens", "start_offset", "seq_id", "seq_offset")
+      out.count() shouldBe 0L
+    }
   }
 }
