@@ -1197,6 +1197,17 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id", seed = 7L)),
 
+    // length-staged curriculum: 16-word bins ascending (short docs first),
+    // seeded shuffle within each stage — exact stage boundaries via the
+    // two-phase rank, no global sort
+    "order_curriculum" -> ((s, d) =>
+      operators.TrainOrder.curriculumOrder(
+        Tables.documents(s, d).select(col("doc_id"),
+          // integer DIV (matching the oracle's //): a double divide + cast
+          // would round-vs-truncate-diverge between the engines
+          expr("CAST(size(split(text, ' ', -1)) DIV 16 AS BIGINT)").as("bin")),
+        "doc_id", "bin", seed = 7L)),
+
     // domain-diversity ordering: reading by interleave_pos cycles sources
     // round-robin, so no training batch is a single-domain run
     "order_interleave" -> ((s, d) =>
@@ -2549,6 +2560,18 @@ object SparkEntry {
         |   ('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
         |   doc_id) - 1 AS shuffle_pos
         |FROM documents""".stripMargin,
+
+    // same seeded rank with the stage bin prepended to the global order;
+    // // is DuckDB floor division, mirroring Spark's DIV
+    "order_curriculum" ->
+      """WITH b AS (SELECT doc_id,
+        |            len(string_split(text, ' ')) // 16 AS bin
+        |           FROM documents)
+        |SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+        | row_number() OVER (ORDER BY bin,
+        |   ('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |   doc_id) - 1 AS curriculum_pos
+        |FROM b""".stripMargin,
 
     // identical within-source seeded rank + source-index arithmetic;
     // sources order by their ASCII string form in both engines

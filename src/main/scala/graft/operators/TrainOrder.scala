@@ -311,4 +311,60 @@ object TrainOrder {
       .drop("__graft_hk", "__graft_b", "__graft_rn", "__graft_off",
         "__graft_s", "__graft_sx")
   }
+
+  /** Curriculum training order (Bengio et al. 2009): a global 0-based
+    * `curriculum_pos` that stages documents by an ASCENDING integer
+    * difficulty bin (shorter-first, quality-first — the caller derives the
+    * bin) while shuffling deterministically WITHIN each bin with the same
+    * seed-keyed hash as [[epochShuffle]] — so stage boundaries are exact
+    * and intra-stage order carries no ingestion bias. `binCol` must be
+    * integer-valued, non-null, and small-cardinality (stages, not row
+    * keys); `idCol` unique and non-null.
+    *
+    * Scale shape: the [[epochShuffle]] two-phase scan with the bin
+    * prepended to the bucket key — parallel per-(bin, bucket) windows, one
+    * hash exchange, driver state ≤ bins × `buckets` longs (guarded by
+    * `maxGroups`), never a single-task global sort.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, binCol: String,
+                      seed: Long, buckets: Int = 1024,
+                      maxGroups: Int = 1 << 20): DataFrame = {
+    require(buckets > 0, "curriculumOrder: buckets must be positive")
+    val hkey = seededHashKey(idCol, seed)
+    val width = bucketWidth(buckets)
+    val keyed = docs
+      .withColumn("__graft_hk", hkey)
+      .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
+      .repartition(col(binCol), col("__graft_b"))
+    val wIn = Window.partitionBy(col(binCol), col("__graft_b"))
+      .orderBy(col("__graft_hk"), col(idCol))
+    val local = keyed.withColumn("__graft_rn", row_number().over(wIn))
+
+    val totals = keyed
+      .groupBy(col(binCol).cast(LongType).as("__graft_bin"), col("__graft_b"))
+      .agg(count(lit(1)).as("__graft_n")).collect()
+    require(totals.length <= maxGroups,
+      s"curriculumOrder: ${totals.length} (bin × bucket) groups exceed " +
+        s"maxGroups=$maxGroups — lower `buckets` or raise the guard")
+    require(totals.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      s"curriculumOrder: null '$binCol' or '$idCol' row(s) — both must be " +
+        "non-null for a deterministic order")
+    var acc = 0L
+    val offsetRows = totals.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+      .map { case (bin, b, n) =>
+        val row = org.apache.spark.sql.Row(bin, b, acc); acc += n; row
+      }
+    val offsets = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*),
+      StructType(Seq(StructField("__graft_bin", LongType),
+        StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
+
+    local
+      .join(broadcast(offsets),
+        col(binCol).cast(LongType) === col("__graft_bin") &&
+          local("__graft_b") === offsets("__graft_b"))
+      .withColumn("curriculum_pos", col("__graft_off") + col("__graft_rn") - 1)
+      .drop("__graft_hk", "__graft_b", "__graft_rn", "__graft_off", "__graft_bin")
+  }
 }

@@ -147,4 +147,30 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
     e.getMessage should include("maxGroups")
   }
+
+  test("curriculumOrder: exact stage boundaries, seeded shuffle within each stage") {
+    val staged = (1L to 60L).map(i => (i, i % 3)).toDF("doc_id", "bin")
+    val out = TrainOrder.curriculumOrder(staged, "doc_id", "bin",
+        seed = 7L, buckets = 8)
+      .select($"doc_id", $"bin", $"curriculum_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions are contiguous 0-based over the whole corpus
+    out.map(_._3).sorted shouldBe (0L until 60L).toArray
+    // every bin-0 position precedes every bin-1 position, etc.
+    val maxByBin = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minByBin = out.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    maxByBin(0L) should be < minByBin(1L)
+    maxByBin(1L) should be < minByBin(2L)
+    // within a stage, the order IS the epoch-shuffle order of that slice
+    val epoch = TrainOrder.epochShuffle(staged.filter($"bin" === 1), "doc_id",
+        seed = 7L)
+      .orderBy($"shuffle_pos").select($"doc_id").as[Long].collect()
+    val stage1 = out.filter(_._2 == 1L).sortBy(_._3).map(_._1)
+    stage1 shouldBe epoch
+    // bucket count changes the plan, not the order
+    val wide = TrainOrder.curriculumOrder(staged, "doc_id", "bin",
+        seed = 7L, buckets = 64)
+      .select($"doc_id", $"curriculum_pos").as[(Long, Long)].collect().toMap
+    wide shouldBe out.map(t => t._1 -> t._3).toMap
+  }
 }
