@@ -119,6 +119,25 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
     offs.head shouldBe 0L
   }
 
+  test("packSequences null contract fails fast on BOTH paths with a named error") {
+    val withNull = Seq((Some(1L), Some(4L)), (Some(2L), None))
+      .toDF("doc_id", "n_tokens")
+    // two-phase: the fused min/max action counts nulls -> require at build
+    val e1 = intercept[IllegalArgumentException] {
+      Packing.packSequences(withNull, "doc_id", "n_tokens", 8L, smallBytes = -1L)
+    }
+    e1.getMessage should include("n_tokens")
+    // small path: in-plan raise_error surfaces at execution (wrapped by
+    // the task failure), same operator-named message somewhere in the chain
+    val e2 = intercept[Exception] {
+      Packing.packSequences(withNull, "doc_id", "n_tokens", 8L).collect()
+    }
+    val chain = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    chain should include("packSequences")
+  }
+
   test("packSequences on empty input returns an empty frame with the contract schema") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
     for (sb <- Seq(256L << 20, -1L)) { // both the small and two-phase paths
