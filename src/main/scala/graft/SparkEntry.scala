@@ -1801,7 +1801,7 @@ object SparkEntry {
         |         count(*) AS n_kept
         |        FROM kept GROUP BY doc_id)
         |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
-        | CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_cut
+        | CAST(coalesce(len(t.w), 0) - coalesce(a.n_kept, 0) AS BIGINT) AS n_cut
         |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
 
     // identical derivation to ann_ivf_assign's cell map, then keep-lowest-id
@@ -2302,13 +2302,14 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     // same md5-fingerprint comparison; single payload column, so the
-    // unit-separator concat_ws image is the column itself
+    // null-SKIPPING concat_ws image is coalesce(text, '') — a null
+    // payload fingerprints as empty in the operator, never as NULL
     "snapshot_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+      """WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
         |           WHERE doc_id % 11 <> 0),
         |n AS (SELECT doc_id,
-        |       CASE WHEN doc_id % 17 = 0 THEN md5(upper(text))
-        |            ELSE md5(text) END AS h
+        |       CASE WHEN doc_id % 17 = 0 THEN md5(coalesce(upper(text), ''))
+        |            ELSE md5(coalesce(text, '')) END AS h
         |      FROM documents WHERE doc_id % 13 <> 0)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         | CASE WHEN o.h IS NULL THEN 'added'

@@ -9,9 +9,19 @@ object Verify {
     val spark = GraftSession.create()
     new java.io.File(outDir).mkdirs()
     // dev loop: GRAFT_VERIFY_ONLY=q1,q2 restricts the dump to named
-    // queries; the driver leaves it unset and dumps everything
+    // queries (check_oracle.py still iterates the FULL oracle map, so a
+    // filtered dump only passes the gate into an outDir that already
+    // holds dumps for the rest); the driver leaves it unset and dumps
+    // everything. Unknown names fail fast — a typo'd filter would
+    // otherwise dump nothing and exit 0.
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty, "GRAFT_VERIFY_ONLY is set but names no queries")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -1025,19 +1025,25 @@ object Dedup {
     * occurrence of an l-word span that appears more than once in the
     * corpus is cut from the rebuilt text, EXCEPT the canonical occurrence
     * — the lexicographically first `(doc_id, position)` holding the span —
-    * so exactly one copy of every duplicated span survives corpus-wide
-    * (the suffix-array paper's keep-one contract, realized with a
-    * deterministic earliest-occurrence rule instead of suffix order).
-    * Within-doc repeats are cut by the same rule. A word position is
-    * removed iff ANY duplicate occurrence covers it; surviving words are
-    * re-joined in order. Returns (doc_id, text_clean, n_cut) for every
-    * input document (fully-cut docs keep a row with empty text).
+    * a deterministic earliest-occurrence realization of the suffix-array
+    * paper's keep-one rule. Within-doc repeats are cut the same way. A
+    * word position is removed iff ANY duplicate occurrence covers it;
+    * surviving words are re-joined in order. Note the contract is
+    * per-OCCURRENCE, not per-word: the canonical occurrence is never cut
+    * AS an occurrence, but its word positions can still be covered by
+    * overlapping duplicate occurrences of a DIFFERENT span (including a
+    * self-overlapping repeat like "a a a" at l = 2), so pathological
+    * repetition may leave no intact copy of a span. Returns
+    * (doc_id, text_clean, n_cut) for every input document (fully-cut docs
+    * keep a row with empty text; null text cleans to "" with n_cut 0).
     *
     * Scale shape: occurrences are (long doc, long pos, long hash) triples
-    * — the shuffle never carries span strings; span stats are ONE
-    * map-side-combining aggregate (skew-safe partial aggregation even on a
-    * corpus-stopword span); the join back is hash-partitioned on the span
-    * key with exactly one build row per key, so a hot span skews partition
+    * — the shuffle never carries span strings, and they exchange ONCE:
+    * the explicit hash repartition feeds both the span-stats aggregate
+    * and the probe side of the duplicate join (ReuseExchange collapses
+    * them — same co-location trick as [[pairStatsFromArr]]), so the
+    * md5-per-occurrence scan stage runs once, not twice. The join has
+    * exactly one build row per span key, so a hot span skews partition
     * SIZE only (AQE splits it), never the output; covered positions
     * expand ≤ l rows per duplicate occurrence before a distinct on
     * (doc, position). The rebuild groups by doc — per-task state is one
@@ -1051,23 +1057,36 @@ object Dedup {
     */
   def spanCut(docs: DataFrame, l: Int): DataFrame = {
     require(l >= 1, "spanCut: span length must be >= 1")
-    val occ = docs
+    // one explicit null-id filter owns every subtree: the anti-join below
+    // infers IsNotNull(doc_id) on its build side, and without the same
+    // filter here the probe/stats occurrence subtrees stop being
+    // canonically equal — ReuseExchange silently stops collapsing them
+    // and the md5 scan stage runs twice. (Null ids have no identity in
+    // the pair family anyway; every sibling operator requires them
+    // non-null.)
+    val base = docs.filter(col("doc_id").isNotNull)
+    val occ = base
       .select(col("doc_id"),
         posexplode(TextAnalysis.shinglesAll(col("text"), l)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         shingleHash31(col("s")).as("h"))
+      .repartition(col("h"))
     val stats = occ.groupBy("h")
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col("doc_id"), col("pos"))).as("__canon"))
       .filter(col("__cnt") > 1)
-    val dup = occ.join(stats.select(col("h"), col("__canon")), Seq("h"))
+    // SHUFFLE_HASH pin, as in pairStatsFromArr: an AQE broadcast of stats
+    // would orphan the probe side's exchange from the aggregate's and the
+    // md5-heavy occurrence subtree would execute twice
+    val dup = occ.hint("shuffle_hash")
+      .join(stats.select(col("h"), col("__canon")).hint("shuffle_hash"), Seq("h"))
       .filter(col("doc_id") =!= col("__canon").getField("doc_id") ||
         col("pos") =!= col("__canon").getField("pos"))
     val covered = dup
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("p"))
       .distinct()
-    val words = docs
+    val words = base
       .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("p", "w")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("w"))
     val rebuilt = words.join(covered, Seq("doc_id", "p"), "left_anti")
@@ -1076,9 +1095,12 @@ object Dedup {
         array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),
           x => x.getField("w")), " ").as("text_clean"),
         count(lit(1)).as("__n_kept"))
-    docs
+    base
       .select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("__n_words"))
+        // null text has zero words (NOT legacy size(null) = -1, which
+        // would report n_cut = -1 where the oracle's len(NULL) is no cut)
+        when(col("text").isNotNull, size(split(col("text"), " ", -1)))
+          .otherwise(0).cast("long").as("__n_words"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),

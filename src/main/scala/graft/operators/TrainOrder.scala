@@ -319,7 +319,10 @@ object TrainOrder {
     * seed-keyed hash as [[epochShuffle]] — so stage boundaries are exact
     * and intra-stage order carries no ingestion bias. `binCol` must be
     * integer-valued, non-null, and small-cardinality (stages, not row
-    * keys); `idCol` unique and non-null.
+    * keys); `idCol` unique and non-null. The stage key is the bin CAST to
+    * long — one cast owns ranks, totals and offsets alike, so a
+    * fractional-valued bin truncates CONSISTENTLY instead of ranking by
+    * the raw value while joining offsets by the truncation.
     *
     * Scale shape: the [[epochShuffle]] two-phase scan with the bin
     * prepended to the bucket key — parallel per-(bin, bucket) windows, one
@@ -332,16 +335,22 @@ object TrainOrder {
     require(buckets > 0, "curriculumOrder: buckets must be positive")
     val hkey = seededHashKey(idCol, seed)
     val width = bucketWidth(buckets)
+    // ONE owner of the stage key: ranks, totals and the offset join all
+    // use the same cast-to-long bin — partitioning the rank window by the
+    // RAW bin while keying offsets on the cast would silently collide
+    // positions for a fractional-valued binCol (2.2 and 2.7 rank apart
+    // but share offset row 2)
     val keyed = docs
+      .withColumn("__graft_bin", col(binCol).cast(LongType))
       .withColumn("__graft_hk", hkey)
       .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
-      .repartition(col(binCol), col("__graft_b"))
-    val wIn = Window.partitionBy(col(binCol), col("__graft_b"))
+      .repartition(col("__graft_bin"), col("__graft_b"))
+    val wIn = Window.partitionBy(col("__graft_bin"), col("__graft_b"))
       .orderBy(col("__graft_hk"), col(idCol))
     val local = keyed.withColumn("__graft_rn", row_number().over(wIn))
 
     val totals = keyed
-      .groupBy(col(binCol).cast(LongType).as("__graft_bin"), col("__graft_b"))
+      .groupBy(col("__graft_bin"), col("__graft_b"))
       .agg(count(lit(1)).as("__graft_n")).collect()
     require(totals.length <= maxGroups,
       s"curriculumOrder: ${totals.length} (bin × bucket) groups exceed " +
@@ -361,9 +370,7 @@ object TrainOrder {
         StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
 
     local
-      .join(broadcast(offsets),
-        col(binCol).cast(LongType) === col("__graft_bin") &&
-          local("__graft_b") === offsets("__graft_b"))
+      .join(broadcast(offsets), Seq("__graft_bin", "__graft_b"))
       .withColumn("curriculum_pos", col("__graft_off") + col("__graft_rn") - 1)
       .drop("__graft_hk", "__graft_b", "__graft_rn", "__graft_off", "__graft_bin")
   }

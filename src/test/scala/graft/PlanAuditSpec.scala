@@ -230,6 +230,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("spanCut executed: the md5 occurrence subtree exchanges once (ReuseExchange)") {
+    // stats aggregate and duplicate-join probe share the pinned hash
+    // repartition — without the reuse the per-occurrence hashing runs twice
+    val df = operators.Dedup.spanCut(Tables.documents(spark, sf0001), l = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("ReusedExchange")
+  }
+
   test("snapshot_diff: both sides reduce to fingerprints before the outer join") {
     plan("snapshot_diff") should include("FullOuter")
     // md5 is computed in the scan-side projections, not after the join —

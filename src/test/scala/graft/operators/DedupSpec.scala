@@ -396,6 +396,22 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
       (6L, "z", 0L))
   }
 
+  test("spanCut: self-overlapping repeats and null text (documented contract edges)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val c = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a a a"), Row(2L, null)), schema)
+    val got = Dedup.spanCut(c, l = 2).as[(Long, String, Long)].collect().sortBy(_._1)
+    // "a a" occurs at pos 0 (canonical) and pos 1 (duplicate); the dup
+    // covers words 1,2 — including a word of the canonical occurrence, so
+    // NO intact copy survives: the per-occurrence contract, exactly
+    got(0) shouldBe ((1L, "a", 2L))
+    // null text: zero words, cleans to "" with n_cut 0 (not legacy -1)
+    got(1) shouldBe ((2L, "", 0L))
+  }
+
   test("spanCut keeps exactly one copy of a corpus-wide duplicated span") {
     // the keep-one contract: a span duplicated across many docs survives in
     // exactly one place (its earliest occurrence), not zero and not several

@@ -173,4 +173,21 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select($"doc_id", $"curriculum_pos").as[(Long, Long)].collect().toMap
     wide shouldBe out.map(t => t._1 -> t._3).toMap
   }
+
+  test("curriculumOrder: fractional bins truncate consistently — positions stay a permutation") {
+    // 2.2 and 2.7 must land in ONE stage (bin 2) with distinct positions;
+    // ranking by the raw value while joining offsets by the truncation
+    // would collide positions silently
+    val frac = Seq((1L, 2.2), (2L, 2.7), (3L, 0.9), (4L, 1.5))
+      .toDF("doc_id", "bin")
+    val out = TrainOrder.curriculumOrder(frac, "doc_id", "bin",
+        seed = 3L, buckets = 4)
+      .select($"doc_id", $"curriculum_pos").as[(Long, Long)].collect()
+    out.map(_._2).sorted shouldBe Array(0L, 1L, 2L, 3L)
+    // truncated stages: 0.9 -> 0 first, 1.5 -> 1 second, {2.2, 2.7} last
+    val pos = out.toMap
+    pos(3L) shouldBe 0L
+    pos(4L) shouldBe 1L
+    Set(pos(1L), pos(2L)) shouldBe Set(2L, 3L)
+  }
 }
