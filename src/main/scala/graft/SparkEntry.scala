@@ -854,9 +854,13 @@ object SparkEntry {
       TextAnalysis.keywordSalience(Tables.documents(s, d), topK = 3)),
 
     // tokenize-to-ids against the corpus' own top-24 frequency vocab
-    // (24 < the corpus' 31 distinct tokens, so the OOV path is exercised)
+    // (24 < the corpus' 31 distinct tokens, so the OOV path is exercised).
+    // ids is emitted space-joined: the driver's canonicalizer sorts rows
+    // with pandas, which cannot hash array cells, so the oracled projection
+    // must be scalar on both sides (DuckDB mirrors with array_to_string)
     "text_token_ids" -> ((s, d) =>
-      sharedEncoded(s, d).select(col("doc_id"), col("ids"))),
+      sharedEncoded(s, d).select(col("doc_id"),
+        array_join(col("ids").cast("array<string>"), " ").as("ids"))),
 
     // train/eval n-gram contamination: every-50th doc stands in for the
     // eval set; per train doc, distinct 5-gram overlap count and share
@@ -1179,6 +1183,8 @@ object SparkEntry {
     // the materialized form: encode to ids (top-24 vocab, as
     // text_token_ids), pack at 512, emit the actual training sequences —
     // every row exactly 512 ids except the tail, straddling docs split
+    // the packed sequences' ids are likewise space-joined for the driver's
+    // scalar-only canonicalizer (array semantics stay covered by PackingSpec)
     "pack_materialize" -> ((s, d) =>
       operators.Packing.packMaterialize(
         sharedEncoded(s, d)
@@ -1187,7 +1193,8 @@ object SparkEntry {
         // the cheap whitespace count equals size(ids) by construction, so
         // the assignment branches never evaluate the encoder (asserted
         // row-by-row in the payload branch)
-        tokenCol = Some("n_tokens"))),
+        tokenCol = Some("n_tokens"))
+        .withColumn("ids", array_join(col("ids").cast("array<string>"), " "))),
 
     // reproducible epoch shuffle: contiguous 0-based training order from a
     // seed-keyed content hash, enumerated by the two-phase prefix scan
@@ -2078,7 +2085,8 @@ object SparkEntry {
         |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |tokd AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS ord, ts FROM toks),
         |sel AS (SELECT doc_id, ord, ts[ord] AS tok FROM tokd)
-        |SELECT s.doc_id, list(coalesce(v.id, 0) ORDER BY s.ord) AS ids
+        |SELECT s.doc_id,
+        |       array_to_string(list(coalesce(v.id, 0) ORDER BY s.ord), ' ') AS ids
         |FROM sel s LEFT JOIN vocab v USING (tok)
         |GROUP BY s.doc_id""".stripMargin,
 
@@ -2534,7 +2542,7 @@ object SparkEntry {
         |parts AS (SELECT seq_id, s0,
         |        list_slice(ids, CAST(greatest(seq_id*512 - s0, 0) + 1 AS BIGINT),
         |                        CAST(least((seq_id+1)*512, s0 + n) - s0 AS BIGINT)) AS part FROM sq)
-        |SELECT seq_id, flatten(list(part ORDER BY s0)) AS ids,
+        |SELECT seq_id, array_to_string(flatten(list(part ORDER BY s0)), ' ') AS ids,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(len(flatten(list(part ORDER BY s0))) AS BIGINT) AS n_tokens
         |FROM parts GROUP BY seq_id""".stripMargin,

@@ -50,15 +50,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
 
-  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark refuses
-    * by default. Read the nanos as a long and truncate to microsecond
-    * precision (identical to how DuckDB/the oracle coerces ns -> us).
+  /** `events.ts` has shipped in two physical generations: TIMESTAMP(NANOS)
+    * parquet (which Spark only reads with `nanosAsLong`, as an int64) and
+    * plain timestamp[us] (which Spark infers as TIMESTAMP_NTZ). Dispatch on
+    * the loaded type and normalize BOTH generations to TimestampType so every
+    * consumer sees one stable column type: nanos are truncated to
+    * microseconds (identical to DuckDB's ns -> us coercion); NTZ is cast
+    * under the UTC-pinned session, where the cast is wall-clock identity.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

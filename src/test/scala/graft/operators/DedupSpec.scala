@@ -118,6 +118,42 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
       .count() shouldBe 1L
   }
 
+  test("jaccardPairs under a BINDING maxPostings matches the mirrored oracle semantics") {
+    import spark.implicits._
+    // the oracle CTE (SparkEntry.JaccardPrCte) defines the capped
+    // semantics: over-cap shingles are excluded from INTERSECTIONS, per-doc
+    // set sizes stay FULL-universe. This corpus makes the cap bind:
+    // "x y z" is shared by all 3 docs (3 postings > cap 2); docs 1,2 also
+    // share the under-cap shingles "y z a" and "z a b".
+    val docs = Seq(
+      (1L, "x y z a b c"), // shingles: xyz yza zab abc
+      (2L, "x y z a b d"), // shingles: xyz yza zab abd
+      (3L, "x y z q r s")  // shingles: xyz yzq zqr qrs
+    ).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(docs, k = 3, threshold = 0.01, maxPostings = 2L)
+      .collect()
+    // (1,3) and (2,3) share ONLY the over-cap shingle -> no candidate at all
+    capped.length shouldBe 1
+    (capped(0).getLong(0), capped(0).getLong(1)) shouldBe ((1L, 2L))
+    // inter = 2 (xyz cut), sizes stay 4 and 4 -> 2/(4+4-2) = 1/3: a LOWER
+    // bound of the true 3/5, exactly the hp/szh split the oracle mirrors
+    capped(0).getDouble(2) shouldBe 1.0 / 3.0 +- 1e-12
+    val uncapped = Dedup.jaccardPairs(docs, k = 3, threshold = 0.01, maxPostings = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    uncapped((1L, 2L)) shouldBe 3.0 / 5.0 +- 1e-12
+    uncapped((1L, 3L)) shouldBe 1.0 / 7.0 +- 1e-12
+  }
+
+  test("DefaultMaxPostings is non-binding on the oracled testdata") {
+    // the oracled queries run the cap at DefaultMaxPostings; this guard
+    // proves no shingle in the driver corpus comes near it, so the capped
+    // and uncapped semantics coincide in every oracled run
+    val arr = Dedup.docShingleHashes(graft.Tables.documents(spark, sf0001), k = 5)
+    val maxDf = arr.select(explode($"hs").as("h31"))
+      .groupBy($"h31").count().agg(max($"count")).head.getLong(0)
+    maxDf should be < Dedup.DefaultMaxPostings
+  }
+
   test("incremental LSH: batch-vs-corpus pairs only, index reused across probes") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
