@@ -235,6 +235,10 @@ object SparkEntry {
     // irreducible without dropping fact rows this query needs. At cluster
     // scale the same pick holds as long as a partition of orders fits an
     // executor (AQE's skew split keeps partitions bounded).
+    // AUDIT (r7): a fourth variant — agg on int nation keys, dim-name
+    // joins moved after the 625-row aggregate — measured 0.69 s vs this
+    // plan's 0.50 s floor (min-of-6, same session): the extra post-agg
+    // join stages cost more than the narrower agg keys save. Keep this.
     "j4_roleplay_join" -> ((s, d) => {
       val nat = Tables.nation(s, d)
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -872,7 +876,10 @@ object SparkEntry {
     // the same check through the bloom pre-pass (eval side collapsed to a
     // ~10-bits-per-shingle filter probed inside the scan stage; exact join
     // only over survivors) — byte-identical output, so it shares the
-    // text_contamination oracle verbatim
+    // text_contamination oracle verbatim. The operator is size-adaptive:
+    // at bench sf the eval slice is broadcast-small, so this resolves to
+    // the exact path (the bloom machinery is pinned byte-identical by
+    // TextAnalysisSpec with smallBytes = 0 and by the streaming guard)
     "text_contamination_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextAnalysis.contaminationBloom(docs, docs.filter(col("doc_id") % 50 === 0), k = 5)

@@ -244,9 +244,25 @@ object TextAnalysis {
     * survivors-only shuffle at large — never sees the corpus. The exact
     * join makes the result byte-identical to [[contamination]]: bloom
     * false positives are verified away, never reported.
+    *
+    * SIZE-ADAPTIVE (same planner-statistics switch as
+    * [[Sampling.stratified]]): the pre-pass pays two extra driver actions
+    * (the sizing count and the bloom build) before the main join can even
+    * start, so it only wins when the eval side is too large to broadcast
+    * as plain shingle strings — measured 3x SLOWER than [[contamination]]
+    * on a bench-scale eval slice. When Catalyst bounds the eval input
+    * under `smallBytes` (a broadcast-comfortable side), this delegates to
+    * the exact path outright; identical output either way, so the switch
+    * is invisible to callers. Pass `smallBytes = 0` to pin the bloom path
+    * (specs; corpora whose stats the optimizer cannot bound are already
+    * treated as large).
     */
-  def contaminationBloom(train: DataFrame, eval: DataFrame, k: Int): DataFrame = {
+  def contaminationBloom(train: DataFrame, eval: DataFrame, k: Int,
+                         smallBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.GraftShims
+    val evalSize = eval.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (evalSize >= 0 && evalSize <= smallBytes)
+      return contamination(train, eval, k)
     val trainSh = Dedup.shingleTable(train, k)
     // the eval shingle set is read three times (sizing count, bloom build,
     // exact-verify join) — persist it so the eval corpus is shingled and

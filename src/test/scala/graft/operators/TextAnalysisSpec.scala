@@ -168,10 +168,17 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     val eval = train.filter($"doc_id" === 1L)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    // smallBytes = 0 pins the bloom path: the size-adaptive default would
+    // route this tiny eval slice to the exact join and test nothing
+    canon(TextAnalysis.contaminationBloom(train, eval, k = 5, smallBytes = 0L)) shouldBe
+      canon(TextAnalysis.contamination(train, eval, k = 5))
+    // the adaptive default on a small eval delegates to the exact path —
+    // same rows, so the switch is invisible to callers
     canon(TextAnalysis.contaminationBloom(train, eval, k = 5)) shouldBe
       canon(TextAnalysis.contamination(train, eval, k = 5))
     // empty eval set: no hits, but every train doc still reports its totals
-    val none = TextAnalysis.contaminationBloom(train, train.filter($"doc_id" < 0), k = 5)
+    val none = TextAnalysis.contaminationBloom(train, train.filter($"doc_id" < 0), k = 5,
+      smallBytes = 0L)
     none.collect().map(_.getLong(1)).sum shouldBe 0L
     none.count() shouldBe 3L // doc 4 has no 5-shingles at all
   }
