@@ -1026,6 +1026,43 @@ object SparkEntry {
           Tables.documents(s, d), "doc_id", "text", "image"))
         .toDF()),
 
+    // feature-extraction kernel over the text-carrier assets: the carrier
+    // has no image magic, so every payload takes the deterministic
+    // md5-chain stand-in, whose dim=16 embedding is exactly the 16 md5
+    // bytes mapped to (b-128)/128 — exact in binary floating point, so
+    // the byte numerators recover losslessly and oracle as integers
+    // (the real luma-grid/RMS paths are MultimodalSpec golden tests)
+    "mm_features" -> ((s, d) =>
+      operators.Multimodal.extractFeatures(operators.Multimodal.asAssets(
+          Tables.documents(s, d), "doc_id", "text", "image"), dim = 16)
+        .toDF()
+        .select(col("asset_id"),
+          array_join(transform(col("embedding"),
+            f => ((f * 128).cast("int") + 128).cast("string")), " ").as("emb_bytes"))),
+
+    // resize kernel on the undecodable carrier = the documented maxBytes
+    // truncation fallback; oracled via payload hash + length (documents
+    // are pure ASCII at every sf, so DuckDB's char substr is a byte slice)
+    "mm_resize" -> ((s, d) =>
+      operators.Multimodal.resize(operators.Multimodal.asAssets(
+          Tables.documents(s, d), "doc_id", "text", "image"),
+          maxBytes = 64, maxDim = 32)
+        .toDF()
+        .select(col("asset_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_hash"))),
+
+    // frame sampling: video carrier yields 4 evenly-spaced byte slices,
+    // hashed — the caption/OCR input shape; slice arithmetic mirrored in
+    // the oracle with integer division
+    "mm_frames" -> ((s, d) =>
+      operators.Multimodal.sampleFrames(operators.Multimodal.asAssets(
+          Tables.documents(s, d), "doc_id", "text", "video"), n = 4)
+        .toDF()
+        .select(col("asset_id"),
+          col("frame_index").cast("long").as("frame_index"),
+          col("frame_hash"))),
+
     // ---- chess pipeline end-to-end (rows-only check: not SQL-expressible;
     // runs the real 514-game sample through bronze→silver→gold→analytics
     // when the reference checkout is present, else an empty result) -------
@@ -1169,6 +1206,20 @@ object SparkEntry {
         .groupBy((floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("window_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))),
+
+    // salted two-phase aggregation of a hot grouping key (events has ~5
+    // event_type values over the whole table — exactly the shape where one
+    // reduce task would own a fifth of the corpus without salting): partial
+    // agg on (key, salt-of-event_id), final combine on key. Oracled against
+    // the plain one-phase GROUP BY, proving the salt is semantically
+    // invisible; floor(x*100+0.5)/100 absorbs the reassociated double sum
+    "skew_salted_agg" -> ((s, d) =>
+      operators.SkewTools.saltedSumCount(
+          Tables.events(s, d).select(col("event_type"), col("value"), col("event_id")),
+          "event_type", "value", salt = 8, saltCols = Seq("event_id"))
+        .select(col("event_type"),
+          (floor(col("sum_value") * 100 + lit(0.5)) / 100).as("sum_value"),
+          col("n"))),
 
     // ---- scale-path: retrieval scoring + sequence packing ---------------
 
@@ -1322,6 +1373,29 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
       out
+    }),
+
+    // the streaming near-dup quarantine's per-batch ROUTING decision as a
+    // batch-equivalent (same relationship as stream_tumbling_agg to
+    // tumblingAgg): batch docs (doc_id % 10 == 0) probe the corpus LSH
+    // index and split accepted/quarantined — exactly the foreachBatch body
+    // of EventStreams.nearDupQuarantine, whose micro-batch mechanics are
+    // EventStreamsSpec's routing test. Shares the family's one persisted
+    // hash-array table; index cost is the batch probe, never a corpus
+    // re-hash.
+    "stream_quarantine" -> ((s, d) => {
+      val arr = sharedShingleArr(s, d)
+      val arrIdx = arr.filter(col("doc_id") % 10 =!= 0)
+      val bandIdx = Dedup.bandIndexFromArr(arrIdx, numPerm = 16, bands = 4)
+      val dups = Dedup.nearDupsAgainstIndexArr(
+          arr.filter(col("doc_id") % 10 === 0), arrIdx, bandIdx,
+          numPerm = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"))
+        .join(dups.withColumn("__q", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__q"), lit(false)).as("quarantined"))
     }),
 
     // J7 (beyond reference): point-in-interval range join via bin
@@ -1905,6 +1979,40 @@ object SparkEntry {
          |WHERE inter / (sa.n + sb.n - inter) >= 0.5""".stripMargin
     },
 
+    "stream_quarantine" -> {
+      // the incremental-probe oracle above, wrapped in the quarantine
+      // ROUTING read-out: batch docs whose index probe clears the
+      // threshold flag true, the rest flow accepted
+      val p = graft.operators.Dedup.MinhashPrime
+      val mins = graft.operators.Dedup.minhashCoeffs(16).zipWithIndex
+        .map { case ((a, b), i) => s"min((h31*$a + $b) % $p) AS m$i" }.mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(m$i AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $ShinglesCte,
+         |sig AS (SELECT doc_id, $mins FROM hsd GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |bfc AS (SELECT * FROM (SELECT doc_id, band, bh,
+         |         count(*) OVER (PARTITION BY band, bh) AS bn
+         |        FROM bands WHERE doc_id % 10 != 0) t
+         |        WHERE bn <= ${graft.operators.Dedup.DefaultMaxBucket}),
+         |nb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 10 = 0),
+         |cand AS (SELECT DISTINCT c.doc_id AS da, n.doc_id AS db
+         |         FROM bfc c JOIN nb n ON c.band = n.band AND c.bh = n.bh),
+         |pr AS (SELECT c.da, c.db, count(*) AS inter
+         |       FROM cand c JOIN hsd a ON a.doc_id = c.da
+         |       JOIN hsd b ON b.doc_id = c.db AND b.h31 = a.h31
+         |       GROUP BY c.da, c.db),
+         |q AS (SELECT DISTINCT db FROM pr
+         |      JOIN szh sa ON sa.doc_id = da JOIN szh sb ON sb.doc_id = db
+         |      WHERE inter / (sa.n + sb.n - inter) >= 0.5)
+         |SELECT d.doc_id, (q.db IS NOT NULL) AS quarantined
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN q ON q.db = d.doc_id""".stripMargin
+    },
+
     "dedup_minhash_lsh" -> {
       // identical affine permutation family as Dedup.minhashSignatures:
       // one md5 per shingle, numPerm (a*h+b) mod 2^31-1 transforms
@@ -2423,6 +2531,36 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_epoch,
         | event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the salt is an execution detail: the oracle is the plain GROUP BY
+    "skew_salted_agg" ->
+      """SELECT event_type,
+        | floor(sum(value)*100 + 0.5)/100 AS sum_value,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // 16 md5 bytes of the payload — the exact numerators of the dim=16
+    // hash-chain stand-in embedding ((b-128)/128 recovers losslessly)
+    "mm_features" ->
+      """SELECT doc_id AS asset_id,
+        | array_to_string(list_transform(range(1, 17),
+        |   i -> ('0x' || substr(md5(text), 2*i - 1, 2))::BIGINT), ' ') AS emb_bytes
+        |FROM documents""".stripMargin,
+
+    // truncation fallback of the resize kernel: first 64 bytes (documents
+    // are pure ASCII at every sf, so char substr == byte slice)
+    "mm_resize" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_bytes,
+        | md5(substr(text, 1, 64)) AS payload_hash
+        |FROM documents""".stripMargin,
+
+    // 4 evenly-spaced byte slices per "video": [i*len/4, (i+1)*len/4)
+    "mm_frames" ->
+      """SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_index,
+        | md5(substr(text, (i*length(text))//4 + 1,
+        |            ((i+1)*length(text))//4 - (i*length(text))//4)) AS frame_hash
+        |FROM documents, (SELECT unnest(range(0, 4)) AS i) g""".stripMargin,
 
     // identical interleave arithmetic, generated term-for-term
     "layout_zorder" -> {
