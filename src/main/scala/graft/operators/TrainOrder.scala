@@ -61,11 +61,30 @@ object TrainOrder {
     * no deterministic place in the order). `docs` must not already contain
     * the injected working columns `__graft_hk` / `__graft_b` /
     * `__graft_rn` / `__graft_off`.
+    *
+    * SIZE-ADAPTIVE (the family-wide gate of [[Sampling.stratified]] /
+    * [[Packing.packSequences]]): when Catalyst statistics bound the input
+    * under `smallBytes`, the enumeration is the single-window definition
+    * itself — one exchange, no driver offset round-trip — because the one
+    * sort task moves < smallBytes by construction. The null contract is
+    * enforced by a cheap eager probe so both paths fail fast with the
+    * same named error. Unknown stats or big inputs take the two-phase
+    * scan. Identical rows either way; `smallBytes = 0` pins the two-phase
+    * path (specs, plan audits).
     */
   def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
-                   buckets: Int = 1024): DataFrame = {
+                   buckets: Int = 1024,
+                   smallBytes: Long = 256L << 20): DataFrame = {
     require(buckets > 0, "epochShuffle: buckets must be positive")
     val hkey = seededHashKey(idCol, seed)
+    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+      require(docs.filter(col(idCol).isNull).isEmpty,
+        s"epochShuffle: null '$idCol' row(s) — the id must be a unique " +
+          "non-null key for a deterministic order")
+      return docs.withColumn("shuffle_pos",
+        (row_number().over(Window.orderBy(hkey, col(idCol))) - 1).cast(LongType))
+    }
     val width = bucketWidth(buckets)
     val keyed = docs
       .withColumn("__graft_hk", hkey)
@@ -105,9 +124,10 @@ object TrainOrder {
     * not). Writing `partitionBy("shard")` materializes the layout.
     */
   def shardAssignments(docs: DataFrame, idCol: String, seed: Long,
-                       numShards: Int, buckets: Int = 1024): DataFrame = {
+                       numShards: Int, buckets: Int = 1024,
+                       smallBytes: Long = 256L << 20): DataFrame = {
     require(numShards > 0, "shardAssignments: numShards must be positive")
-    epochShuffle(docs, idCol, seed, buckets)
+    epochShuffle(docs, idCol, seed, buckets, smallBytes)
       .withColumn("shard", pmod(col("shuffle_pos"), lit(numShards.toLong)))
   }
 
@@ -130,10 +150,24 @@ object TrainOrder {
     * must not already contain the injected `__graft_*` working columns.
     */
   def tokenBudgetHead(docs: DataFrame, idCol: String, tokenCol: String,
-                      seed: Long, budget: Long, buckets: Int = 1024): DataFrame = {
+                      seed: Long, budget: Long, buckets: Int = 1024,
+                      smallBytes: Long = 256L << 20): DataFrame = {
     require(buckets > 0, "tokenBudgetHead: buckets must be positive")
     require(budget >= 0, "tokenBudgetHead: budget must be non-negative")
     val hkey = seededHashKey(idCol, seed)
+    // size-adaptive: the single running-sum window IS the definition (see
+    // epochShuffle); the scan-stage bucket prune only matters when the
+    // budget cuts data too big for one sort task anyway
+    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+      require(docs.filter(col(idCol).isNull || col(tokenCol).isNull).isEmpty,
+        s"tokenBudgetHead: null '$idCol' or '$tokenCol' row(s) — both must " +
+          "be non-null (unique id, token count) for an exact budgeted prefix sum")
+      val w = Window.orderBy(hkey, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return docs.withColumn("cum_tokens", sum(col(tokenCol).cast(LongType)).over(w))
+        .filter(col("cum_tokens") <= budget)
+    }
     val width = bucketWidth(buckets)
     val keyed = docs
       .withColumn("__graft_hk", hkey)
@@ -195,10 +229,24 @@ object TrainOrder {
   def tokenBudgetPerSource(docs: DataFrame, idCol: String, tokenCol: String,
                            sourceCol: String, seed: Long, budget: Long,
                            buckets: Int = 1024,
-                           maxGroups: Int = 1 << 20): DataFrame = {
+                           maxGroups: Int = 1 << 20,
+                           smallBytes: Long = 256L << 20): DataFrame = {
     require(buckets > 0, "tokenBudgetPerSource: buckets must be positive")
     require(budget >= 0, "tokenBudgetPerSource: budget must be non-negative")
     val hkey = seededHashKey(idCol, seed)
+    // size-adaptive: per-source running-sum windows, one exchange on the
+    // source key — the definition itself (see epochShuffle)
+    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+      require(docs.filter(col(idCol).isNull || col(tokenCol).isNull ||
+          col(sourceCol).isNull).isEmpty,
+        s"tokenBudgetPerSource: null '$sourceCol', '$idCol' or '$tokenCol' " +
+          "row(s) — all must be non-null for an exact per-source budget")
+      val w = Window.partitionBy(col(sourceCol)).orderBy(hkey, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return docs.withColumn("cum_tokens", sum(col(tokenCol).cast(LongType)).over(w))
+        .filter(col("cum_tokens") <= budget)
+    }
     val width = bucketWidth(buckets)
     val keyed = docs
       .withColumn("__graft_hk", hkey)
@@ -264,9 +312,32 @@ object TrainOrder {
     */
   def sourceInterleave(docs: DataFrame, idCol: String, sourceCol: String,
                        seed: Long, buckets: Int = 1024,
-                       maxGroups: Int = 1 << 20): DataFrame = {
+                       maxGroups: Int = 1 << 20,
+                       smallBytes: Long = 256L << 20): DataFrame = {
     require(buckets > 0, "sourceInterleave: buckets must be positive")
     val hkey = seededHashKey(idCol, seed)
+    // size-adaptive: within-source ranks from per-source windows; the
+    // source index and source count come from two more in-plan windows
+    // (dense_rank over the sorted source strings; a whole-frame
+    // collect_set size) — zero driver round-trips (see epochShuffle)
+    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+      require(docs.filter(col(idCol).isNull || col(sourceCol).isNull).isEmpty,
+        s"sourceInterleave: null '$sourceCol' or '$idCol' row(s) — both " +
+          "must be non-null for a deterministic order")
+      val srcStr = col(sourceCol).cast("string")
+      val wSrc = Window.partitionBy(col(sourceCol)).orderBy(hkey, col(idCol))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      return docs
+        .withColumn("source_rank", (row_number().over(wSrc) - 1).cast(LongType))
+        .withColumn("__graft_sx",
+          (dense_rank().over(Window.orderBy(srcStr)) - 1).cast(LongType))
+        .withColumn("__graft_ns", size(collect_set(srcStr).over(wAll)).cast(LongType))
+        .withColumn("interleave_pos",
+          col("source_rank") * col("__graft_ns") + col("__graft_sx"))
+        .drop("__graft_sx", "__graft_ns")
+    }
     val width = bucketWidth(buckets)
     val keyed = docs
       .withColumn("__graft_hk", hkey)
@@ -331,9 +402,22 @@ object TrainOrder {
     */
   def curriculumOrder(docs: DataFrame, idCol: String, binCol: String,
                       seed: Long, buckets: Int = 1024,
-                      maxGroups: Int = 1 << 20): DataFrame = {
+                      maxGroups: Int = 1 << 20,
+                      smallBytes: Long = 256L << 20): DataFrame = {
     require(buckets > 0, "curriculumOrder: buckets must be positive")
     val hkey = seededHashKey(idCol, seed)
+    // size-adaptive: the single window over (bin, hash, id) is the staged
+    // definition itself; the long cast stays the one owner of the stage
+    // key (see epochShuffle for the gate)
+    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+      require(docs.filter(col(idCol).isNull || col(binCol).isNull).isEmpty,
+        s"curriculumOrder: null '$binCol' or '$idCol' row(s) — both must be " +
+          "non-null for a deterministic order")
+      return docs.withColumn("curriculum_pos",
+        (row_number().over(Window.orderBy(col(binCol).cast(LongType),
+          hkey, col(idCol))) - 1).cast(LongType))
+    }
     val width = bucketWidth(buckets)
     // ONE owner of the stage key: ranks, totals and the offset join all
     // use the same cast-to-long bin — partitioning the rank window by the

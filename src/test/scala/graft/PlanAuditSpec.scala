@@ -122,11 +122,31 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "SortMergeJoin"
   }
 
-  test("order_budget_per_source: one corpus exchange; offsets broadcast") {
-    val p = plan("order_budget_per_source")
+  test("order_budget_per_source: one corpus exchange; offsets broadcast (two-phase pinned)") {
+    // smallBytes = 0 pins the scale path: at sf0.001 the size-adaptive
+    // default would emit the single-window plan and audit nothing
+    val p = operators.TrainOrder.tokenBudgetPerSource(
+        Tables.documents(spark, sf0001).select(col("doc_id"), col("source"),
+          operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", "source", seed = 5L, budget = 800L,
+        smallBytes = 0L)
+      .queryExecution.executedPlan.toString
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
     p should include("BroadcastExchange")
     p should not include "Exchange rangepartitioning"
+  }
+
+  test("order_* small-path plans: no broadcast offset join, no extra exchange") {
+    // at bench scale the adaptive gate emits the definition window plans:
+    // a single exchange (SinglePartition for the global orders, hash on
+    // source for the per-source ones) and zero driver-offset broadcasts
+    for (q <- Seq("order_epoch_shuffle", "order_token_budget", "order_curriculum")) {
+      val p = plan(q)
+      withClue(s"$q plan:") {
+        p should not include "BroadcastExchange"
+        "Exchange".r.findAllIn(p).length shouldBe 1
+      }
+    }
   }
 
   test("pack_materialize: the encoder runs exactly once, in the payload branch") {

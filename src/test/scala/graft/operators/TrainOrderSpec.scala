@@ -20,22 +20,22 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("epochShuffle matches the single-window definition") {
-    val got = TrainOrder.epochShuffle(docs, "doc_id", seed = 7L, buckets = 16)
+    val got = TrainOrder.epochShuffle(docs, "doc_id", seed = 7L, buckets = 16, smallBytes = 0L)
       .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
     got shouldBe oracle(7L)
   }
 
   test("positions are a contiguous 0-based permutation; seeds differ") {
-    val p1 = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 8)
+    val p1 = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 8, smallBytes = 0L)
       .select($"shuffle_pos").as[Long].collect().sorted
     p1 shouldBe (0L until 200L).toArray
-    val o1 = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 8)
+    val o1 = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 8, smallBytes = 0L)
       .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
-    val o2 = TrainOrder.epochShuffle(docs, "doc_id", seed = 2L, buckets = 8)
+    val o2 = TrainOrder.epochShuffle(docs, "doc_id", seed = 2L, buckets = 8, smallBytes = 0L)
       .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
     o1 should not be o2 // independent permutation per epoch seed
     // bucket count does not change the order, only the plan
-    val wide = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 1000)
+    val wide = TrainOrder.epochShuffle(docs, "doc_id", seed = 1L, buckets = 1000, smallBytes = 0L)
       .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
     wide shouldBe o1
   }
@@ -52,7 +52,7 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     oracle.size should be < 200 // the budget actually cuts
     for (b <- Seq(4, 64, 1000)) { // prune path exercised at several widths
       val got = TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens",
-          seed = 3L, budget = 400L, buckets = b)
+          seed = 3L, budget = 400L, buckets = b, smallBytes = 0L)
         .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
       got shouldBe oracle
     }
@@ -71,13 +71,13 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     oracle.size should be < 200 // the cap actually cuts
     for (b <- Seq(4, 64, 1000)) { // dead-bucket prune exercised at several widths
       val got = TrainOrder.tokenBudgetPerSource(toks, "doc_id", "n_tokens",
-          "source", seed = 5L, budget = 300L, buckets = b)
+          "source", seed = 5L, budget = 300L, buckets = b, smallBytes = 0L)
         .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
       got shouldBe oracle
     }
     // every source is individually capped, and each contributes something
     val bySrc = TrainOrder.tokenBudgetPerSource(toks, "doc_id", "n_tokens",
-        "source", seed = 5L, budget = 300L)
+        "source", seed = 5L, budget = 300L, smallBytes = 0L)
       .groupBy($"source").agg(max($"cum_tokens").as("m"), count(lit(1)).as("n"))
       .as[(String, Long, Long)].collect()
     bySrc.length shouldBe 4
@@ -85,7 +85,7 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("shardAssignments: round-robin along the order → equal sizes, unbiased") {
-    val got = TrainOrder.shardAssignments(docs, "doc_id", seed = 5L, numShards = 8)
+    val got = TrainOrder.shardAssignments(docs, "doc_id", seed = 5L, numShards = 8, smallBytes = 0L)
       .select($"doc_id", $"shuffle_pos", $"shard").as[(Long, Long, Long)].collect()
     got.length shouldBe 200
     got.foreach { case (_, pos, shard) => shard shouldBe pos % 8 }
@@ -95,10 +95,10 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("tokenBudgetHead: zero budget keeps nothing; huge budget keeps all") {
     val toks = docs.withColumn("n_tokens", lit(5L))
-    TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens", seed = 1L, budget = 0L)
+    TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens", seed = 1L, budget = 0L, smallBytes = 0L)
       .count() shouldBe 0L
     val all = TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens",
-      seed = 1L, budget = Long.MaxValue)
+      seed = 1L, budget = Long.MaxValue, smallBytes = 0L)
     all.count() shouldBe 200L
     all.agg(max($"cum_tokens")).as[Long].head() shouldBe 1000L
   }
@@ -106,7 +106,7 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("tokenBudgetHead: null token count fails fast with the contract error") {
     val bad = Seq((1L, Some(3L)), (2L, None)).toDF("doc_id", "n_tokens")
     val e = intercept[IllegalArgumentException] {
-      TrainOrder.tokenBudgetHead(bad, "doc_id", "n_tokens", seed = 1L, budget = 10L)
+      TrainOrder.tokenBudgetHead(bad, "doc_id", "n_tokens", seed = 1L, budget = 10L, smallBytes = 0L)
     }
     e.getMessage should include("non-null")
   }
@@ -114,7 +114,7 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("null id fails fast with the contract error") {
     val bad = Seq((Some(1L), "a"), (None, "b")).toDF("doc_id", "source")
     val e = intercept[IllegalArgumentException] {
-      TrainOrder.epochShuffle(bad, "doc_id", seed = 1L).count()
+      TrainOrder.epochShuffle(bad, "doc_id", seed = 1L, smallBytes = 0L).count()
     }
     e.getMessage should include("null 'doc_id'")
   }
@@ -124,7 +124,7 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
       .toDF("doc_id", "source")
     val out = TrainOrder.sourceInterleave(mixed, "doc_id", "source",
-      seed = 13L, buckets = 4)
+      seed = 13L, buckets = 4, smallBytes = 0L)
       .select($"doc_id", $"source", $"source_rank", $"interleave_pos")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     // pos = rank*3 + idx(source): a->0,3,6  b->1,4  c->2
@@ -137,13 +137,13 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.filter(_._2 == "b").map(_._3).sorted shouldBe Array(0L, 1L)
     // bucket count changes the plan, not the order
     val wide = TrainOrder.sourceInterleave(mixed, "doc_id", "source",
-      seed = 13L, buckets = 64)
+      seed = 13L, buckets = 64, smallBytes = 0L)
       .select($"doc_id", $"interleave_pos").as[(Long, Long)].collect().toMap
     wide shouldBe out.map(t => t._1 -> t._4).toMap
     // group-bound guard fails fast with an actionable message
     val e = intercept[IllegalArgumentException] {
       TrainOrder.sourceInterleave(mixed, "doc_id", "source",
-        seed = 13L, buckets = 4, maxGroups = 2)
+        seed = 13L, buckets = 4, maxGroups = 2, smallBytes = 0L)
     }
     e.getMessage should include("maxGroups")
   }
@@ -151,7 +151,7 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("curriculumOrder: exact stage boundaries, seeded shuffle within each stage") {
     val staged = (1L to 60L).map(i => (i, i % 3)).toDF("doc_id", "bin")
     val out = TrainOrder.curriculumOrder(staged, "doc_id", "bin",
-        seed = 7L, buckets = 8)
+        seed = 7L, buckets = 8, smallBytes = 0L)
       .select($"doc_id", $"bin", $"curriculum_pos")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // positions are contiguous 0-based over the whole corpus
@@ -163,15 +163,52 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     maxByBin(1L) should be < minByBin(2L)
     // within a stage, the order IS the epoch-shuffle order of that slice
     val epoch = TrainOrder.epochShuffle(staged.filter($"bin" === 1), "doc_id",
-        seed = 7L)
+        seed = 7L, smallBytes = 0L)
       .orderBy($"shuffle_pos").select($"doc_id").as[Long].collect()
     val stage1 = out.filter(_._2 == 1L).sortBy(_._3).map(_._1)
     stage1 shouldBe epoch
     // bucket count changes the plan, not the order
     val wide = TrainOrder.curriculumOrder(staged, "doc_id", "bin",
-        seed = 7L, buckets = 64)
+        seed = 7L, buckets = 64, smallBytes = 0L)
       .select($"doc_id", $"curriculum_pos").as[(Long, Long)].collect().toMap
     wide shouldBe out.map(t => t._1 -> t._3).toMap
+  }
+
+  test("size-adaptive small path matches the two-phase scan on every operator") {
+    // the adaptive default routes these tiny frames to the single-window
+    // plans; smallBytes = 0 pins the two-phase scan — both must agree
+    // row-for-row (same contract as Sampling.stratified's switch)
+    val toks = docs.withColumn("n_tokens", ($"doc_id" % 30 + 1).cast("long"))
+    def m(df: org.apache.spark.sql.DataFrame, pos: String) =
+      df.select($"doc_id", col(pos)).as[(Long, Long)].collect().toMap
+    m(TrainOrder.epochShuffle(docs, "doc_id", seed = 7L), "shuffle_pos") shouldBe
+      m(TrainOrder.epochShuffle(docs, "doc_id", seed = 7L, smallBytes = 0L), "shuffle_pos")
+    m(TrainOrder.shardAssignments(docs, "doc_id", seed = 5L, numShards = 8), "shard") shouldBe
+      m(TrainOrder.shardAssignments(docs, "doc_id", seed = 5L, numShards = 8,
+        smallBytes = 0L), "shard")
+    m(TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens", seed = 3L,
+        budget = 400L), "cum_tokens") shouldBe
+      m(TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens", seed = 3L,
+        budget = 400L, smallBytes = 0L), "cum_tokens")
+    m(TrainOrder.tokenBudgetPerSource(toks, "doc_id", "n_tokens", "source",
+        seed = 5L, budget = 300L), "cum_tokens") shouldBe
+      m(TrainOrder.tokenBudgetPerSource(toks, "doc_id", "n_tokens", "source",
+        seed = 5L, budget = 300L, smallBytes = 0L), "cum_tokens")
+    m(TrainOrder.sourceInterleave(docs, "doc_id", "source", seed = 13L),
+        "interleave_pos") shouldBe
+      m(TrainOrder.sourceInterleave(docs, "doc_id", "source", seed = 13L,
+        smallBytes = 0L), "interleave_pos")
+    val staged = (1L to 60L).map(i => (i, i % 3)).toDF("doc_id", "bin")
+    m(TrainOrder.curriculumOrder(staged, "doc_id", "bin", seed = 7L),
+        "curriculum_pos") shouldBe
+      m(TrainOrder.curriculumOrder(staged, "doc_id", "bin", seed = 7L,
+        smallBytes = 0L), "curriculum_pos")
+    // the small path enforces the same fail-fast null contract
+    val bad = Seq((Some(1L), "a"), (None, "b")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      TrainOrder.epochShuffle(bad, "doc_id", seed = 1L)
+    }
+    e.getMessage should include("null 'doc_id'")
   }
 
   test("curriculumOrder: fractional bins truncate consistently — positions stay a permutation") {
@@ -181,7 +218,7 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     val frac = Seq((1L, 2.2), (2L, 2.7), (3L, 0.9), (4L, 1.5))
       .toDF("doc_id", "bin")
     val out = TrainOrder.curriculumOrder(frac, "doc_id", "bin",
-        seed = 3L, buckets = 4)
+        seed = 3L, buckets = 4, smallBytes = 0L)
       .select($"doc_id", $"curriculum_pos").as[(Long, Long)].collect()
     out.map(_._2).sorted shouldBe Array(0L, 1L, 2L, 3L)
     // truncated stages: 0.9 -> 0 first, 1.5 -> 1 second, {2.2, 2.7} last
