@@ -60,22 +60,35 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    println(fixed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f(v)}s" }
-      .mkString("fixed-input (untimed in total): ", " ", ""))
-    // compact precision and sf label: the driver snapshots only the last
-    // ~2 KB of stdout, and a full-precision 75-query line overflowed that
-    // window (round 4 recorded a truncated, unparseable tail). Queries at
-    // 10 ms+ report centiseconds — up to ±0.005 s quantization on the
-    // floor queries, noise next to the host's ±30% swings, and it keeps
-    // the 84-query line ~150 chars under the window. The line stays LAST
-    // so any truncation eats the line above, not this one.
+    // The driver snapshots only the LAST ~2 KB of stdout; the full
+    // per-query map no longer fits that window (118 sf-scaled queries ≈
+    // 3 KB — round 6's snapshot already lost the line head, including the
+    // total). Print order puts the expendable detail FIRST and a compact,
+    // SELF-CONTAINED line LAST: the full map (head may be eaten — it is
+    // also written whole to BENCH_FULL.json), the fixed-input line, then
+    // a ≤1.5 KB line carrying the total, every failure, the slowest 30
+    // queries, and an aggregate of the remaining floor queries.
     def fq(v: Double): String =
       if (v >= 0.01) "%.2f".formatLocal(java.util.Locale.ROOT, v) else f(v)
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfLabel = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","passes":2}""")
+    val fullLine =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","passes":2}"""
+    println(fullLine)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    catch { case _: Throwable => () } // read-only cwd: stdout already has it
+    println(fixed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f(v)}s" }
+      .mkString("fixed-input (untimed in total): ", " ", ""))
+    val (failed, timed) = results.partition(_._2 < 0)
+    val top = timed.toSeq.sortBy(-_._2).take(30)
+    val floor = timed.toSeq.sortBy(-_._2).drop(30)
+    val topJson = (failed.toSeq.map { case (k, _) => s"\"" + k + "\":-1.000" } ++
+      top.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fq(v) })
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$topJson,"floor_queries":{"n":${floor.size},"sum":${f(floor.map(_._2).sum)}},"sf":"$sfLabel","passes":2,"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
