@@ -1393,7 +1393,10 @@ object SparkEntry {
         .select(col("doc_b").as("doc_id")).distinct()
       Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"))
-        .join(dups.withColumn("__q", lit(true)), Seq("doc_id"), "left")
+        // dups ⊆ the micro-batch, which is bounded by the streaming
+        // contract — broadcast the routing set so the batch never
+        // exchanges for the split (the static plan would otherwise SMJ)
+        .join(broadcast(dups.withColumn("__q", lit(true))), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("__q"), lit(false)).as("quarantined"))
     }),

@@ -136,6 +136,31 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("skew_salted_agg: two-phase agg = exactly two hash exchanges, partial combine each") {
+    val p = plan("skew_salted_agg")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 2
+    "HashAggregate".r.findAllIn(p).length shouldBe 4 // partial+final per phase
+  }
+
+  test("stream_quarantine: index probe is hash-joined, never cartesian or sort-merge") {
+    val p = plan("stream_quarantine")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "SortMergeJoin"
+  }
+
+  test("mm kernel queries: scan prunes to the carried columns") {
+    // the typed mapPartitions kernels consume only (doc_id, text); the
+    // unreferenced lang/source/n_chars must not reach the parquet scan
+    for (q <- Seq("mm_features", "mm_resize", "mm_frames")) {
+      val p = plan(q)
+      withClue(s"$q plan:") {
+        p should not include "n_chars"
+        p should include("ReadSchema")
+      }
+    }
+  }
+
   test("order_* small-path plans: no broadcast offset join, no extra exchange") {
     // at bench scale the adaptive gate emits the definition window plans:
     // a single exchange (SinglePartition for the global orders, hash on
