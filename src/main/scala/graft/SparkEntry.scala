@@ -688,6 +688,27 @@ object SparkEntry {
           (floor(sum(col("c_acctbal")) * 100 + 0.5) / 100).as("total_acctbal"))
     }),
 
+    // text-format breadth, same roundtrip contract as src_orc_roundtrip:
+    // CSV sink+source (explicit schema on the read — an inferSchema pass
+    // would scan the data twice and is banned from the library's read
+    // path) and JSON-lines sink+source, each proven end-to-end under an
+    // oracle reading the identical rows from parquet
+    "src_csv_roundtrip" -> ((s, d) => {
+      val dir = graft.sources.Sources.csvNationFixture(s, d)
+      graft.sources.Sources.csv(s, dir,
+          Some(Tables.nation(s, d).schema))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_nation"))
+    }),
+
+    "src_json_roundtrip" -> ((s, d) => {
+      val dir = graft.sources.Sources.jsonSupplierFixture(s, d)
+      s.read.schema(Tables.supplier(s, d).schema).json(dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("s_acctbal")) * 100 + 0.5) / 100).as("total_acctbal"))
+    }),
+
     // ---- scale-path: deduplication ------------------------------------
 
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
@@ -1834,6 +1855,17 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         | floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // roundtrip oracles read the identical rows straight from parquet: a
+    // lossy sink (formatting, schema inference, type mangling) hash-fails
+    "src_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_nation
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "src_json_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | floor(sum(s_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
 
     // identical posting derivation; the df-cut HAVING mirrors the combined
     // (train ∪ eval) posting heat exactly like the operator

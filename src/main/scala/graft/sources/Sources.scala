@@ -58,6 +58,37 @@ object Sources {
       p
     })
 
+  /** CSV sink (full replace, header row). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", true).csv(path)
+
+  /** JSON-lines sink (full replace). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+
+  /** Once-per-JVM text-format fixtures for the roundtrip queries — same
+    * lifecycle contract as [[orcCustomerFixture]]: repeated invocations
+    * measure the scan, never a rewrite.
+    */
+  private val csvFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def csvNationFixture(spark: SparkSession, sfDir: String): String =
+    csvFixtures.computeIfAbsent(sfDir, { d =>
+      val p = System.getProperty("java.io.tmpdir") + "/graft-csv-fixture" +
+        d.replaceAll("[^a-zA-Z0-9]", "_") + "/nation.csv"
+      writeCsv(graft.Tables.nation(spark, d), p)
+      p
+    })
+
+  private val jsonFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def jsonSupplierFixture(spark: SparkSession, sfDir: String): String =
+    jsonFixtures.computeIfAbsent(sfDir, { d =>
+      val p = System.getProperty("java.io.tmpdir") + "/graft-json-fixture" +
+        d.replaceAll("[^a-zA-Z0-9]", "_") + "/supplier.json"
+      writeJson(graft.Tables.supplier(spark, d), p)
+      p
+    })
+
   /** S6: JDBC table read; `partitionColumn` splits the read into
     * `numPartitions` parallel range queries — without it a warehouse read
     * is a single connection no matter the cluster size.
