@@ -703,7 +703,10 @@ object SparkEntry {
 
     "src_json_roundtrip" -> ((s, d) => {
       val dir = graft.sources.Sources.jsonSupplierFixture(s, d)
-      s.read.schema(Tables.supplier(s, d).schema).json(dir)
+      // multiLine = false: the fixture is JSON-LINES (writeJson's format);
+      // the facade's multiLine default serves the bronze array-file shape
+      graft.sources.Sources.json(s, dir, Tables.supplier(s, d).schema,
+          multiLine = false)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
           (floor(sum(col("s_acctbal")) * 100 + 0.5) / 100).as("total_acctbal"))
@@ -1276,16 +1279,19 @@ object SparkEntry {
         .withColumn("ids", array_join(col("ids").cast("array<string>"), " "))),
 
     // reproducible epoch shuffle: contiguous 0-based training order from a
-    // seed-keyed content hash, enumerated by the two-phase prefix scan
-    // (no single-task global window)
+    // seed-keyed content hash. Size-adaptive: at bench sf the operator
+    // emits the single-window definition plan (audited in PlanAuditSpec);
+    // past smallBytes it switches to the two-phase prefix scan, whose
+    // shape the smallBytes=0-pinned audits cover
     "order_epoch_shuffle" -> ((s, d) =>
       operators.TrainOrder.epochShuffle(
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id", seed = 7L)),
 
     // length-staged curriculum: 16-word bins ascending (short docs first),
-    // seeded shuffle within each stage — exact stage boundaries via the
-    // two-phase rank, no global sort
+    // seeded shuffle within each stage; exact stage boundaries (size-
+    // adaptive like order_epoch_shuffle: definition window at bench sf,
+    // two-phase rank past smallBytes)
     "order_curriculum" -> ((s, d) =>
       operators.TrainOrder.curriculumOrder(
         Tables.documents(s, d).select(col("doc_id"),

@@ -55,6 +55,23 @@ object TrainOrder {
   private def bucketWidth(buckets: Int): Long =
     math.max(1L, 4294967296L / buckets + 1)
 
+  /** Unsigned UTF-8 byte ordering — Spark's binary string sort order (and
+    * DuckDB's default collation). Driver-side source indexing must use
+    * THIS, not String's UTF-16 code-unit order, so both interleave paths
+    * and the oracle agree beyond the ASCII range.
+    */
+  private[operators] val Utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < x.length && i < y.length) {
+      r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+  }
+
   /** Every column of `docs` plus `shuffle_pos` — the document's 0-based
     * position in the seed-keyed pseudo-random order. `idCol` must be
     * unique and non-null (fails fast otherwise; a null id has no hash and
@@ -67,10 +84,12 @@ object TrainOrder {
     * under `smallBytes`, the enumeration is the single-window definition
     * itself — one exchange, no driver offset round-trip — because the one
     * sort task moves < smallBytes by construction. The null contract is
-    * enforced by a cheap eager probe so both paths fail fast with the
-    * same named error. Unknown stats or big inputs take the two-phase
-    * scan. Identical rows either way; `smallBytes = 0` pins the two-phase
-    * path (specs, plan audits).
+    * enforced IN-PLAN (`raise_error` on the sort key, the
+    * [[Packing.packSequences]] small-path pattern), so the small path adds
+    * no eager probe job; the same named error then surfaces at the
+    * caller's action rather than at construction. Unknown stats or big
+    * inputs take the two-phase scan. Identical rows either way;
+    * `smallBytes = 0` pins the two-phase path (specs, plan audits).
     */
   def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
                    buckets: Int = 1024,
@@ -79,11 +98,15 @@ object TrainOrder {
     val hkey = seededHashKey(idCol, seed)
     val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sizeHint >= 0 && sizeHint <= smallBytes) {
-      require(docs.filter(col(idCol).isNull).isEmpty,
-        s"epochShuffle: null '$idCol' row(s) — the id must be a unique " +
-          "non-null key for a deterministic order")
+      // null contract enforced IN-PLAN on the sort key (the packSequences
+      // small-path pattern): same named error, no extra eager probe job,
+      // laziness preserved — it surfaces at the caller's action
+      val guarded = when(col(idCol).isNull, raise_error(lit(
+          s"epochShuffle: null '$idCol' row(s) — the id must be a unique " +
+            "non-null key for a deterministic order")))
+        .otherwise(hkey)
       return docs.withColumn("shuffle_pos",
-        (row_number().over(Window.orderBy(hkey, col(idCol))) - 1).cast(LongType))
+        (row_number().over(Window.orderBy(guarded, col(idCol))) - 1).cast(LongType))
     }
     val width = bucketWidth(buckets)
     val keyed = docs
@@ -160,12 +183,15 @@ object TrainOrder {
     // budget cuts data too big for one sort task anyway
     val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sizeHint >= 0 && sizeHint <= smallBytes) {
-      require(docs.filter(col(idCol).isNull || col(tokenCol).isNull).isEmpty,
-        s"tokenBudgetHead: null '$idCol' or '$tokenCol' row(s) — both must " +
-          "be non-null (unique id, token count) for an exact budgeted prefix sum")
+      // null contract in-plan on the summed value (see epochShuffle)
+      val guardedTok = when(col(idCol).isNull || col(tokenCol).isNull,
+          raise_error(lit(
+            s"tokenBudgetHead: null '$idCol' or '$tokenCol' row(s) — both must " +
+              "be non-null (unique id, token count) for an exact budgeted prefix sum")))
+        .otherwise(col(tokenCol).cast(LongType))
       val w = Window.orderBy(hkey, col(idCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      return docs.withColumn("cum_tokens", sum(col(tokenCol).cast(LongType)).over(w))
+      return docs.withColumn("cum_tokens", sum(guardedTok).over(w))
         .filter(col("cum_tokens") <= budget)
     }
     val width = bucketWidth(buckets)
@@ -238,13 +264,17 @@ object TrainOrder {
     // source key — the definition itself (see epochShuffle)
     val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sizeHint >= 0 && sizeHint <= smallBytes) {
-      require(docs.filter(col(idCol).isNull || col(tokenCol).isNull ||
-          col(sourceCol).isNull).isEmpty,
-        s"tokenBudgetPerSource: null '$sourceCol', '$idCol' or '$tokenCol' " +
-          "row(s) — all must be non-null for an exact per-source budget")
+      // null contract in-plan on the summed value (see epochShuffle).
+      // A null source would otherwise form its own window partition and
+      // silently pass — the guard covers it on the same expression
+      val guardedTok = when(col(idCol).isNull || col(tokenCol).isNull ||
+          col(sourceCol).isNull, raise_error(lit(
+            s"tokenBudgetPerSource: null '$sourceCol', '$idCol' or '$tokenCol' " +
+              "row(s) — all must be non-null for an exact per-source budget")))
+        .otherwise(col(tokenCol).cast(LongType))
       val w = Window.partitionBy(col(sourceCol)).orderBy(hkey, col(idCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      return docs.withColumn("cum_tokens", sum(col(tokenCol).cast(LongType)).over(w))
+      return docs.withColumn("cum_tokens", sum(guardedTok).over(w))
         .filter(col("cum_tokens") <= budget)
     }
     val width = bucketWidth(buckets)
@@ -307,8 +337,10 @@ object TrainOrder {
     * buckets, windowed per (source, bucket) — no per-source single-task
     * sort however skewed the sources. Driver state is one (source, bucket)
     * count per occupied pair, guarded by `maxGroups`; source indexes come
-    * from the same collect. Sources are ordered by their string form
-    * (ASCII-stable across engines).
+    * from the same collect. Sources are ordered by UTF-8 byte order
+    * ([[Utf8Ordering]] — Spark's binary string sort and DuckDB's default
+    * collation), so both execution paths and the oracle agree on indexes
+    * beyond ASCII.
     */
   def sourceInterleave(docs: DataFrame, idCol: String, sourceCol: String,
                        seed: Long, buckets: Int = 1024,
@@ -322,11 +354,14 @@ object TrainOrder {
     // collect_set size) — zero driver round-trips (see epochShuffle)
     val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sizeHint >= 0 && sizeHint <= smallBytes) {
-      require(docs.filter(col(idCol).isNull || col(sourceCol).isNull).isEmpty,
-        s"sourceInterleave: null '$sourceCol' or '$idCol' row(s) — both " +
-          "must be non-null for a deterministic order")
+      // null contract in-plan on the rank sort key (see epochShuffle)
+      val guarded = when(col(idCol).isNull || col(sourceCol).isNull,
+          raise_error(lit(
+            s"sourceInterleave: null '$sourceCol' or '$idCol' row(s) — both " +
+              "must be non-null for a deterministic order")))
+        .otherwise(hkey)
       val srcStr = col(sourceCol).cast("string")
-      val wSrc = Window.partitionBy(col(sourceCol)).orderBy(hkey, col(idCol))
+      val wSrc = Window.partitionBy(col(sourceCol)).orderBy(guarded, col(idCol))
       val wAll = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       return docs
@@ -356,7 +391,12 @@ object TrainOrder {
     require(totals.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
       s"sourceInterleave: null '$sourceCol' or '$idCol' row(s) — both must " +
         "be non-null for a deterministic order")
-    val srcs = totals.map(_.getString(0)).distinct.sorted
+    // UTF-8 BYTE order, not Scala's UTF-16 code-unit String order: the
+    // small path derives the index from a Spark string sort (binary UTF-8)
+    // and the DuckDB oracle sorts by bytes too — for supplementary-plane
+    // source names the two orders differ (surrogates sort low in UTF-16,
+    // high in UTF-8), and the index must not depend on which path ran
+    val srcs = totals.map(_.getString(0)).distinct.sorted(Utf8Ordering)
     val sIdx = srcs.zipWithIndex.toMap
     val nS = srcs.length.toLong
     val offsetRows = totals.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -411,11 +451,15 @@ object TrainOrder {
     // key (see epochShuffle for the gate)
     val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sizeHint >= 0 && sizeHint <= smallBytes) {
-      require(docs.filter(col(idCol).isNull || col(binCol).isNull).isEmpty,
-        s"curriculumOrder: null '$binCol' or '$idCol' row(s) — both must be " +
-          "non-null for a deterministic order")
+      // null contract in-plan on the stage sort key (see epochShuffle);
+      // the cast-to-long stays the one owner of the stage key
+      val guardedBin = when(col(idCol).isNull || col(binCol).isNull,
+          raise_error(lit(
+            s"curriculumOrder: null '$binCol' or '$idCol' row(s) — both must " +
+              "be non-null for a deterministic order")))
+        .otherwise(col(binCol).cast(LongType))
       return docs.withColumn("curriculum_pos",
-        (row_number().over(Window.orderBy(col(binCol).cast(LongType),
+        (row_number().over(Window.orderBy(guardedBin,
           hkey, col(idCol))) - 1).cast(LongType))
     }
     val width = bucketWidth(buckets)

@@ -63,7 +63,11 @@ object Sources {
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("header", true).csv(path)
 
-  /** JSON-lines sink (full replace). */
+  /** JSON-lines sink (full replace). NOTE: read its output back with
+    * [[json]]`(…, multiLine = false)` — the facade's `multiLine` default
+    * serves the bronze one-array-per-file shape and would parse a
+    * JSON-lines file as a single document (first record only).
+    */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
 

@@ -203,10 +203,11 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
         "curriculum_pos") shouldBe
       m(TrainOrder.curriculumOrder(staged, "doc_id", "bin", seed = 7L,
         smallBytes = 0L), "curriculum_pos")
-    // the small path enforces the same fail-fast null contract
+    // the small path enforces the same null contract IN-PLAN (the
+    // packSequences pattern): the named error surfaces at the action
     val bad = Seq((Some(1L), "a"), (None, "b")).toDF("doc_id", "source")
-    val e = intercept[IllegalArgumentException] {
-      TrainOrder.epochShuffle(bad, "doc_id", seed = 1L)
+    val e = intercept[Exception] {
+      TrainOrder.epochShuffle(bad, "doc_id", seed = 1L).count()
     }
     e.getMessage should include("null 'doc_id'")
   }
