@@ -148,6 +148,32 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     e.getMessage should include("maxGroups")
   }
 
+  test("sourceInterleave: supplementary-plane source names index identically on both paths") {
+    // "～" (U+FF5E) sorts AFTER "𐀀" (U+10000) in UTF-16 code units
+    // (surrogates start at 0xD800) but BEFORE it in UTF-8 bytes (0xEF vs
+    // 0xF0). Spark's string sort is binary UTF-8, so the driver-side index
+    // of the two-phase path must use the same order — a UTF-16 String sort
+    // would flip every interleave_pos between the two paths.
+    val exotic = Seq(
+      (1L, "～"), (2L, "～"),
+      (3L, new String(Character.toChars(0x10000))),
+      (4L, "ascii"))
+      .toDF("doc_id", "source")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"interleave_pos").as[(Long, Long)].collect().toMap
+    val small = m(TrainOrder.sourceInterleave(exotic, "doc_id", "source", seed = 3L))
+    val big = m(TrainOrder.sourceInterleave(exotic, "doc_id", "source", seed = 3L,
+      smallBytes = 0L))
+    small shouldBe big
+    // and the order is the UTF-8 one: ascii < U+FF5E < U+10000
+    val bySrc = TrainOrder.sourceInterleave(exotic, "doc_id", "source", seed = 3L,
+        smallBytes = 0L)
+      .select($"source", $"interleave_pos").as[(String, Long)].collect()
+      .sortBy(_._2).map(_._1)
+    bySrc.head shouldBe "ascii"
+    bySrc(1) shouldBe "～"
+  }
+
   test("curriculumOrder: exact stage boundaries, seeded shuffle within each stage") {
     val staged = (1L to 60L).map(i => (i, i % 3)).toDF("doc_id", "bin")
     val out = TrainOrder.curriculumOrder(staged, "doc_id", "bin",
