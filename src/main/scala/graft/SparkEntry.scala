@@ -231,8 +231,10 @@ object SparkEntry {
     // driver-side broadcast build (150k rows) serially before the probe
     // stage can start: 0.81 s. SMJ adds two sorts: ~1.0 s. Shuffle-hash on
     // the pre-pruned orders side wins at 0.55 s, and the residual cost is
-    // the lineitem scan+exchange itself (~0.27 s over 3 file splits) —
-    // irreducible without dropping fact rows this query needs. At cluster
+    // the lineitem scan+exchange itself (~0.27 s; the sf0.1 file is a
+    // SINGLE parquet row group, so the scan task is serial no matter the
+    // split config — a multi-row-group layout at real scale parallelizes
+    // it for free) — irreducible without dropping fact rows. At cluster
     // scale the same pick holds as long as a partition of orders fits an
     // executor (AQE's skew split keeps partitions bounded).
     // AUDIT (r7): a fourth variant — agg on int nation keys, dim-name
