@@ -161,6 +161,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("tokenBudgetHead two-phase: dead buckets filtered BEFORE the one exchange") {
+    // the budget head's scale lever: buckets whose driver-side offset
+    // already exceeds the budget never shuffle — the <= lastLive cut must
+    // sit under the exchange, in the scan stage
+    val p = operators.TrainOrder.tokenBudgetHead(
+        Tables.documents(spark, sf0001).select(col("doc_id"),
+          operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seed = 3L, budget = 500L, smallBytes = 0L)
+      .queryExecution.executedPlan.toString
+    // the optimizer collapses the __graft_b alias and sinks the cut into
+    // the scan stage as the raw (hash div width) <= lastLive predicate —
+    // directly above the FileScan, under the one exchange
+    "div \\d+\\) <= \\d+".r.findFirstIn(p) shouldBe defined
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include("BroadcastExchange") // offsets re-enter broadcast, never shuffled
+  }
+
   test("order_* small-path plans: no broadcast offset join, no extra exchange") {
     // at bench scale the adaptive gate emits the definition window plans:
     // a single exchange (SinglePartition for the global orders, hash on
