@@ -79,9 +79,12 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","passes":2}"""
     println(fullLine)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
-    catch { case _: Throwable => () } // read-only cwd: stdout already has it
+    val fullWritten =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+        true
+      } catch { case _: Throwable => false } // read-only cwd: stdout has it
     println(fixed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f(v)}s" }
       .mkString("fixed-input (untimed in total): ", " ", ""))
     // failures are capped at 10 named entries + a count so a mass-failure
@@ -95,7 +98,7 @@ object Bench {
         .map { case (k, _) => s"\"" + k + "\":-1.000" } ++
       top.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fq(v) })
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"queries":$topJson,"floor_queries":{"n":${floor.size},"sum":${f(floor.map(_._2).sum)}},"sf":"$sfLabel","passes":2,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"queries":$topJson,"floor_queries":{"n":${floor.size},"sum":${f(floor.map(_._2).sum)}},"sf":"$sfLabel","passes":2,"full":${if (fullWritten) "\"BENCH_FULL.json\"" else "null"}}""")
     spark.stop()
   }
 }

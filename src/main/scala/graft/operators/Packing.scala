@@ -58,8 +58,7 @@ object Packing {
     // in-plan (raise_error) instead of by the fused min/max action.
     // Unknown stats (negative) or big inputs take the two-phase path.
     val proj = docs.select(col(idCol), col(tokenCol).cast(LongType).as(tokenCol))
-    val sizeHint = proj.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+    if (AdaptiveGate.isSmall(proj, smallBytes)) {
       val guarded = proj.withColumn(tokenCol,
         when(col(idCol).isNull || col(tokenCol).isNull, raise_error(lit(
           s"packSequences: null '$idCol' or '$tokenCol' — both must be " +

@@ -144,8 +144,7 @@ object Sampling {
                  maxStrata: Int = 100000): DataFrame = {
     require(quota > 0, "Sampling.stratified: quota must be positive")
     val h = md5(col(key).cast("string"))
-    val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+    if (AdaptiveGate.isSmall(df, smallBytes)) {
       // small inputs are typically also few-files, so the scan stage has
       // little parallelism — a round-robin repartition ahead of an
       // EXPLICIT hash column forces the md5 work into a full-width stage

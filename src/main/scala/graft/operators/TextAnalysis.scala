@@ -260,8 +260,7 @@ object TextAnalysis {
   def contaminationBloom(train: DataFrame, eval: DataFrame, k: Int,
                          smallBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.GraftShims
-    val evalSize = eval.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (evalSize >= 0 && evalSize <= smallBytes)
+    if (AdaptiveGate.isSmall(eval, smallBytes))
       return contamination(train, eval, k)
     val trainSh = Dedup.shingleTable(train, k)
     // the eval shingle set is read three times (sizing count, bloom build,

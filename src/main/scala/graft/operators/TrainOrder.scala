@@ -87,17 +87,21 @@ object TrainOrder {
     * enforced IN-PLAN (`raise_error` on the sort key, the
     * [[Packing.packSequences]] small-path pattern), so the small path adds
     * no eager probe job; the same named error then surfaces at the
-    * caller's action rather than at construction. Unknown stats or big
-    * inputs take the two-phase scan. Identical rows either way;
-    * `smallBytes = 0` pins the two-phase path (specs, plan audits).
+    * caller's action rather than at construction. NOTE the exception TYPE
+    * differs with the path: the two-phase path throws
+    * `IllegalArgumentException` eagerly at construction, the small path a
+    * `SparkRuntimeException` (from `raise_error`) lazily at the first
+    * action — callers must match on the message, not the class. Unknown
+    * stats or big inputs take the two-phase scan. Identical rows either
+    * way; `smallBytes = 0` pins the two-phase path unconditionally
+    * (strict `<` gate, [[AdaptiveGate]]; specs, plan audits).
     */
   def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
                    buckets: Int = 1024,
                    smallBytes: Long = 256L << 20): DataFrame = {
     require(buckets > 0, "epochShuffle: buckets must be positive")
     val hkey = seededHashKey(idCol, seed)
-    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+    if (AdaptiveGate.isSmall(docs, smallBytes)) {
       // null contract enforced IN-PLAN on the sort key (the packSequences
       // small-path pattern): same named error, no extra eager probe job,
       // laziness preserved — it surfaces at the caller's action
@@ -181,8 +185,7 @@ object TrainOrder {
     // size-adaptive: the single running-sum window IS the definition (see
     // epochShuffle); the scan-stage bucket prune only matters when the
     // budget cuts data too big for one sort task anyway
-    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+    if (AdaptiveGate.isSmall(docs, smallBytes)) {
       // null contract in-plan on the summed value (see epochShuffle)
       val guardedTok = when(col(idCol).isNull || col(tokenCol).isNull,
           raise_error(lit(
@@ -262,8 +265,7 @@ object TrainOrder {
     val hkey = seededHashKey(idCol, seed)
     // size-adaptive: per-source running-sum windows, one exchange on the
     // source key — the definition itself (see epochShuffle)
-    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+    if (AdaptiveGate.isSmall(docs, smallBytes)) {
       // null contract in-plan on the summed value (see epochShuffle).
       // A null source would otherwise form its own window partition and
       // silently pass — the guard covers it on the same expression
@@ -352,8 +354,7 @@ object TrainOrder {
     // source index and source count come from two more in-plan windows
     // (dense_rank over the sorted source strings; a whole-frame
     // collect_set size) — zero driver round-trips (see epochShuffle)
-    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+    if (AdaptiveGate.isSmall(docs, smallBytes)) {
       // null contract in-plan on the rank sort key (see epochShuffle)
       val guarded = when(col(idCol).isNull || col(sourceCol).isNull,
           raise_error(lit(
@@ -449,8 +450,7 @@ object TrainOrder {
     // size-adaptive: the single window over (bin, hash, id) is the staged
     // definition itself; the long cast stays the one owner of the stage
     // key (see epochShuffle for the gate)
-    val sizeHint = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeHint >= 0 && sizeHint <= smallBytes) {
+    if (AdaptiveGate.isSmall(docs, smallBytes)) {
       // null contract in-plan on the stage sort key (see epochShuffle);
       // the cast-to-long stays the one owner of the stage key
       val guardedBin = when(col(idCol).isNull || col(binCol).isNull,

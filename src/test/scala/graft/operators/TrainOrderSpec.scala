@@ -238,6 +238,19 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     e.getMessage should include("null 'doc_id'")
   }
 
+  test("AdaptiveGate is strict: 0-byte stats with smallBytes = 0 still pin two-phase") {
+    // an empty local relation reports sizeInBytes = 0 — under the old
+    // `<=` gate, smallBytes = 0 routed it to the small path and a
+    // plan-pinning audit would silently audit the wrong shape
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    empty.queryExecution.optimizedPlan.stats.sizeInBytes shouldBe BigInt(0)
+    val planned = TrainOrder.epochShuffle(empty, "doc_id", seed = 1L, smallBytes = 0L)
+    // the two-phase plan carries the bucket column through its analyzed
+    // tree; the single-window small plan never mentions it
+    planned.queryExecution.analyzed.toString should include("__graft_b")
+    planned.count() shouldBe 0L
+  }
+
   test("curriculumOrder: fractional bins truncate consistently — positions stay a permutation") {
     // 2.2 and 2.7 must land in ONE stage (bin 2) with distinct positions;
     // ranking by the raw value while joining offsets by the truncation
