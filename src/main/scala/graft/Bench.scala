@@ -22,7 +22,12 @@ object Bench {
     // not), and it fixes WHICH query pays any shared-subtree build cost
     // (the dedup family persists one hash-array/pair subtree; in sorted
     // order dedup_clusters, the family's first, builds it)
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to a named subset (the
+    // scale harness times just the heavy tail); unset = the full board
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benched = SparkEntry.queries.filterNot(_._1.startsWith("chess_"))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1)
     // one untimed pass first: JVM/codegen/JIT, shuffle system, parquet
     // footers and OS page cache all warm, so the timed pass measures
@@ -79,10 +84,11 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","passes":2}"""
     println(fullLine)
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
     val fullWritten =
       try {
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+          java.nio.file.Paths.get(fullOut), fullLine + "\n")
         true
       } catch { case _: Throwable => false } // read-only cwd: stdout has it
     println(fixed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f(v)}s" }
@@ -98,7 +104,7 @@ object Bench {
         .map { case (k, _) => s"\"" + k + "\":-1.000" } ++
       top.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fq(v) })
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"queries":$topJson,"floor_queries":{"n":${floor.size},"sum":${f(floor.map(_._2).sum)}},"sf":"$sfLabel","passes":2,"full":${if (fullWritten) "\"BENCH_FULL.json\"" else "null"}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"queries":$topJson,"floor_queries":{"n":${floor.size},"sum":${f(floor.map(_._2).sum)}},"sf":"$sfLabel","passes":2,"full":${if (fullWritten) "\"" + fullOut + "\"" else "null"}}""")
     spark.stop()
   }
 }

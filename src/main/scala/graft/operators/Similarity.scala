@@ -154,84 +154,53 @@ object Similarity {
         .groupBy("cid")
         .agg(graft.functions.VectorAggregators.vecMean(col("embedding")).as("ce"))
     }
-    // nlist centroid rows are consumed by both the corpus and the query
-    // assignment; the query set is broadcast-small by contract
-    // (bruteForceTopK broadcasts it outright). Materialize BOTH on the
-    // driver in a single union'd action — one Spark job, not two — and
-    // inline the centroids as LITERAL arrays: cell assignment then becomes
-    // a narrow per-row projection (argmax over nlist codegen'd cosines),
-    // eliminating the crossJoin+groupBy shuffle of |corpus| rows entirely.
-    // The refine chain runs exactly once, and nothing stays pinned in
-    // executor storage after the call.
-    //
-    // `maxQueries` guards the collect: the limit+1 bounds what can reach
-    // the driver even when the caller's "small" query set isn't, and the
-    // overflow fails fast with a clear message instead of an OOM.
+    // nlist centroid rows are consumed by both the corpus assignment and
+    // the query probe ranking; materialize them on the driver in ONE
+    // action, piggybacking the maxQueries guard on the same job (a
+    // limited id-only projection of the query side — query EMBEDDINGS
+    // never travel to the driver), and hold the centroid matrix inside
+    // the two native expressions as one reference object each: cell
+    // assignment and probe ranking are then narrow per-row projections
+    // (argmax / top-nprobe over nlist codegen'd cosines), eliminating the
+    // crossJoin+groupBy shuffle of |corpus| rows entirely. The refine
+    // chain runs exactly once, and nothing stays pinned in executor
+    // storage after the call.
     val collected = centroids
       .select(lit(0).as("__w"), col("cid").as("id"), col("ce").as("e"))
       .unionByName(queries
-        .select(lit(1).as("__w"), col("vec_id").as("id"), col("embedding").as("e"))
+        .select(lit(1).as("__w"), col("vec_id").as("id"),
+          lit(null).cast("array<float>").as("e"))
         .limit(maxQueries + 1))
       .collect()
     val cents: Array[(Long, Seq[Float])] = collected.filter(_.getInt(0) == 0)
       .map(r => (r.getLong(1), r.getSeq[Float](2)))
       .sortBy(_._1)
+    require(collected.count(_.getInt(0) == 1) <= maxQueries,
+      s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
+        "side is broadcast by design (queries are assumed broadcast-small); " +
+        "raise maxQueries deliberately or pre-shard the query set and " +
+        "union the results")
 
     // every ordering below ranks on the cosine rounded to 6 decimals with a
     // deterministic tie-break (same convention as [[bruteForceTopK]] /
     // [[lshTopK]]): with refineSteps = 0 the whole operator is then exactly
     // reproducible cross-engine, which is what lets `ann_ivf` carry a full
-    // row-level DuckDB oracle rather than a recall bound.
-    // native argmax against the centroid matrix held as ONE reference
-    // object: highest round(cos, 6), ties to the smallest cid — plan size
-    // O(1) in nlist (the literal-array formulation grew the tree
-    // O(nlist × dim) and slowed analysis)
-    def cellOf(emb: Column): Column =
-      graft.functions.VectorFunctions.ivf_argmax_cell(emb,
-        cents.map(_._1), cents.map(_._2))
-
+    // row-level DuckDB oracle rather than a recall bound. Corpus argmax and
+    // query top-nprobe both rank through functions.IvfKernel.cos6 — ONE
+    // cosine implementation, so probe ranking cannot drift from cell
+    // assignment (the previous driver-side mirror was a duplication
+    // hazard).
     val assign = corpus.select(col("vec_id"), col("embedding"),
-      cellOf(col("embedding")).as("cell"))
+      graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
+        cents.map(_._1), cents.map(_._2)).as("cell"))
 
-    // query side: the nprobe-nearest cells are computed directly on the
-    // driver — no crossJoin, no window, no extra stages. Double cosine +
-    // round(6) + (ccos desc, cid asc) ordering mirror the executor/oracle
-    // arithmetic exactly.
-    val qRows = collected.filter(_.getInt(0) == 1)
-      .map(r => (r.getLong(1), r.getSeq[Float](2)))
-    require(qRows.length <= maxQueries,
-      s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
-        "path collects queries to the driver by design (they are assumed " +
-        "broadcast-small); raise maxQueries deliberately or pre-shard the " +
-        "query set and union the results")
-    def cos6(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      val d = math.sqrt(na) * math.sqrt(nb)
-      val c = if (d == 0.0) 0.0 else dot / d // same zero guard as VectorOps.cosine
-      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val probeRows = qRows.flatMap { case (qid, qe) =>
-      cents.map { case (cid, ce) => (cid, cos6(qe, ce)) }
-        .sortBy { case (cid, c) => (-c, cid) }
-        .take(nprobe)
-        .map { case (cid, _) => org.apache.spark.sql.Row(qid, qe, cid) }
-    }
-    val probes = corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("qe",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.LongType))))
+    // query side: the nprobe-nearest cells come from the native top-cells
+    // expression IN-PLAN over the query DataFrame — no crossJoin, no
+    // window, no second collect
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        explode(graft.functions.VectorFunctions.ivf_top_cells(col("embedding"),
+          cents.map(_._1), cents.map(_._2), nprobe)).as("cell"))
 
     // probes are |queries|×nprobe rows — broadcast them so the corpus side
     // never shuffles before the final per-query window
