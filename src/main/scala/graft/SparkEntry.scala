@@ -592,12 +592,20 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))),
 
     // A7 (beyond reference): correlated-aggregate pattern (TPC-H Q17 shape):
-    // lineitems below 50% of their part's average quantity
+    // lineitems below 50% of their part's average quantity.
+    //
+    // Formulated as a window avg over partkey, NOT the groupBy+self-join
+    // (the oracle's SQL shape): the join formulation scans and exchanges
+    // lineitem twice (column pruning specializes each side's projection,
+    // defeating exchange reuse — the x10 profile paid two ~2 s scan+
+    // shuffle stages), while the window is one scan and ONE exchange,
+    // with per-part frames bounded by lines-per-part (~30, no skew).
+    // Equivalent bit-for-bit: quantities are integral, so sum/avg are
+    // exact in double regardless of accumulation order.
     "a7_below_avg_qty" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
-        .agg(avg(col("l_quantity")).as("avg_qty"))
-      li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
+        .withColumn("avg_qty", avg(col("l_quantity")).over(w))
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_below"),
@@ -629,14 +637,44 @@ object SparkEntry {
       // otherwise, so the <= 8 filter is equivalent to filtering the exact
       // distance — at a fraction of the DP cost (early row-min exit plus
       // O(1) length-difference reject)
-      // SHUFFLE_HASH keeps both sides as identical bucket-partitioned
-      // exchanges, so ReuseExchange runs the normalize scan ONCE; the
-      // default broadcast conversion would build two separate copies
-      t.as("a").hint("shuffle_hash").join(t.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      // Naive bucket self-join is skew-fatal: a hot fingerprint bucket's
+      // pairs are quadratic IN ONE TASK (at x10, one 1650-row bucket held
+      // 1.36M of 2.15M pairs and serialized the whole 5 s DP stage on one
+      // core). Triangle-block decomposition: rows get a per-bucket block
+      // index (row_number div B); each left row joins its own and all
+      // LATER blocks, so every doc_a < doc_b pair is enumerated exactly
+      // once (doc_b's block is unique) and a hot bucket's pairs spread
+      // over ~n/B join keys instead of one. The `edit_dist <= 8`
+      // predicate pushes into the join condition, so the DP runs inside
+      // the join stage — byte-sparse but CPU-dense, hence the EXPLICIT
+      // cores-wide partition count (REPARTITION_BY_NUM is exempt from
+      // AQE's byte-based coalescing, which otherwise serialized this
+      // stage onto 4 of 32 cores).
+      val blockLen = 64
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val blocked = t
+        .withColumn("__blk", ((row_number().over(wB) - 1) / blockLen)
+          .cast("int"))
+        .withColumn("__nblk", ((count(lit(1)).over(wB.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing))
+          + blockLen - 1) / blockLen).cast("int"))
+      val width = s.sparkContext.defaultParallelism
+      val left = blocked
+        .withColumn("__j", explode(sequence(col("__blk"), col("__nblk") - 1)))
+        .select(col("doc_id").as("doc_a"), col("prefix").as("pa"),
+          col("bucket"), col("__j"))
+        .repartition(width, col("bucket"), col("__j"))
+      val right = blocked
+        .select(col("doc_id").as("doc_b"), col("prefix").as("pb"),
+          col("bucket"), col("__blk").as("__j"))
+        .repartition(width, col("bucket"), col("__j"))
+      left.hint("shuffle_hash").join(right,
+          Seq("bucket", "__j")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
           graft.functions.TextFunctions.bounded_levenshtein(
-            col("a.prefix"), col("b.prefix"), 8).as("edit_dist"))
+            col("pa"), col("pb"), 8).as("edit_dist"))
         .filter(col("edit_dist") <= 8)
     }),
 

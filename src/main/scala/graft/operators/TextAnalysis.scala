@@ -164,10 +164,14 @@ object TextAnalysis {
   }
 
   /** Content fingerprint: md5 of the normalized text (lowercased, punctuation
-    * stripped, whitespace collapsed). Stable across engines.
+    * stripped, whitespace collapsed). Stable across engines: the native
+    * single-pass kernel ([[graft.functions.NormalizeText]]) is byte-exact
+    * with the regex chain the DuckDB oracle still runs — and ~10x cheaper
+    * than Java regex on the Spark side, where this sits in the scan stage
+    * of every fingerprint consumer.
     */
   def normalizedText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    graft.functions.TextFunctions.normalize_text(text)
 
   def fingerprint(text: Column): Column = md5(normalizedText(text))
 
