@@ -719,11 +719,17 @@ object Dedup {
     *    to m = min(Γ⁻(u)); m ≤ lo < hi keeps orientation again.
     * Each round is two hash-join/aggregate passes partitioned by vertex —
     * no driver graph state; lineage truncated per round like the min-label
-    * loop. Convergence = the canonical edge set reached a fixpoint, checked
-    * EXACTLY (count equality + one anti-join emptiness — no hash-sum
-    * approximation that could false-converge); at the fixpoint the graph is
-    * a star forest, so every non-root vertex holds exactly the edge
-    * (v, component-min) and labels read off the edge list.
+    * loop. Convergence = the edge set IS a star forest, checked EXACTLY
+    * with one aggregate per round (see [[isStarForest]]): under the
+    * canonical hi > lo orientation, "every hi has exactly one edge and no
+    * lo appears as a hi" is provably equivalent to being a fixpoint of
+    * both star operations, and it detects convergence one full round
+    * earlier than re-running the round and diffing (the previous
+    * count-plus-anti-join test paid ~6 floor-bound jobs to confirm a
+    * fixpoint the forest shape already certifies). At the fixpoint every
+    * non-root vertex holds exactly the edge (v, component-min) — lo < hi
+    * on every edge makes each root the minimum of its star — and labels
+    * read off the edge list.
     */
   def duplicateClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     duplicateClustersStarWithRounds(pairs, maxIter)._1
@@ -761,6 +767,22 @@ object Dedup {
         .unionByName(j.select(col("hi"), col("m").as("lo")))
         .distinct()
     }
+    // Exact convergence test, one action: a canonically-oriented distinct
+    // edge set is a fixpoint of BOTH star operations iff it is a star
+    // forest — (a) every hi carries exactly one edge, (b) no vertex is
+    // both a lo and a hi (no chains). Proof sketch: under (a)+(b) a root
+    // r's neighbors are all > r, so large-star re-hangs every leaf onto
+    // min(Γ(r) ∪ r) = r (edges unchanged) and a leaf's only neighbor is
+    // its root (< leaf, nothing to emit); small-star's per-hi minimum is
+    // the hi's single lo, reproducing each edge. Conversely the loop's
+    // own fixpoint is documented (and spec'd) to be exactly this shape,
+    // so the test can neither false-converge nor miss the fixpoint.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("hi").as("v"), lit(1L).as("h"), lit(0L).as("l"))
+        .unionByName(e.select(col("lo").as("v"), lit(0L).as("h"), lit(1L).as("l")))
+        .groupBy(col("v")).agg(sum(col("h")).as("h"), sum(col("l")).as("l"))
+        .filter(col("h") > 1L || (col("h") > 0L && col("l") > 0L))
+        .isEmpty
     while (!converged && rounds < maxIter) {
       // TWO large-stars per round: each is the pointer-doubling step (on a
       // chain it doubles the hop stride), so doubling up quadruples the
@@ -768,14 +790,12 @@ object Dedup {
       // same per-pass cost and half the checkpoint/convergence overhead
       val next = smallStar(largeStar(largeStar(edges)))
       val (nextEdges, nNext, nextIds) = checkpointCounted(next, identity)
-      // exact fixpoint test: same cardinality and next ⊆ edges ⟹ equal
-      converged = nNext == nEdges &&
-        nextEdges.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       freeCheckpoints(edges, edgeIds)
       edges = nextEdges
       edgeIds = nextIds
       nEdges = nNext
       rounds += 1
+      converged = isStarForest(edges)
     }
     // the label read-off below is only valid on a CONVERGED edge set (a
     // star forest: exactly one incident edge per non-root vertex) — a
