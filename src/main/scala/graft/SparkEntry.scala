@@ -873,15 +873,24 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
     }),
 
-    // refineSteps = 0: the k-means refine is float-sum-order dependent, so
-    // the oracled query runs the deterministic seed-centroid IVF — every
-    // other stage (assignment argmax, probe ranking, re-rank) is rounded
-    // and tie-broken, making the full neighbor list hash-comparable. The
-    // refined variant keeps its recall spec (SimilaritySpec).
+    // refineSteps = 0: the seed-centroid IVF — every stage (assignment
+    // argmax, probe ranking, re-rank) is rounded and tie-broken, making
+    // the full neighbor list hash-comparable
     "ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10,
         refineSteps = 0)
+    }),
+
+    // one k-means refinement step: assignment through the same rounded
+    // argmax kernel, centroid means in fixed-point integer arithmetic
+    // (VectorAggregators.vecMeanFixed) — order-independent, so the
+    // REFINED index is cross-engine deterministic too and carries a full
+    // row-level oracle (recall properties stay spec'd in SimilaritySpec)
+    "ann_ivf_refined" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10,
+        refineSteps = 1)
     }),
 
     // IVF cell assignment with unrefined (deterministic first-nlist)
@@ -2228,6 +2237,62 @@ object SparkEntry {
         |  SELECT vec_id, cid, row_number() OVER
         |    (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
         |  FROM s WHERE vec_id % 100 = 0) t WHERE rn <= 8),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |         FROM probes p JOIN assign a USING (cell)
+        |         WHERE a.vec_id <> p.query_id),
+        |sc AS (SELECT cd.query_id, cd.neighbor_id,
+        |        round(list_dot_product(qe.emb, ne.emb) /
+        |          (sqrt(list_dot_product(qe.emb, qe.emb)) *
+        |           sqrt(list_dot_product(ne.emb, ne.emb))), 6) AS cos
+        |       FROM cand cd JOIN eb qe ON qe.vec_id = cd.query_id
+        |                    JOIN eb ne ON ne.vec_id = cd.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER
+        |       (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    // ann_ivf plus ONE fixed-point k-means step: cell members' components
+    // are quantized to the 1e-6 grid (floor(x*1e6 + 0.5) — floor-plus-half,
+    // not round-half-away, which engines disagree on for negative halves),
+    // summed as BIGINTs (exact, order-free), then mean = two correctly-
+    // rounded IEEE divisions narrowed to FLOAT — bit-identical to
+    // VectorAggregators.vecMeanFixed on the Spark side.
+    "ann_ivf_refined" ->
+      """WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |            FROM embeddings ORDER BY vec_id LIMIT 32),
+        |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s0 AS (SELECT e.vec_id, c.cid,
+        |        round(list_dot_product(e.emb, c.ce) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) *
+        |           sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+        |       FROM eb e CROSS JOIN c0 c),
+        |a0 AS (SELECT vec_id, cid AS cell FROM (
+        |   SELECT vec_id, cid, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s0) t
+        |   WHERE rn = 1),
+        |av AS (SELECT a.cell AS cid, e.embedding AS emb
+        |       FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id),
+        |ax AS (SELECT cid, emb, unnest(generate_series(1, len(emb))) AS ord FROM av),
+        |cs AS (SELECT cid, ord,
+        |         sum(CAST(floor(CAST(emb[ord] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+        |         count(*) AS n
+        |       FROM ax GROUP BY cid, ord),
+        |c1 AS (SELECT cid, CAST(list(CAST(CAST(sq AS DOUBLE) / n / 1000000.0 AS FLOAT)
+        |                             ORDER BY ord) AS DOUBLE[]) AS ce
+        |       FROM cs GROUP BY cid),
+        |s1 AS (SELECT e.vec_id, c.cid,
+        |        round(list_dot_product(e.emb, c.ce) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) *
+        |           sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+        |       FROM eb e CROSS JOIN c1 c),
+        |assign AS (SELECT vec_id, cid AS cell FROM (
+        |   SELECT vec_id, cid, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM s1) t
+        |   WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        |   SELECT vec_id, cid, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |   FROM s1 WHERE vec_id % 100 = 0) t WHERE rn <= 8),
         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
         |         FROM probes p JOIN assign a USING (cell)
         |         WHERE a.vec_id <> p.query_id),

@@ -138,41 +138,22 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
               nprobe: Int = 8, refineSteps: Int = 1,
               maxQueries: Int = 100000): DataFrame = {
-    // deterministic centroid seed: first nlist by vec_id, then optional
-    // k-means refinement passes (assign → per-cell mean via the typed
-    // VectorMeanAgg aggregator) — each pass is one broadcast scoring pass
-    // plus one partial-aggregating shuffle of nlist rows
-    var centroids = corpus.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    for (_ <- 1 to refineSteps) {
-      centroids = corpus.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          cosine(col("embedding"), col("ce")).as("ccos"))
-        .groupBy("vec_id").agg(
-          max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-          first(col("embedding")).as("embedding"))
-        .groupBy("cid")
-        .agg(graft.functions.VectorAggregators.vecMean(col("embedding")).as("ce"))
-    }
-    // nlist centroid rows are consumed by both the corpus assignment and
-    // the query probe ranking; materialize them on the driver in ONE
-    // action, piggybacking the maxQueries guard on the same job (a
-    // limited id-only projection of the query side — query EMBEDDINGS
-    // never travel to the driver), and hold the centroid matrix inside
-    // the two native expressions as one reference object each: cell
-    // assignment and probe ranking are then narrow per-row projections
-    // (argmax / top-nprobe over nlist codegen'd cosines), eliminating the
-    // crossJoin+groupBy shuffle of |corpus| rows entirely. The refine
-    // chain runs exactly once, and nothing stays pinned in executor
-    // storage after the call.
-    val collected = centroids
-      .select(lit(0).as("__w"), col("cid").as("id"), col("ce").as("e"))
+    // nlist seed rows are materialized on the driver in ONE action,
+    // piggybacking the maxQueries guard on the same job (a limited
+    // id-only projection of the query side — query EMBEDDINGS never
+    // travel to the driver); the centroid matrix is then held inside the
+    // two native expressions as one reference object each, so cell
+    // assignment and probe ranking are narrow per-row projections
+    // (argmax / top-nprobe over nlist codegen'd cosines) with no
+    // crossJoin+groupBy shuffle of |corpus| rows anywhere.
+    val collected = corpus.orderBy("vec_id").limit(nlist)
+      .select(lit(0).as("__w"), col("vec_id").as("id"), col("embedding").as("e"))
       .unionByName(queries
         .select(lit(1).as("__w"), col("vec_id").as("id"),
           lit(null).cast("array<float>").as("e"))
         .limit(maxQueries + 1))
       .collect()
-    val cents: Array[(Long, Seq[Float])] = collected.filter(_.getInt(0) == 0)
+    var cents: Array[(Long, Seq[Float])] = collected.filter(_.getInt(0) == 0)
       .map(r => (r.getLong(1), r.getSeq[Float](2)))
       .sortBy(_._1)
     require(collected.count(_.getInt(0) == 1) <= maxQueries,
@@ -180,16 +161,33 @@ object Similarity {
         "side is broadcast by design (queries are assumed broadcast-small); " +
         "raise maxQueries deliberately or pre-shard the query set and " +
         "union the results")
+    // k-means refinement: assignment through THE scoring kernel
+    // (IvfKernel.cos6 argmax, ties to the smallest cid — the same ranking
+    // as the final assignment and the oracle), means in fixed-point
+    // integer arithmetic ([[graft.functions.VectorAggregators.vecMeanFixed]])
+    // — order-independent, so a refined index is exactly reproducible
+    // across runs AND engines. Each step is one narrow assignment pass
+    // with a partial-aggregating shuffle of ≤ nlist rows plus one tiny
+    // collect; cells that lose all members drop out (nlist may shrink).
+    for (_ <- 1 to refineSteps) {
+      val refined = corpus.select(
+          graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
+            cents.map(_._1), cents.map(_._2)).as("cid"),
+          col("embedding"))
+        .groupBy("cid")
+        .agg(graft.functions.VectorAggregators.vecMeanFixed(col("embedding")).as("ce"))
+        .collect()
+      cents = refined.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    }
 
     // every ordering below ranks on the cosine rounded to 6 decimals with a
     // deterministic tie-break (same convention as [[bruteForceTopK]] /
-    // [[lshTopK]]): with refineSteps = 0 the whole operator is then exactly
-    // reproducible cross-engine, which is what lets `ann_ivf` carry a full
-    // row-level DuckDB oracle rather than a recall bound. Corpus argmax and
-    // query top-nprobe both rank through functions.IvfKernel.cos6 — ONE
-    // cosine implementation, so probe ranking cannot drift from cell
-    // assignment (the previous driver-side mirror was a duplication
-    // hazard).
+    // [[lshTopK]]): the whole operator — refined or not — is exactly
+    // reproducible cross-engine, which is what lets `ann_ivf` and
+    // `ann_ivf_refined` carry full row-level DuckDB oracles rather than
+    // recall bounds. Corpus argmax, refine assignment, and query
+    // top-nprobe all rank through functions.IvfKernel.cos6 — ONE cosine
+    // implementation, so no stage can drift from another.
     val assign = corpus.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
         cents.map(_._1), cents.map(_._2)).as("cell"))
