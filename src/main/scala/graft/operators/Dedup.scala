@@ -895,12 +895,17 @@ object Dedup {
     * shuffle); the per-cell self-join shuffles (vec_id, embedding) once on
     * the cell key. Per-cell cost is quadratic in the CELL size, so `nlist`
     * is the knob that bounds task size — SemDeDup at production scale uses
-    * tens of thousands of clusters precisely so each cell fits a task; a
-    * skewed cell shows up in the Spark UI as one long task, fixed by
-    * raising `nlist`, not by re-sharding here (a df-cut would silently
-    * change which vectors survive).
+    * tens of thousands of clusters precisely so each cell fits a task. An
+    * undersized `nlist` FAILS FAST before the self-join runs: a cell over
+    * `maxCellRows` raises with the offending cell named, instead of
+    * silently burning a quadratic task (a df-cut here would change which
+    * vectors survive; refusing is the only answer that preserves the
+    * operator's semantics). The guard is one narrow counting pass with
+    * ≤ nlist rows of driver state, paid eagerly at construction.
     */
-  def semanticDedup(emb: DataFrame, threshold: Double, nlist: Int = 32): DataFrame = {
+  def semanticDedup(emb: DataFrame, threshold: Double, nlist: Int = 32,
+                    maxCellRows: Long = 10000L): DataFrame = {
+    require(maxCellRows > 0, "semanticDedup: maxCellRows must be positive")
     // bounded driver collect: nlist centroid rows, same contract as ivfTopK
     val cents = emb.orderBy("vec_id").limit(nlist)
       .select(col("vec_id"), col("embedding")).collect()
@@ -908,6 +913,14 @@ object Dedup {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
         cents.map(_._1), cents.map(_._2)).as("cell"))
+    val hot = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCellRows).orderBy(desc("__n")).limit(1).collect()
+    require(hot.isEmpty,
+      s"semanticDedup: cell ${hot.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        s"holds ${hot.headOption.map(_.getLong(1)).getOrElse(0L)} vectors > " +
+        s"maxCellRows=$maxCellRows — the per-cell comparison is quadratic in " +
+        "cell size; raise nlist so cells shrink (production SemDeDup uses " +
+        "tens of thousands of clusters), or raise maxCellRows deliberately")
     val removed = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)

@@ -347,6 +347,23 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     got.count(!_._3) should be > 0 // the threshold actually bites here
   }
 
+  test("semanticDedup fails fast on a skewed cell instead of running it quadratic") {
+    // 60 near-identical vectors: every one lands in the first seed's cell,
+    // so with maxCellRows = 10 the quadratic self-join must be REFUSED
+    // before it runs (cell named in the message), not silently executed
+    val skewed = (1L to 60L).map(i => (i, Seq(1.0f, 0.001f * i, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(skewed, threshold = 0.9, nlist = 4, maxCellRows = 10)
+    }
+    e.getMessage should include("maxCellRows=10")
+    e.getMessage should include("raise nlist")
+    // the same corpus passes once the cap admits the cell, and the result
+    // keeps its one-verdict-per-vector contract
+    Dedup.semanticDedup(skewed, threshold = 0.9, nlist = 4, maxCellRows = 60)
+      .count() shouldBe 60L
+  }
+
   test("crossCorpusPairs: eval near-dups found, identical ids excluded") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),
