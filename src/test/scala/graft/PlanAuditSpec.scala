@@ -247,6 +247,58 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("_graft_b")
   }
 
+  test("text_edit_distance: triangle-blocked self-join — pinned width, no global sort") {
+    // the DP stage must sit behind REPARTITION_BY_NUM exchanges (exempt
+    // from AQE byte-based coalescing, which once serialized it onto 4 of
+    // 32 cores) and join on (bucket, block) so a hot fingerprint bucket's
+    // quadratic pairs spread across ~n/64 keys instead of one task
+    val p = plan("text_edit_distance")
+    p should include("REPARTITION_BY_NUM")
+    p should include("ShuffledHashJoin")
+    p should include("__j")
+    (p should not).include("Exchange SinglePartition")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("a7: window formulation — lineitem scans once, no self-join") {
+    // the groupBy+join shape scanned and shuffled lineitem twice (pruning
+    // specialized each branch and defeated exchange reuse); the window
+    // formulation is one scan, one exchange, zero joins
+    val p = plan("a7_below_avg_qty")
+    "Scan parquet".r.findAllIn(p).length shouldBe 1
+    p should include("Window")
+    (p should not).include("Join")
+    (p should not).include("Exchange rangepartitioning")
+  }
+
+  test("epochShuffle two-phase: bucketed windows, never a global range sort") {
+    // smallBytes = 0 pins the 100 TB formulation (strict AdaptiveGate):
+    // per-bucket row_number windows behind a hash exchange on the bucket
+    // key — a global ORDER BY would appear as a rangepartitioning
+    // exchange feeding one sort
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val p = operators.TrainOrder.epochShuffle(docs, "doc_id", seed = 7L,
+        smallBytes = 0L)
+      .queryExecution.executedPlan.toString
+    p should include("Window")
+    p should include("_graft_b")
+    (p should not).include("Exchange rangepartitioning")
+    (p should not).include("Exchange SinglePartition")
+  }
+
+  test("dedup_normalized: native normalize fuses into the scan stage, agg is partial") {
+    // the normalize+md5 fingerprint must evaluate INSIDE the scan stage
+    // with a map-side partial aggregate — no exchange below the partial
+    // agg, no regex expressions anywhere in the plan
+    val p = plan("dedup_normalized")
+    p should include("normalize_text")
+    (p should not).include("regexp_replace")
+    p.indexOf("partial_count") should be > 0
+    // partial agg sits below the (single) exchange: the first Exchange in
+    // the plan string appears ABOVE (before) the partial_count node
+    p.indexOf("Exchange hashpartitioning") should be < p.indexOf("partial_count")
+  }
+
   test("AQE re-plans the executed join at runtime (coalesced shuffle read)") {
     val li = Tables.lineitem(spark, sf0001)
     val ord = Tables.orders(spark, sf0001)
