@@ -254,12 +254,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // W1/P6: latest-record window dedup (the reference's merge semantics)
+    // W1/P6: latest-record dedup (the reference's merge semantics).
+    // Formulated as max-of-ordered-struct instead of row_number()+rn=1: the
+    // ordering keys (ts DESC, event_id DESC) lead the struct, so struct max
+    // IS the rn=1 row — identical rows to the window form (event_id is
+    // unique, so the trailing payload fields never participate in the
+    // comparison). The agg gets map-side partial aggregation (each input
+    // partition reduces to <= #users rows before the exchange) and no sort,
+    // where the window form shuffles and SORTS every event row. The
+    // row_number() formulation itself stays exercised by GoldFact.merge and
+    // the chess pipeline; the DuckDB oracle keeps the window spelling.
     "w1_window_dedup" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+      val top = max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("top")
+      Tables.events(s, d).groupBy(col("user_id")).agg(top)
+        .select(col("user_id"), col("top.event_id").as("event_id"),
+          col("top.event_type").as("event_type"), col("top.ts").as("ts"),
+          col("top.value").as("value"))
     }),
 
     // U1: set-semantics union
@@ -301,13 +312,31 @@ object SparkEntry {
     // small SF the planner auto-broadcasts the shrunken aggregate. Same
     // rows as the textbook customer⋈orders groupBy formulation (o_orderkey
     // is never null), strictly less shuffle at any scale.
+    // r8: the left join is eliminated by complement counting. Under the
+    // orders->customer FK (TPC-H guarantee, held by the testdata and
+    // preserved by ScaleData's per-replica key shifts) the join's only
+    // contribution is the c_count=0 bucket, whose size is |customer| minus
+    // |distinct ordering customers| — two O(1)-row aggregates instead of
+    // shuffling the 150k-row per-customer aggregate against the customer
+    // table. The 0 row is emitted only when positive, matching the
+    // left-join formulation on fully-ordering populations.
     "q13_custdist" -> ((s, d) => {
       val oc = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("cnt"))
-      Tables.customer(s, d)
-        .join(oc, col("c_custkey") === col("o_custkey"), "left")
-        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
-        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      val nonzero = oc.groupBy(col("cnt"))
+        .agg(count(lit(1)).as("custdist"))
+        .select(col("cnt").as("c_count"), col("custdist"))
+      // |distinct ordering customers| counted off the oc subtree, NOT off
+      // nonzero: oc's exchange canonicalizes identically to branch 1's, so
+      // AQE's exchange reuse serves both from one orders scan — while the
+      // sum(custdist)-over-nonzero spelling (measured 1.07 s vs 0.26 s)
+      // stacks three sequential exchange stages on the critical path
+      val zeroRow = Tables.customer(s, d).agg(count(lit(1)).as("n_cust"))
+        .crossJoin(oc.agg(count(lit(1)).as("n_ordering")))
+        .select(lit(0L).as("c_count"),
+          (col("n_cust") - col("n_ordering")).as("custdist"))
+        .filter(col("custdist") > 0)
+      nonzero.unionByName(zeroRow)
     }),
 
     // Q18: HAVING over a grouped sum, joined back to the fact
@@ -375,17 +404,26 @@ object SparkEntry {
     "o3_watermark_max" -> ((s, d) =>
       Tables.events(s, d).agg(max(col("ts")).as("last_updated"))),
 
-    // F7-F9 + P2: dim_date build (year/month/monthname/day/weekday/quarter)
+    // F7-F9 + P2: dim_date build (year/month/monthname/day/weekday/quarter).
+    // Distinct FIRST, derive after: date_format's per-row DateTimeFormatter
+    // is the dominant cost, and running it over every order row before the
+    // distinct paid it O(rows) (x10 measurement: 17x DuckDB). Deduping the
+    // bare date column first makes the formatting O(distinct dates) — ~2.4k
+    // rows regardless of fact size — and the distinct itself is a narrow
+    // partial-agg over a single date column. Same rows (every derived
+    // column is a pure function of order_date), same oracle.
     "f7_dim_date" -> ((s, d) => {
-      val dt = to_date(col("o_orderdate"))
-      Tables.orders(s, d).select(
-        dt.as("order_date"),
-        year(dt).cast("long").as("year"),
-        month(dt).cast("long").as("month"),
-        date_format(dt, "MMMM").as("month_name"),
-        dayofmonth(dt).cast("long").as("day"),
-        date_format(dt, "EEEE").as("weekday"),
-        quarter(dt).cast("long").as("quarter")).distinct()
+      val dt = col("order_date")
+      Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("order_date")).distinct()
+        .select(
+          dt,
+          year(dt).cast("long").as("year"),
+          month(dt).cast("long").as("month"),
+          date_format(dt, "MMMM").as("month_name"),
+          dayofmonth(dt).cast("long").as("day"),
+          date_format(dt, "EEEE").as("weekday"),
+          quarter(dt).cast("long").as("quarter"))
     }),
 
     // P1 + F10: wide projection with casts, arithmetic and string ops
@@ -691,21 +729,35 @@ object SparkEntry {
         Seq("ref_value", "ref_event"))
     }),
 
-    // A5 (beyond reference): hierarchical ROLLUP with grouping level marker
+    // A5 (beyond reference): hierarchical ROLLUP with grouping level marker.
+    // Two-level formulation: Spark plans rollup as Expand(levels) BEFORE the
+    // partial aggregate, so the naive form pushes levels x rows through the
+    // map side (3x the fact table). Pre-aggregating at the finest grain
+    // (flag x status = 6 groups) first makes the Expand run over 6 rows, and
+    // the fact-table pass is one narrow partial agg. Exact: l_quantity is
+    // integral-valued (TPC-H 1..50), so sum-of-partial-sums is
+    // order-independent, and count rolls up as sum of counts. grouping_id()
+    // depends only on the outer grouping columns — bitmap unchanged.
     "a5_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("c"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        .agg(sum(col("q")).as("sum_qty"), sum(col("c")).as("n"),
           grouping_id().as("gid"))),
 
     // arbitrary GROUPING SETS (neither rollup nor cube): per-flag, per-status
-    // and grand-total slices in one pass, tagged by the grouping_id bitmap
+    // and grand-total slices in one pass, tagged by the grouping_id bitmap.
+    // Same two-level shape as a5_rollup: Expand over the 6-row (flag,
+    // status) pre-aggregate, not over the fact table.
     "a12_grouping_sets" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("c"))
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        .agg(sum(col("q")).as("sum_qty"), sum(col("c")).as("n"),
           grouping_id().as("gid"))),
 
     // deterministic hash sample: md5-prefix filter is engine-portable

@@ -36,9 +36,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan("j2_anti_join") should include("LeftAnti")
   }
 
-  test("w1: window dedup exchanges once on the partition key") {
+  test("w1: latest-wins dedup partial-aggregates below its single exchange") {
+    // r8: max-of-ordered-struct formulation — the exchange carries one
+    // pre-reduced row per (input partition, user), never the event rows,
+    // and no Window/global-sort node exists to buffer a partition
     val p = plan("w1_window_dedup")
-    p should include("Window")
+    p should not include "Window"
+    p should include("partial_max(struct(ts")
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
   }
 
