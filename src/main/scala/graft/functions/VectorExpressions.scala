@@ -149,8 +149,15 @@ object IvfKernel {
     }
     val d = math.sqrt(nx) * math.sqrt(ny)
     val raw = if (d == 0.0) 0.0 else dot / d // same zero guard as VectorOps.cosine
-    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    round6(raw)
   }
+
+  /** Round-half-up to 6 decimals — the ranking convention every ANN stage
+    * shares with Spark's `round(col, 6)` and the DuckDB oracle (the
+    * brute-force parity spec pins the equality against the in-plan Round).
+    */
+  def round6(raw: Double): Double =
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def toFloats(a: ArrayData): Array[Float] = {
     val dim = a.numElements()

@@ -58,12 +58,152 @@ object Similarity {
   }
 
   /** Exact brute-force top-k cosine neighbors for each query row.
-    * `queries` must be small (broadcast); excludes self-matches.
-    * Ranking uses the cosine rounded to 6 decimals with `neighbor_id` as the
-    * tie-break, so the ordering is insensitive to last-ulp accumulation
-    * differences and deterministic across engines (oracle-comparable).
+    * `queries` must be small (bounded by `maxQueries`, broadcast); excludes
+    * self-matches. Ranking uses the cosine rounded to 6 decimals with
+    * `neighbor_id` as the tie-break, so the ordering is insensitive to
+    * last-ulp accumulation differences and deterministic across engines
+    * (oracle-comparable).
+    *
+    * Shape: broadcast the query matrix, score each corpus partition against
+    * it in a tight primitive-array kernel keeping a per-query local top-k,
+    * then merge the |partitions| × |Q| × k survivors through one per-query
+    * window. The declarative spelling (nested-loop join + window) is kept as
+    * [[bruteForceTopKPlan]] and pinned equal by SimilaritySpec: it
+    * materializes all |corpus| × |Q| joined rows and rounds every pair,
+    * where this kernel touches only raw floats per pair, precomputes norms
+    * once per row, and pays the half-up rounding only for candidates that
+    * can still enter the running top-k (a pair more than 5e-7 below the
+    * current rank-k cosine cannot round past it). Same distributed contract
+    * at 100 TB: corpus partitions stream, driver state is O(|Q| · dim), the
+    * merge shuffle is O(partitions · |Q| · k).
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     maxQueries: Int = 100000): DataFrame = {
+    require(k > 0, "bruteForceTopK: k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"bruteForceTopK: query set exceeds maxQueries=$maxQueries — queries " +
+        "are broadcast by design; raise maxQueries deliberately or shard " +
+        "the query set")
+    val qSorted = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(qSorted)
+    val local = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val nq = qs.length
+        val qIds = new Array[Long](nq)
+        val qnorm = new Array[Double](nq)
+        // flat row-major query matrix when every query shares one dim (the
+        // library-wide contract): one contiguous block the dot loop streams,
+        // no array-of-array indirection per pair. Ragged query sets keep the
+        // per-query arrays (rare; correctness path only).
+        val dim = if (nq > 0) qs(0)._2.length else 0
+        val uniform = qs.forall(_._2.length == dim)
+        val qflat = if (uniform) new Array[Float](nq * dim) else null
+        var qi = 0
+        while (qi < nq) {
+          qIds(qi) = qs(qi)._1
+          var acc = 0.0; var i = 0; val qe = qs(qi)._2
+          while (i < qe.length) { val v = qe(i).toDouble; acc += v * v; i += 1 }
+          qnorm(qi) = math.sqrt(acc)
+          if (uniform) System.arraycopy(qe, 0, qflat, qi * dim, dim)
+          qi += 1
+        }
+        // per-query running top-k, kept sorted by (cos_r desc, id asc)
+        val topCos = Array.fill(nq * k)(Double.NegativeInfinity)
+        val topId = new Array[Long](nq * k)
+        val filled = new Array[Int](nq)
+        while (it.hasNext) {
+          val (nid, emb) = it.next()
+          var acc = 0.0; var i = 0
+          while (i < emb.length) { val v = emb(i).toDouble; acc += v * v; i += 1 }
+          val cnorm = math.sqrt(acc)
+          val fastPath = uniform && emb.length == dim
+          var q = 0
+          while (q < nq) {
+            val qid = qIds(q)
+            if (qid != nid) {
+              // dot in index order over min(dim) — the same accumulation
+              // sequence as VectorOps.cosine, so the double is bit-identical
+              var dot = 0.0
+              var d = 0.0
+              if (fastPath) {
+                val off = q * dim
+                i = 0
+                while (i < dim) {
+                  dot += qflat(off + i).toDouble * emb(i).toDouble; i += 1
+                }
+                d = qnorm(q) * cnorm
+              } else {
+                val qe = qs(q)._2
+                val n = math.min(emb.length, qe.length)
+                i = 0
+                while (i < n) { dot += qe(i).toDouble * emb(i).toDouble; i += 1 }
+                // norms are over the FULL arrays; equal to VectorOps.cosine's
+                // min-truncated norms whenever dims agree (the library-wide
+                // contract; mixed-dim pairs recompute truncated norms here)
+                d =
+                  if (emb.length == qe.length) qnorm(q) * cnorm
+                  else {
+                    var nx = 0.0; var ny = 0.0; i = 0
+                    while (i < n) {
+                      val x = qe(i).toDouble; val y = emb(i).toDouble
+                      nx += x * x; ny += y * y; i += 1
+                    }
+                    math.sqrt(nx) * math.sqrt(ny)
+                  }
+              }
+              val raw = if (d == 0.0) 0.0 else dot / d
+              val base = q * k
+              val full = filled(q) == k
+              // half-up to 6 decimals moves a value by at most 5e-7: a raw
+              // cosine strictly below (rank-k − 5e-7) stays strictly below
+              // rank-k after rounding and can be rejected unrounded
+              if (!full || raw >= topCos(base + k - 1) - 5e-7) {
+                val r = graft.functions.IvfKernel.round6(raw)
+                val fl = filled(q)
+                if (!full || r > topCos(base + k - 1) ||
+                    (r == topCos(base + k - 1) && nid < topId(base + k - 1))) {
+                  var pos = if (full) k - 1 else fl
+                  while (pos > 0 && (topCos(base + pos - 1) < r ||
+                      (topCos(base + pos - 1) == r && topId(base + pos - 1) > nid))) {
+                    topCos(base + pos) = topCos(base + pos - 1)
+                    topId(base + pos) = topId(base + pos - 1)
+                    pos -= 1
+                  }
+                  topCos(base + pos) = r
+                  topId(base + pos) = nid
+                  if (!full) filled(q) = fl + 1
+                }
+              }
+            }
+            q += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { q =>
+          (0 until filled(q)).iterator.map { j =>
+            (qs(q)._1, topId(q * k + j), topCos(q * k + j))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos_r")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_r"), col("neighbor_id"))
+    local.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_r"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** The declarative spelling of [[bruteForceTopK]] (broadcast nested-loop
+    * join + per-query window): the reference plan the kernel is spec-pinned
+    * against, and the shape to prefer when |Q| is a handful (no collect).
+    */
+  private[graft] def bruteForceTopKPlan(corpus: DataFrame, queries: DataFrame,
+                                        k: Int): DataFrame = {
     val scored = corpus.as("c").join(
         broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))),
         col("c.vec_id") =!= col("query_id"))

@@ -25,6 +25,26 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
   private lazy val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
     .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
 
+  test("bruteForceTopK kernel is row-identical to the declarative plan") {
+    // pins the mapPartitions kernel (partition-local top-k, lazy half-up
+    // rounding, decomposed norm accumulation) to the nested-loop-join +
+    // window spelling on real embeddings — full rows including cos_r, so
+    // any drift in accumulation order or rounding fails loudly
+    val kernel = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val plan = Similarity.bruteForceTopKPlan(emb, queries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    kernel should have length plan.length.toLong
+    kernel shouldBe plan
+  }
+
+  test("bruteForceTopK enforces the maxQueries broadcast contract") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, k = 3, maxQueries = 5)
+    }
+    e.getMessage should include("maxQueries")
+  }
+
   test("lshTopK multi-probe recall vs brute force on real embeddings") {
     val approx = Similarity.lshTopK(emb, queries, k = 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
