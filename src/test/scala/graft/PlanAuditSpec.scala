@@ -264,14 +264,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     (p should not).include("CartesianProduct")
   }
 
-  test("a7: window formulation — lineitem scans once, no self-join") {
-    // the groupBy+join shape scanned and shuffled lineitem twice (pruning
-    // specialized each branch and defeated exchange reuse); the window
-    // formulation is one scan, one exchange, zero joins
+  test("a7: per-part averages broadcast over the probe scan — no sort, no wide shuffle") {
+    // the r7 window spelling shuffled AND sorted every lineitem row; the
+    // r8 shape exchanges only the |parts|-row partial aggregate and
+    // broadcasts it over a second streaming scan — the only exchange in
+    // the plan belongs to the narrow agg branch, and nothing sorts
     val p = plan("a7_below_avg_qty")
-    "Scan parquet".r.findAllIn(p).length shouldBe 1
-    p should include("Window")
-    (p should not).include("Join")
+    "Scan parquet".r.findAllIn(p).length shouldBe 2
+    p should include("BroadcastHashJoin")
+    p.toLowerCase should include("partial_avg")
+    (p should not).include("Window")
+    (p should not).include("Sort")
     (p should not).include("Exchange rangepartitioning")
   }
 
