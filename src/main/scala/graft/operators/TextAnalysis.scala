@@ -462,7 +462,8 @@ object TextAnalysis {
     * a broadcast of the 1-row corpus count, and the per-doc top-k window
     * partitioned by doc_id — no global sort, no driver state.
     */
-  def keywordSalience(docs: DataFrame, topK: Int = 3): DataFrame = {
+  def keywordSalience(docs: DataFrame, topK: Int = 3,
+                      smallBytes: Long = 1L << 30): DataFrame = {
     require(topK > 0, "keywordSalience: topK must be positive")
     // tf fused into the scan stage ([[graft.functions.TermCountArray]]):
     // term counting is per-row arithmetic, so the corpus-wide
@@ -470,29 +471,44 @@ object TextAnalysis {
     // distinct (term, tf) pairs leave the stage.
     val tf = docs.select(col("doc_id"),
       inline(graft.functions.TextFunctions.term_count_array(col("text"))))
-    // df skew-safely: the df aggregate and the join both derive from the
-    // same repartition(term) subtree; column pruning then pushes a
-    // term-only projection below the df branch's exchange (defeating
-    // exchange reuse, but shipping ONE pruned column, partial-agg'd —
-    // plan-audited), the join is pinned shuffle_hash on the same key so
-    // the already-partitioned children add no third corpus exchange, and
-    // Spark's WindowGroupLimit cuts the rank window to partial top-k
-    // before the doc exchange. A per-term unbounded WINDOW would save the
-    // narrow df exchange but buffer+sort every row of a hot term (a
-    // stopword ≈ one row per document) in a single window task — the hash
-    // join streams the probe side instead.
     val n = docs.agg(count(lit(1)).as("__n"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    val tfByTerm = tf.repartition(col("term"))
-    val dft = tfByTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tfByTerm.join(dft.hint("shuffle_hash"), Seq("term"))
+    def rank(scored: DataFrame): DataFrame = scored
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * (col("__n") + 1L) / (col("df") + 1L))
       .withColumn("rank", row_number().over(wDoc).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+    if (AdaptiveGate.isSmall(docs, smallBytes)) {
+      // corpora whose df table fits an executor: broadcast it. The probe
+      // side then runs scan → tokenize → join → partial top-k fused in ONE
+      // stage with no corpus-wide exchange at all (WindowGroupLimit cuts
+      // the per-doc window to ≤ topK rows per doc per task before its tiny
+      // exchange); the df branch pays a second tokenize pass but its
+      // exchange carries only partial-agg'd (term) rows. Measured against
+      // a tokenize-once persisted-tf variant at x10: the cache write +
+      // materialization barrier cost MORE than the saved tokenize pass —
+      // full pipelining wins (1.30 s cached vs 0.96 s this shape).
+      rank(tf.join(
+        broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df"))),
+        Seq("term")))
+    } else {
+      // scale path (smallBytes = 0 pins it): no persisted corpus, df
+      // skew-safely off a shared repartition(term) subtree; column pruning
+      // pushes a term-only projection below the df branch's exchange
+      // (defeating exchange reuse, but shipping ONE pruned column,
+      // partial-agg'd — plan-audited), the join is pinned shuffle_hash on
+      // the same key so the already-partitioned children add no third
+      // corpus exchange. A per-term unbounded WINDOW would save the narrow
+      // df exchange but buffer+sort every row of a hot term (a stopword ≈
+      // one row per document) in a single window task — the hash join
+      // streams the probe side instead.
+      val tfByTerm = tf.repartition(col("term"))
+      val dft = tfByTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      rank(tfByTerm.join(dft.hint("shuffle_hash"), Seq("term")))
+    }
   }
 
   /** Full per-document text-statistics projection. */

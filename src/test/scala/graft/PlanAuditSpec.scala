@@ -124,6 +124,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     // one window task — the only window is the per-doc rank
     p should not include "windowspecdefinition(term"
     p should not include "SortMergeJoin"
+    // small path: the df table is broadcast, so the probe side fuses
+    // scan → tokenize → join → partial top-k into one stage with no
+    // corpus-wide exchange; the only Exchanges are the df branch's
+    // partial-agg'd (term) rows and the ≤ topK-per-doc window input
+    p should include("BroadcastHashJoin")
+    (p should not).include("ShuffledHashJoin")
+    (p should not).include("InMemoryTableScan")
+  }
+
+  test("text_keywords scale path: shared term exchange, no persisted corpus") {
+    // smallBytes = 0 pins the 100 TB shape: tf and df branches derive from
+    // one repartition(term) subtree, the join stays shuffle-hash on that
+    // key, and nothing caches the corpus. clearCache first — the small
+    // path's persisted tf has the identical logical subtree, and
+    // CacheManager would silently substitute it into this plan.
+    spark.catalog.clearCache()
+    val p = operators.TextAnalysis.keywordSalience(
+        Tables.documents(spark, sf0001), topK = 3, smallBytes = 0L)
+      .queryExecution.executedPlan.toString
+    p should include("ShuffledHashJoin")
+    (p should not).include("InMemoryTableScan")
+    p should not include "windowspecdefinition(term"
   }
 
   test("order_budget_per_source: one corpus exchange; offsets broadcast (two-phase pinned)") {
