@@ -246,12 +246,18 @@ object SparkEntry {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nat.as("cn")), col("c_nationkey") === col("cn.n_nationkey"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(nat.as("sn")), col("s_nationkey") === col("sn.n_nationkey"))
-        .groupBy(col("cn.n_name").as("cust_nation"), col("sn.n_name").as("supp_nation"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey"), col("s_nationkey"))
         .agg(count(lit(1)).as("n"))
+        .join(broadcast(nat.as("cn")), col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(nat.as("sn")), col("s_nationkey") === col("sn.n_nationkey"))
+        .select(col("cn.n_name").as("cust_nation"), col("sn.n_name").as("supp_nation"),
+          col("n"))
     }),
 
     // W1/P6: latest-record dedup (the reference's merge semantics).
