@@ -140,7 +140,7 @@ object Sampling {
     */
   def stratified(df: DataFrame, stratum: String, key: String, quota: Int,
                  oversample: Double = 4.0,
-                 smallBytes: Long = 256L << 20,
+                 smallBytes: Long = 32L << 20,
                  maxStrata: Int = 100000): DataFrame = {
     require(quota > 0, "Sampling.stratified: quota must be positive")
     val h = md5(col(key).cast("string"))
