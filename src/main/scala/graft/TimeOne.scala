@@ -40,18 +40,33 @@ object TimeOne {
       val best = ts.transpose.map(col => col.head._1 -> col.map(_._2).min)
       best.foreach { case (n, t) => println(f"TIME $n%-28s $t%.3f s (min-of-$passes%d, pass-shared)") }
       println(f"TIME __pass_total__             ${best.map(_._2).sum}%.3f s")
-    } else names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warm
-      spark.catalog.clearCache()
-      val ts = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val t = (System.nanoTime() - t0) / 1e9
+    } else {
+      val best = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        fn(spark, sfDir).count() // warm
         spark.catalog.clearCache()
-        t
+        val ts = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          t
+        }
+        println(f"TIME $name%-28s ${ts.min}%.3f s (min-of-$passes%d)")
+        name -> ts.min
       }
-      println(f"TIME $name%-28s ${ts.min}%.3f s (min-of-$passes%d)")
+      // optional machine-readable dump (same {"queries": {...}} shape as
+      // Bench's full line) so the scale harness can pair this harness'
+      // steady-state convention — per-query warm back-to-back min-of-N,
+      // the same convention as the DuckDB side's min-of-3 — against the
+      // one-shot interleaved Bench numbers
+      sys.env.get("SPARK_GRAFT_JSON_OUT").foreach { out =>
+        def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        val qs = best.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+          s"""{"metric":"steady","unit":"sec","passes":$passes,"queries":$qs}""" + "\n")
+      }
     }
     spark.stop()
   }
