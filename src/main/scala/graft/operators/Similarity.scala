@@ -57,6 +57,119 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Partition-local per-query running top-k — the scoring kernel shared by
+    * [[bruteForceTopK]] (every query scores every corpus row) and
+    * [[lshTopK]] (only the queries probing the row's bucket score it).
+    * One instance per task; `offer` is the hot loop.
+    *
+    * Layout: a flat row-major query matrix when every query shares one dim
+    * (the library-wide contract) — one contiguous block the dot loop
+    * streams, no array-of-array indirection per pair. Ragged query sets
+    * keep the per-query arrays (rare; correctness path only). The running
+    * top-k per query is kept sorted by (cos_r desc, id asc), and the
+    * half-up rounding is LAZY: a raw cosine strictly below
+    * (rank-k − 5e-7) cannot round past rank-k and is rejected unrounded.
+    * Dots accumulate in index order over min(dim) — the same sequence as
+    * VectorOps.cosine, so the double is bit-identical to the declarative
+    * spellings (what keeps the kernels oracle-comparable).
+    */
+  private[operators] final class LocalTopK(
+      qs: Array[(Long, Array[Float])], k: Int) {
+    val nq: Int = qs.length
+    private val qIds = new Array[Long](nq)
+    private val qnorm = new Array[Double](nq)
+    private val dim = if (nq > 0) qs(0)._2.length else 0
+    private val uniform = qs.forall(_._2.length == dim)
+    private val qflat = if (uniform) new Array[Float](nq * dim) else null
+    locally {
+      var qi = 0
+      while (qi < nq) {
+        qIds(qi) = qs(qi)._1
+        var acc = 0.0; var i = 0; val qe = qs(qi)._2
+        while (i < qe.length) { val v = qe(i).toDouble; acc += v * v; i += 1 }
+        qnorm(qi) = math.sqrt(acc)
+        if (uniform) System.arraycopy(qe, 0, qflat, qi * dim, dim)
+        qi += 1
+      }
+    }
+    private val topCos = Array.fill(nq * k)(Double.NegativeInfinity)
+    private val topId = new Array[Long](nq * k)
+    private val filled = new Array[Int](nq)
+
+    /** Corpus-row norm (full-array, decomposed accumulation). Computed once
+      * per row by the caller and passed to every `offer` for it.
+      */
+    def normOf(emb: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < emb.length) { val v = emb(i).toDouble; acc += v * v; i += 1 }
+      math.sqrt(acc)
+    }
+
+    /** Score corpus row (`nid`, `emb`) against query index `q`, inserting
+      * into that query's running top-k when it can still rank. Self-matches
+      * (qid == nid) are skipped.
+      */
+    def offer(q: Int, nid: Long, emb: Array[Float], cnorm: Double): Unit = {
+      val qid = qIds(q)
+      if (qid == nid) return
+      var dot = 0.0
+      var d = 0.0
+      var i = 0
+      if (uniform && emb.length == dim) {
+        val off = q * dim
+        while (i < dim) {
+          dot += qflat(off + i).toDouble * emb(i).toDouble; i += 1
+        }
+        d = qnorm(q) * cnorm
+      } else {
+        val qe = qs(q)._2
+        val n = math.min(emb.length, qe.length)
+        while (i < n) { dot += qe(i).toDouble * emb(i).toDouble; i += 1 }
+        // norms are over the FULL arrays; equal to VectorOps.cosine's
+        // min-truncated norms whenever dims agree (the library-wide
+        // contract; mixed-dim pairs recompute truncated norms here)
+        d =
+          if (emb.length == qe.length) qnorm(q) * cnorm
+          else {
+            var nx = 0.0; var ny = 0.0; i = 0
+            while (i < n) {
+              val x = qe(i).toDouble; val y = emb(i).toDouble
+              nx += x * x; ny += y * y; i += 1
+            }
+            math.sqrt(nx) * math.sqrt(ny)
+          }
+      }
+      val raw = if (d == 0.0) 0.0 else dot / d
+      val base = q * k
+      val full = filled(q) == k
+      if (!full || raw >= topCos(base + k - 1) - 5e-7) {
+        val r = graft.functions.IvfKernel.round6(raw)
+        val fl = filled(q)
+        if (!full || r > topCos(base + k - 1) ||
+            (r == topCos(base + k - 1) && nid < topId(base + k - 1))) {
+          var pos = if (full) k - 1 else fl
+          while (pos > 0 && (topCos(base + pos - 1) < r ||
+              (topCos(base + pos - 1) == r && topId(base + pos - 1) > nid))) {
+            topCos(base + pos) = topCos(base + pos - 1)
+            topId(base + pos) = topId(base + pos - 1)
+            pos -= 1
+          }
+          topCos(base + pos) = r
+          topId(base + pos) = nid
+          if (!full) filled(q) = fl + 1
+        }
+      }
+    }
+
+    /** The partition's surviving (query_id, neighbor_id, cos_r) rows. */
+    def results: Iterator[(Long, Long, Double)] =
+      (0 until nq).iterator.flatMap { q =>
+        (0 until filled(q)).iterator.map { j =>
+          (qs(q)._1, topId(q * k + j), topCos(q * k + j))
+        }
+      }
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query row.
     * `queries` must be small (bounded by `maxQueries`, broadcast); excludes
     * self-matches. Ranking uses the cosine rounded to 6 decimals with
@@ -94,102 +207,14 @@ object Similarity {
     val local = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val qs = bcQ.value
-        val nq = qs.length
-        val qIds = new Array[Long](nq)
-        val qnorm = new Array[Double](nq)
-        // flat row-major query matrix when every query shares one dim (the
-        // library-wide contract): one contiguous block the dot loop streams,
-        // no array-of-array indirection per pair. Ragged query sets keep the
-        // per-query arrays (rare; correctness path only).
-        val dim = if (nq > 0) qs(0)._2.length else 0
-        val uniform = qs.forall(_._2.length == dim)
-        val qflat = if (uniform) new Array[Float](nq * dim) else null
-        var qi = 0
-        while (qi < nq) {
-          qIds(qi) = qs(qi)._1
-          var acc = 0.0; var i = 0; val qe = qs(qi)._2
-          while (i < qe.length) { val v = qe(i).toDouble; acc += v * v; i += 1 }
-          qnorm(qi) = math.sqrt(acc)
-          if (uniform) System.arraycopy(qe, 0, qflat, qi * dim, dim)
-          qi += 1
-        }
-        // per-query running top-k, kept sorted by (cos_r desc, id asc)
-        val topCos = Array.fill(nq * k)(Double.NegativeInfinity)
-        val topId = new Array[Long](nq * k)
-        val filled = new Array[Int](nq)
+        val s = new LocalTopK(bcQ.value, k)
         while (it.hasNext) {
           val (nid, emb) = it.next()
-          var acc = 0.0; var i = 0
-          while (i < emb.length) { val v = emb(i).toDouble; acc += v * v; i += 1 }
-          val cnorm = math.sqrt(acc)
-          val fastPath = uniform && emb.length == dim
+          val cnorm = s.normOf(emb)
           var q = 0
-          while (q < nq) {
-            val qid = qIds(q)
-            if (qid != nid) {
-              // dot in index order over min(dim) — the same accumulation
-              // sequence as VectorOps.cosine, so the double is bit-identical
-              var dot = 0.0
-              var d = 0.0
-              if (fastPath) {
-                val off = q * dim
-                i = 0
-                while (i < dim) {
-                  dot += qflat(off + i).toDouble * emb(i).toDouble; i += 1
-                }
-                d = qnorm(q) * cnorm
-              } else {
-                val qe = qs(q)._2
-                val n = math.min(emb.length, qe.length)
-                i = 0
-                while (i < n) { dot += qe(i).toDouble * emb(i).toDouble; i += 1 }
-                // norms are over the FULL arrays; equal to VectorOps.cosine's
-                // min-truncated norms whenever dims agree (the library-wide
-                // contract; mixed-dim pairs recompute truncated norms here)
-                d =
-                  if (emb.length == qe.length) qnorm(q) * cnorm
-                  else {
-                    var nx = 0.0; var ny = 0.0; i = 0
-                    while (i < n) {
-                      val x = qe(i).toDouble; val y = emb(i).toDouble
-                      nx += x * x; ny += y * y; i += 1
-                    }
-                    math.sqrt(nx) * math.sqrt(ny)
-                  }
-              }
-              val raw = if (d == 0.0) 0.0 else dot / d
-              val base = q * k
-              val full = filled(q) == k
-              // half-up to 6 decimals moves a value by at most 5e-7: a raw
-              // cosine strictly below (rank-k − 5e-7) stays strictly below
-              // rank-k after rounding and can be rejected unrounded
-              if (!full || raw >= topCos(base + k - 1) - 5e-7) {
-                val r = graft.functions.IvfKernel.round6(raw)
-                val fl = filled(q)
-                if (!full || r > topCos(base + k - 1) ||
-                    (r == topCos(base + k - 1) && nid < topId(base + k - 1))) {
-                  var pos = if (full) k - 1 else fl
-                  while (pos > 0 && (topCos(base + pos - 1) < r ||
-                      (topCos(base + pos - 1) == r && topId(base + pos - 1) > nid))) {
-                    topCos(base + pos) = topCos(base + pos - 1)
-                    topId(base + pos) = topId(base + pos - 1)
-                    pos -= 1
-                  }
-                  topCos(base + pos) = r
-                  topId(base + pos) = nid
-                  if (!full) filled(q) = fl + 1
-                }
-              }
-            }
-            q += 1
-          }
+          while (q < s.nq) { s.offer(q, nid, emb, cnorm); q += 1 }
         }
-        (0 until nq).iterator.flatMap { q =>
-          (0 until filled(q)).iterator.map { j =>
-            (qs(q)._1, topId(q * k + j), topCos(q * k + j))
-          }
-        }
+        s.results
       }
       .toDF("query_id", "neighbor_id", "cos_r")
     val w = Window.partitionBy("query_id").orderBy(desc("cos_r"), col("neighbor_id"))
@@ -226,27 +251,92 @@ object Similarity {
     * tune planes up as |corpus| grows to keep candidate counts constant.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
-              probeBits: Int = 2): DataFrame = {
+              probeBits: Int = 2, maxQueries: Int = 100000): DataFrame = {
+    require(k > 0, "lshTopK: k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val pm = planeMatrix(planes, dim)
+    // queries are collected WITH their plane bucket — computed by the same
+    // expression as the corpus side, so bucket semantics cannot drift
+    val qRows = queries.select(col("vec_id"), col("embedding"),
+        planeBucket(col("embedding"), pm).as("qbucket"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"lshTopK: query set exceeds maxQueries=$maxQueries — queries are " +
+        "broadcast by design; raise maxQueries deliberately or shard the " +
+        "query set")
+    val qSorted = qRows
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    // all XOR masks with <= probeBits bits set; the probed buckets of one
+    // query are DISTINCT, and a corpus row has exactly one bucket, so every
+    // (query, corpus-row) candidate pair meets at most once — no dedup
+    // stage anywhere in this operator
+    val masks = (0 until (1 << planes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
+    val probeMap = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    qSorted.indices
+      .flatMap(i => masks.map(m => (qSorted(i)._3 ^ m.toLong, i)))
+      .groupBy(_._1)
+      .foreach { case (b, xs) =>
+        probeMap.put(b, xs.map(_._2).sorted.toArray)
+      }
+    val bcQ = spark.sparkContext.broadcast(qSorted.map(t => (t._1, t._2)))
+    val bcProbe = spark.sparkContext.broadcast(probeMap)
+    // rank on the cosine rounded to 6 decimals with neighbor_id tie-break —
+    // the same cross-engine-deterministic convention as [[bruteForceTopK]],
+    // which is what makes this operator oracle-comparable.
+    //
+    // Shape (mirrors the bruteForceTopK kernel): the probe table is
+    // O(|Q| × masks) driver state broadcast once; each corpus partition
+    // streams its rows, scoring a row only against the queries probing its
+    // bucket with a partition-local running top-k, then the
+    // |partitions| × |Q| × k survivors merge through one per-query window.
+    // The declarative join spelling is kept as [[lshTopKPlan]] and pinned
+    // row-identical by SimilaritySpec: it materializes and rounds EVERY
+    // candidate pair, hash-aggregates them (all-distinct groups — pure
+    // overhead at |candidates| scale) and shuffles the full candidate set
+    // to the window, where this kernel shuffles only the survivors.
+    val local = corpus.select(col("vec_id"), col("embedding"),
+        planeBucket(col("embedding"), pm).as("bucket"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val s = new LocalTopK(bcQ.value, k)
+        val probes = bcProbe.value
+        while (it.hasNext) {
+          val (nid, emb, b) = it.next()
+          val idxs = probes.get(b)
+          if (idxs != null) {
+            val cnorm = s.normOf(emb)
+            var i = 0
+            while (i < idxs.length) { s.offer(idxs(i), nid, emb, cnorm); i += 1 }
+          }
+        }
+        s.results
+      }
+      .toDF("query_id", "neighbor_id", "cos_r")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_r"), col("neighbor_id"))
+    local.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** The declarative spelling of [[lshTopK]] (broadcast probe join + dedup
+    * aggregate + per-query window): the reference plan the kernel is
+    * spec-pinned against, and the shape to prefer when queries cannot be
+    * collected (e.g. a query side too large for the broadcast contract).
+    */
+  private[graft] def lshTopKPlan(corpus: DataFrame, queries: DataFrame, k: Int,
+                                 planes: Int = 8, probeBits: Int = 2): DataFrame = {
     val dim = 64
     val pm = planeMatrix(planes, dim)
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
       planeBucket(col("embedding"), pm).as("bucket"))
     val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       planeBucket(col("embedding"), pm).as("qbucket"))
-    // all XOR masks with <= probeBits bits set
     val masks = (0 until (1 << planes)).filter(m => java.lang.Integer.bitCount(m) <= probeBits)
     val probes = qb.select(col("query_id"), col("qe"),
       explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m.toLong))): _*)).as("bucket"))
-    // rank on the cosine rounded to 6 decimals with neighbor_id tie-break —
-    // the same cross-engine-deterministic convention as [[bruteForceTopK]],
-    // which is what makes this operator oracle-comparable.
-    //
-    // Probes are |Q| × ~probes rows — broadcast them (queries are small by
-    // contract, as in [[bruteForceTopK]]) so the corpus side never
-    // exchanges for the join; the ONE shuffle in the plan is the explicit
-    // query_id repartition below, whose partitioning satisfies both the
-    // dedup aggregation (query_id ⊂ its grouping) and the top-k window —
-    // three clustered operators, one exchange.
     val cand = bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -45,6 +45,26 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     e.getMessage should include("maxQueries")
   }
 
+  test("lshTopK kernel is row-identical to the declarative plan") {
+    // pins the probe-map mapPartitions kernel (bucket-filtered scoring,
+    // partition-local top-k, lazy half-up rounding) to the broadcast-join +
+    // dedup-agg + window spelling on real embeddings — any drift in bucket
+    // assignment, probe masks, accumulation order or rounding fails loudly
+    val kernel = Similarity.lshTopK(emb, queries, k = 10)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    val plan = Similarity.lshTopKPlan(emb, queries, k = 10)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    kernel should have length plan.length.toLong
+    kernel shouldBe plan
+  }
+
+  test("lshTopK enforces the maxQueries broadcast contract") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, emb, k = 3, maxQueries = 5)
+    }
+    e.getMessage should include("maxQueries")
+  }
+
   test("lshTopK multi-probe recall vs brute force on real embeddings") {
     val approx = Similarity.lshTopK(emb, queries, k = 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
