@@ -28,6 +28,18 @@ object SparkEntry {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Size gate for the high-cardinality aggregates (a7, q13, q18): above
+    * it the raw grouping rows are repartitioned by the grouping key so the
+    * aggregate runs post-shuffle (map-side partial aggregation INFLATES
+    * when distinct keys ≈ input rows — each map task pays a keys-scale
+    * hash map to emit nearly its input size); below it the direct groupBy
+    * wins because the extra exchange stage costs more than the small
+    * partial maps. 4 MB splits the driver's sf0.1 projections (0.5–2.2 MB
+    * plan-stat estimate) from the x10/x30 scale fixtures (5–82 MB); both
+    * sides are measured in the queries' audit notes.
+    */
+  private val rawAggBytes: Long = 4L << 20
+
   /** DuckDB CTE fragments shared by the text/dedup oracles. */
   private val ShinglesCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -326,8 +338,20 @@ object SparkEntry {
     // shuffling the 150k-row per-customer aggregate against the customer
     // table. The 0 row is emitted only when positive, matching the
     // left-join formulation on fully-ordering populations.
+    // The per-customer count REPARTITIONS the raw single-col custkeys
+    // before grouping (above the [[rawAggBytes]] gate): at ~7 orders/
+    // customer with custkeys scattered across the scan, map-side partial
+    // aggregation inflates (each map task's partial output ≈ its input)
+    // while paying a |customers|-scale hash map per task — post-shuffle
+    // aggregation with 1-col raw rows measured 0.69 s vs 0.92 s at x30
+    // (min-of-3, same session; sf0.1 keeps the direct groupBy, 0.28 s vs
+    // 0.32 s).
     "q13_custdist" -> ((s, d) => {
-      val oc = Tables.orders(s, d).groupBy(col("o_custkey"))
+      val raw = Tables.orders(s, d).select(col("o_custkey"))
+      val pre = if (operators.AdaptiveGate.isSmall(raw, rawAggBytes)) raw
+                else raw.repartition(col("o_custkey"))
+      val oc = pre
+        .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("cnt"))
       val nonzero = oc.groupBy(col("cnt"))
         .agg(count(lit(1)).as("custdist"))
@@ -345,9 +369,23 @@ object SparkEntry {
       nonzero.unionByName(zeroRow)
     }),
 
-    // Q18: HAVING over a grouped sum, joined back to the fact
+    // Q18: HAVING over a grouped sum, joined back to the fact.
+    // The per-order sum groups ~|lineitem|/4 keys — high-cardinality
+    // enough that map-side partial aggregation pays a near-|orders| hash
+    // map per task for a modest reduction; repartitioning the raw 2-col
+    // rows first measured 1.96 s vs 2.21 s at x30 (min-of-3, same
+    // session; the gain is smaller than a7's because lineitem files are
+    // clustered by orderkey, so partial agg did reduce here). Below the
+    // [[rawAggBytes]] gate the extra exchange stage costs more than the
+    // small partial maps save (0.40 s vs 0.54 s at sf0.1 same-session),
+    // so tiny inputs keep the direct groupBy. The filtered aggregate is
+    // tiny, so AQE broadcast-joins it into the orders scan.
     "q18_large_orders" -> ((s, d) => {
-      val big = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("bk"))
+      val raw = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val pre = if (operators.AdaptiveGate.isSmall(raw, rawAggBytes)) raw
+                else raw.repartition(col("l_orderkey"))
+      val big = pre
+        .groupBy(col("l_orderkey").as("bk"))
         .agg(sum(col("l_quantity")).as("total_qty"))
         .filter(col("total_qty") > 250)
       Tables.orders(s, d).join(big, col("o_orderkey") === col("bk"))
@@ -647,12 +685,13 @@ object SparkEntry {
     // measured-and-rejected in the audit history.
     //
     // AUDIT (r8): the aggregate side explicitly REPARTITIONS the raw
-    // (partkey, quantity) rows before the groupBy, because |parts| here is
-    // ~|lineitem|/30 — high-cardinality grouping is exactly where map-side
-    // partial aggregation INFLATES instead of reduces (each of 32 map
-    // tasks sees most of the 600k parts at x30, so "partial" rows ≈ 32 ×
-    // |parts| ≈ |input|, paying a 600k-entry hash map per map task AND a
-    // wider exchange of (key, sum, count) triples for nothing). With the
+    // (partkey, quantity) rows before the groupBy (above the
+    // [[rawAggBytes]] gate), because |parts| here is ~|lineitem|/30 —
+    // high-cardinality grouping is exactly where map-side partial
+    // aggregation INFLATES instead of reduces (each of 32 map tasks sees
+    // most of the 600k parts at x30, so "partial" rows ≈ 32 × |parts| ≈
+    // |input|, paying a 600k-entry hash map per map task AND a wider
+    // exchange of (key, sum, count) triples for nothing). With the
     // repartition, the exchange carries the raw 2-col rows once and the
     // aggregate runs post-shuffle with |parts|/32-entry maps: measured
     // 1.17 s vs 2.72 s (x30, min-of-3, same session). A single-scan
@@ -663,9 +702,10 @@ object SparkEntry {
     // bit-for-bit: quantities are integral, so sum/avg are exact in
     // double regardless of accumulation order.
     "a7_below_avg_qty" -> ((s, d) => {
-      val pa = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_quantity"))
-        .repartition(col("l_partkey"))
+      val raw = Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"))
+      val pre = if (operators.AdaptiveGate.isSmall(raw, rawAggBytes)) raw
+                else raw.repartition(col("l_partkey"))
+      val pa = pre
         .groupBy(col("l_partkey"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
       Tables.lineitem(s, d)
