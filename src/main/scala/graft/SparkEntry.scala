@@ -40,6 +40,18 @@ object SparkEntry {
     */
   private val rawAggBytes: Long = 4L << 20
 
+  /** Pre-shuffle routing for a high-cardinality groupBy: above `smallBytes`
+    * the raw rows repartition by `key`, so the subsequent aggregate's
+    * distribution requirement is already satisfied and it runs in one
+    * post-shuffle pass (no inflating map-side partial stage); below it the
+    * rows pass through untouched and the groupBy plans its usual
+    * partial+final pair.
+    */
+  private[graft] def preShuffled(raw: DataFrame, key: String,
+                                 smallBytes: Long = rawAggBytes): DataFrame =
+    if (operators.AdaptiveGate.isSmall(raw, smallBytes)) raw
+    else raw.repartition(col(key))
+
   /** DuckDB CTE fragments shared by the text/dedup oracles. */
   private val ShinglesCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -347,10 +359,8 @@ object SparkEntry {
     // (min-of-3, same session; sf0.1 keeps the direct groupBy, 0.28 s vs
     // 0.32 s).
     "q13_custdist" -> ((s, d) => {
-      val raw = Tables.orders(s, d).select(col("o_custkey"))
-      val pre = if (operators.AdaptiveGate.isSmall(raw, rawAggBytes)) raw
-                else raw.repartition(col("o_custkey"))
-      val oc = pre
+      val oc = preShuffled(Tables.orders(s, d).select(col("o_custkey")),
+          "o_custkey")
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("cnt"))
       val nonzero = oc.groupBy(col("cnt"))
@@ -381,10 +391,8 @@ object SparkEntry {
     // so tiny inputs keep the direct groupBy. The filtered aggregate is
     // tiny, so AQE broadcast-joins it into the orders scan.
     "q18_large_orders" -> ((s, d) => {
-      val raw = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-      val pre = if (operators.AdaptiveGate.isSmall(raw, rawAggBytes)) raw
-                else raw.repartition(col("l_orderkey"))
-      val big = pre
+      val big = preShuffled(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
         .groupBy(col("l_orderkey").as("bk"))
         .agg(sum(col("l_quantity")).as("total_qty"))
         .filter(col("total_qty") > 250)
@@ -702,10 +710,8 @@ object SparkEntry {
     // bit-for-bit: quantities are integral, so sum/avg are exact in
     // double regardless of accumulation order.
     "a7_below_avg_qty" -> ((s, d) => {
-      val raw = Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"))
-      val pre = if (operators.AdaptiveGate.isSmall(raw, rawAggBytes)) raw
-                else raw.repartition(col("l_partkey"))
-      val pa = pre
+      val pa = preShuffled(Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity")), "l_partkey")
         .groupBy(col("l_partkey"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
       Tables.lineitem(s, d)

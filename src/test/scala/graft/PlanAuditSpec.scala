@@ -244,14 +244,6 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("LeftAnti")
   }
 
-  test("ann_lsh tail: probes broadcast; dedup-agg and top-k window share one exchange") {
-    val p = plan("ann_lsh")
-    p should include("BroadcastExchange") // the probe set
-    // the corpus side exchanges exactly once (the explicit query_id
-    // repartition), satisfying both the aggregation and the window
-    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
-  }
-
   test("pack_sequences: size-adaptive — small input takes the 1-exchange window") {
     // stats bound the bench/test input, so the in-plan global window runs
     // (zero driver actions); no bucket scaffolding in the plan
@@ -403,5 +395,41 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     val p = df.queryExecution.executedPlan.toString
     p should include("vec_cosine")
     p should include("*") // WholeStageCodegen marker on the project/filter
+  }
+
+  test("gated aggs small path: a7/q13/q18 keep the direct partial+final groupBy") {
+    // at test scale the rawAggBytes gate routes all three high-cardinality
+    // aggregates through the plain groupBy — no repartition scaffolding
+    for (q <- Seq("a7_below_avg_qty", "q13_custdist", "q18_large_orders"))
+      plan(q) should not include "REPARTITION_BY_COL"
+  }
+
+  test("preShuffled large path (forced): one keyed exchange feeds a single-pass agg") {
+    // smallBytes = 0 pins the large path on the small fixture: the raw
+    // rows carry exactly one hash exchange (the explicit repartition), and
+    // the aggregate above it adds NO second exchange — its distribution
+    // requirement is already satisfied, which is the whole point
+    val df = SparkEntry.preShuffled(
+        Tables.orders(spark, sf0001).select(col("o_custkey")),
+        "o_custkey", smallBytes = 0L)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    // pre-execution plan: the adaptive final-plan string would print the
+    // initial plan too and double-count the exchange
+    val p = df.queryExecution.executedPlan.toString
+    p should include("REPARTITION_BY_COL")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("ann_lsh kernel: corpus streams into the scorer; one exchange (survivor merge)") {
+    // the corpus side must read straight into the mapPartitions kernel —
+    // no exchange below it, no broadcast probe join, no dedup aggregate;
+    // the only shuffle left is the |partitions| x |Q| x k survivor window
+    val df = SparkEntry.queries("ann_lsh")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("MapPartitions")
+    p should not include "BroadcastExchange"
+    p should not include "HashAggregate"
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p.indexOf("MapPartitions") should be > p.indexOf("Window") // survivors above kernel
   }
 }
