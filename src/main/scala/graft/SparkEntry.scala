@@ -357,7 +357,8 @@ object SparkEntry {
     // while paying a |customers|-scale hash map per task — post-shuffle
     // aggregation with 1-col raw rows measured 0.69 s vs 0.92 s at x30
     // (min-of-3, same session; sf0.1 keeps the direct groupBy, 0.28 s vs
-    // 0.32 s).
+    // 0.32 s). Gate validated at x100 (2.2 GB): 1.01 s gated vs 1.46 s
+    // direct-groupBy spelling, min-of-3 same session.
     "q13_custdist" -> ((s, d) => {
       val oc = preShuffled(Tables.orders(s, d).select(col("o_custkey")),
           "o_custkey")
@@ -389,7 +390,9 @@ object SparkEntry {
     // [[rawAggBytes]] gate the extra exchange stage costs more than the
     // small partial maps save (0.40 s vs 0.54 s at sf0.1 same-session),
     // so tiny inputs keep the direct groupBy. The filtered aggregate is
-    // tiny, so AQE broadcast-joins it into the orders scan.
+    // tiny, so AQE broadcast-joins it into the orders scan. Gate
+    // validated at x100 (2.2 GB): 3.49 s gated vs 5.01 s direct-groupBy
+    // spelling, min-of-3 same session — the x30 trend holds.
     "q18_large_orders" -> ((s, d) => {
       val big = preShuffled(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
