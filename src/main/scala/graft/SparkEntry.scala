@@ -265,6 +265,11 @@ object SparkEntry {
     // joins moved after the 625-row aggregate — measured 0.69 s vs this
     // plan's 0.50 s floor (min-of-6, same session): the extra post-agg
     // join stages cost more than the narrower agg keys save. Keep this.
+    // x100 (2.2 GB) alternative measured and rejected: broadcasting the
+    // orders⋈customer build side (the DuckDB-style single-probe plan)
+    // ran 10.2 s vs 4.3 s for this shuffle-hash plan, min-of-3 same
+    // session — the driver-side single-threaded HashedRelation build on
+    // 15M rows costs more than both 32-way shuffle writes combined.
     "j4_roleplay_join" -> ((s, d) => {
       val nat = Tables.nation(s, d)
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))

@@ -185,6 +185,45 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Kernel of [[ProbeTermStats]]: ONE byte-traversal over the
+    * single-space token structure of `text`, returning
+    * `[dl, tf_0, …, tf_{k-1}]` — dl = token count of
+    * `split(text, " ", -1)` (empty tokens counted, trailing empties kept:
+    * Java limit -1 semantics, same contract as [[shingles]]), tf_i = the
+    * number of tokens byte-equal to `terms(i)`. Replaces k+1 independent
+    * regex `split` evaluations (each materializing a token array) in the
+    * BM25 hot path; byte-wise equality is exact UTF-8 token equality, so
+    * results match `size(filter(split(text, " "), _ === term))`.
+    */
+  def probeTermStats(text: UTF8String, terms: Array[Array[Byte]]): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val k = terms.length
+    val out = new Array[Long](k + 1)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        out(0) += 1 // dl: every segment counts, empty ones included
+        val len = i - start
+        var t = 0
+        while (t < k) {
+          val tb = terms(t)
+          if (tb.length == len) {
+            var j = 0
+            while (j < len && tb(j) == bytes(start + j)) j += 1
+            if (j == len) out(t + 1) += 1
+          }
+          t += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** All strictly-ordered (a < b) pairs of a long array after sort+dedup —
     * see [[ArrayPairs]]. Equal values never pair (no (x, x) self-pairs),
     * exactly the `a.id < b.id` predicate of the self-join this replaces.
@@ -523,6 +562,37 @@ case class TermCountArray(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused per-document BM25 scan statistics — see
+  * [[TextOps.probeTermStats]]. `terms` are plan literals (query terms are
+  * small by contract), carried as pre-encoded UTF-8 byte arrays through a
+  * codegen reference object so the generated code shares one kernel call
+  * per row where the composed form re-splits the text k+1 times.
+  */
+case class ProbeTermStats(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  override def prettyName: String = "probe_term_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  @transient private lazy val termBytes: Array[Array[Byte]] =
+    terms.iterator.map(t => UTF8String.fromString(t).getBytes).toArray
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.probeTermStats(t.asInstanceOf[UTF8String], termBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termBytes", termBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.probeTermStats($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ArrayPairs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "array_pairs"
   override def dataType: DataType = ArrayType(
@@ -638,6 +708,8 @@ object TextFunctions {
     column(MinhashSigArray(expression(hs), numPerm))
   def array_pairs(ids: Column): Column = column(ArrayPairs(expression(ids)))
   def term_count_array(text: Column): Column = column(TermCountArray(expression(text)))
+  def probe_term_stats(text: Column, terms: Seq[String]): Column =
+    column(ProbeTermStats(expression(text), terms))
   def vocab_encode(text: Column, vocab: Seq[String], oovId: Long = 0L): Column = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     column(VocabEncode(expression(text), sc.broadcast(vocab.toArray), oovId))

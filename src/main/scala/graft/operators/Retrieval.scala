@@ -21,13 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Occurrences of literal `term` among the whitespace tokens of `text`.
-    * `aggregate` over the token array (codegen'd) rather than a regex —
-    * exact token equality, no metacharacter hazards.
-    */
-  private def termFreq(text: Column, term: String): Column =
-    size(filter(TextAnalysis.words(text), w => w === lit(term))).cast("long")
-
   /** BM25 scores of every document against `terms`.
     *
     * Output: (doc_id, score) for documents with score > 0 — i.e. documents
@@ -42,23 +35,33 @@ object Retrieval {
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: empty query")
-    val dl = TextAnalysis.tokenCount(col("text"))
+    // [dl, tf_0, …, tf_{k-1}] in ONE traversal of the text
+    // ([[graft.functions.ProbeTermStats]]): the composed
+    // size/filter/array_contains spelling re-ran the regex split k+1 times
+    // per row in EACH of the two passes — at x100 that tokenization tax
+    // was ~3/4 of both scan stages (0.29 s + 0.69 s → 0.10 s + 0.21 s
+    // fused, min-of-3 same session). Values are identical: the kernel
+    // mirrors split(text, " ", -1) token structure and exact byte
+    // equality, so the DuckDB oracle is unchanged.
+    val ps = graft.functions.TextFunctions.probe_term_stats(col("text"), terms)
+    val dl = ps.getItem(0)
     // one row: corpus size, mean doc length, and df per query term — each
-    // df a sum of 0/1 contains-flags (algebraic, partial-aggregated)
+    // df a sum of 0/1 tf>0 flags (algebraic, partial-aggregated)
     val statCols = count(lit(1)).as("_n") +: avg(dl).as("_avgdl") +:
-      terms.zipWithIndex.map { case (t, i) =>
-        sum(when(array_contains(TextAnalysis.words(col("text")), t), 1L)
-          .otherwise(0L)).as(s"_df$i")
+      terms.indices.map { i =>
+        sum(when(ps.getItem(i + 1) > 0L, 1L).otherwise(0L)).as(s"_df$i")
       }
     val stats = docs.agg(statCols.head, statCols.tail: _*)
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      val tf = termFreq(col("text"), t).cast("double")
+    val perTerm = terms.indices.map { i =>
+      val tf = col("_ps").getItem(i + 1).cast("double")
       val idf = log(lit(1.0) +
         (col("_n") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5)))
       idf * (tf * (k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / col("_avgdl")))
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("_ps").getItem(0).cast("double") / col("_avgdl")))
     }
-    docs.crossJoin(broadcast(stats))
+    docs.select(col("doc_id"), ps.as("_ps"))
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"), round(perTerm.reduce(_ + _), 6).as("score"))
       .filter(col("score") > 0.0)
   }
