@@ -237,7 +237,12 @@ object SparkEntry {
           col("l_returnflag"), col("l_shipdate"))
     }),
 
-    // J1+A1: broadcast-star rollup (flagship)
+    // J1+A1: broadcast-star rollup (flagship). x100 alternative measured
+    // and rejected: pre-composing the three dims into one suppkey ->
+    // (n_name, r_name) broadcast ran 1.39 s vs 1.17 s — the nation/region
+    // probes are against 25/5-row maps (essentially free), while the
+    // pre-join adds a build job on the critical path before the probe
+    // stage can launch.
     "j1_a1_star_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))

@@ -432,4 +432,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
     p.indexOf("MapPartitions") should be > p.indexOf("Window") // survivors above kernel
   }
+
+  test("text_bm25: ONE probe_term_stats kernel per pass, no split, no re-expansion") {
+    val df = SparkEntry.queries("text_bm25")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // both passes run the fused kernel instead of k+1 regex splits
+    p should include("probe_term_stats")
+    p should not include "split("
+    // stats side reaches the score pass through a broadcast of one row;
+    // no keyed exchange anywhere (document rows never shuffle)
+    p should include("BroadcastNestedLoopJoin")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+    // CollapseProject inlines the alias into every per-term use, so the
+    // TEXTUAL plan shows many kernel occurrences — the guarantee that the
+    // kernel runs ONCE per row per pass lives in codegen subexpression
+    // elimination. Assert it at the generated-code level: each
+    // WholeStageCodegen unit evaluates the kernel at most once.
+    // AQE wraps stages in QueryStageExec, which hides codegen units from
+    // debug.codegenToSeq — audit the non-adaptive physical plan (same
+    // stages; AQE only re-plans exchanges, and this query has none)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val units = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      org.apache.spark.sql.execution.debug.codegenStringSeq(
+        SparkEntry.queries("text_bm25")(spark, sf0001)
+          .queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    units should not be empty
+    for ((_, code, _) <- units)
+      "probeTermStats\\(".r.findAllIn(code).length should be <= 1
+    units.map { case (_, code, _) =>
+      "probeTermStats\\(".r.findAllIn(code).length }.sum should be >= 1
+  }
 }
