@@ -358,12 +358,17 @@ object Similarity {
     * `cell`. Unlike hyperplane LSH, cells follow the data distribution, so
     * recall holds on clustered real-world embedding corpora.
     *
-    * Sizing ceilings: centroids are inlined as literal arrays, so the cell
-    * expression grows O(nlist × dim) — beyond a few hundred centroids at
-    * dim 64 the generated code risks falling off whole-stage codegen;
-    * partition the corpus by a coarse first-level index before reaching for
-    * nlist that large. Queries are driver-collected (bounded by
-    * `maxQueries`); an oversized query set should be sharded by the caller.
+    * Sizing: the centroid matrix rides inside the two native expressions
+    * as ONE reference object each ([[graft.functions.IvfArgmaxCell]] /
+    * IvfTopCells), so plan size and codegen are O(1) in nlist — the old
+    * literal-array ceiling is gone. The knob that still matters is cell
+    * POPULATION: probe cost per query is nprobe x |corpus|/nlist, so a
+    * fixed nlist degrades linearly as the corpus grows. Use
+    * [[suggestNlist]] to derive nlist from the corpus count when the call
+    * site doesn't need a pinned index layout (the oracled bench queries
+    * pin nlist=32 so the DuckDB re-derivation stays byte-stable).
+    * Queries are driver-collected (bounded by `maxQueries`); an oversized
+    * query set should be sharded by the caller.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
               nprobe: Int = 8, refineSteps: Int = 1,
@@ -439,5 +444,27 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** nlist that keeps IVF cells near `targetCellRows` members for a corpus
+    * of `corpusRows` vectors — the scale-following default for call sites
+    * that don't need a pinned index layout. sqrt-free: cells/probe cost
+    * trade linearly, so the right nlist IS corpus/targetCell, floored at
+    * the classic 32 (tiny corpora gain nothing from more cells) and capped
+    * at `maxNlist` (centroid collect + per-row argmax are O(nlist); past
+    * ~65k cells a two-level coarse index is the right structure, not a
+    * bigger flat one — fail the cap loudly rather than degrade).
+    */
+  def suggestNlist(corpusRows: Long, targetCellRows: Long = 1024L,
+                   maxNlist: Int = 65536): Int = {
+    require(corpusRows >= 0, "suggestNlist: corpusRows must be non-negative")
+    require(targetCellRows > 0, "suggestNlist: targetCellRows must be positive")
+    val raw = corpusRows / targetCellRows
+    require(raw <= maxNlist,
+      s"suggestNlist: corpus of $corpusRows rows wants $raw cells of " +
+        s"~$targetCellRows rows, past maxNlist=$maxNlist — a flat IVF scan " +
+        "of that many centroids per row is the wrong structure; shard the " +
+        "corpus or add a coarse first-level index")
+    math.max(32L, raw).toInt
   }
 }

@@ -83,4 +83,26 @@ class OperatorPropSpec extends AnyFunSuite with Matchers with SparkFixture {
       got.foreach { case (k, v) => v shouldBe exp(k) +- 1e-6 }
     }
   }
+
+  test("property: probe_term_stats equals the composed split formulation on random text") {
+    // tokens drawn from a pool that includes the probe terms, near-misses
+    // (prefixes/suffixes), empties (consecutive spaces), and multi-byte
+    // UTF-8 — joined with single spaces so consecutive picks of "" create
+    // space runs and leading/trailing empties
+    val terms = Seq("cat", "\u00e9t\u00e9", "x")
+    val pool = Gen.oneOf("cat", "cats", "ca", "\u00e9t\u00e9", "\u00e9t", "x", "xx", "", "dog",
+      "\ud83d\ude00", "\u00e9t\u00e9e")
+    val g = Gen.listOfN(30, pool).map(_.mkString(" "))
+    val texts = (1 to 60).flatMap(i => g.sample) :+ "" :+ " " :+ "cat"
+    val df = texts.toDF("text")
+    val composedCols: Seq[org.apache.spark.sql.Column] =
+      org.apache.spark.sql.functions.size(split($"text", " ")).cast("long") +:
+        terms.map(t => org.apache.spark.sql.functions.size(
+          filter(split($"text", " "),
+            (w: org.apache.spark.sql.Column) => w === lit(t))).cast("long"))
+    df.select(
+        graft.functions.TextFunctions.probe_term_stats($"text", terms).as("native"),
+        array(composedCols: _*).as("composed"))
+      .filter($"native" =!= $"composed").count() shouldBe 0L
+  }
 }

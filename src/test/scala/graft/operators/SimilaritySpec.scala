@@ -109,4 +109,16 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     lshRecall should be >= 0.6
     ivfRecall should be >= 0.7
   }
+
+  test("suggestNlist follows the corpus, floors at 32, fails past the flat ceiling") {
+    Similarity.suggestNlist(0L) shouldBe 32
+    Similarity.suggestNlist(10000L) shouldBe 32          // tiny corpus: floor
+    Similarity.suggestNlist(1024L * 1024L) shouldBe 1024 // 1M rows -> 1k cells
+    Similarity.suggestNlist(1024L * 1024L, targetCellRows = 2048L) shouldBe 512
+    // 100 TB-ish row counts want a coarse first level, not a flat scan
+    val e = intercept[IllegalArgumentException] {
+      Similarity.suggestNlist(100L * 1000L * 1000L * 1000L)
+    }
+    e.getMessage should include("coarse first-level index")
+  }
 }
