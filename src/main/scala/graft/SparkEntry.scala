@@ -1014,11 +1014,17 @@ object SparkEntry {
 
     // refineSteps = 0: the seed-centroid IVF — every stage (assignment
     // argmax, probe ranking, re-rank) is rounded and tie-broken, making
-    // the full neighbor list hash-comparable
+    // the full neighbor list hash-comparable. The index SIZE follows the
+    // corpus ([[Similarity.suggestNlist]]: max(32, N/1024) cells), with
+    // the DuckDB oracle computing the identical formula in its LIMIT
+    // subquery — at the gate scales (500/2k vectors) the floor keeps
+    // nlist=32 so results are unchanged, while at x100 (200k vectors) a
+    // pinned 32 would put 6k+ members in every probed cell and the
+    // re-rank join dominated the whole bench (17.6 s steady, measured).
     "ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10,
-        refineSteps = 0)
+        nlist = Similarity.suggestNlist(emb.count()), refineSteps = 0)
     }),
 
     // one k-means refinement step: assignment through the same rounded
@@ -1029,7 +1035,7 @@ object SparkEntry {
     "ann_ivf_refined" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10,
-        refineSteps = 1)
+        nlist = Similarity.suggestNlist(emb.count()), refineSteps = 1)
     }),
 
     // IVF cell assignment with unrefined (deterministic first-nlist)
@@ -2361,7 +2367,8 @@ object SparkEntry {
     // query; exact rounded re-rank in probed cells.
     "ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |           FROM embeddings ORDER BY vec_id LIMIT 32),
+        |           FROM embeddings ORDER BY vec_id
+        |           LIMIT (SELECT greatest(32, count(*) // 1024) FROM embeddings)),
         |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |s AS (SELECT e.vec_id, c.cid,
         |       round(list_dot_product(e.emb, c.ce) /
@@ -2398,7 +2405,8 @@ object SparkEntry {
     // VectorAggregators.vecMeanFixed on the Spark side.
     "ann_ivf_refined" ->
       """WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |            FROM embeddings ORDER BY vec_id LIMIT 32),
+        |            FROM embeddings ORDER BY vec_id
+        |            LIMIT (SELECT greatest(32, count(*) // 1024) FROM embeddings)),
         |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |s0 AS (SELECT e.vec_id, c.cid,
         |        round(list_dot_product(e.emb, c.ce) /

@@ -365,8 +365,10 @@ object Similarity {
     * POPULATION: probe cost per query is nprobe x |corpus|/nlist, so a
     * fixed nlist degrades linearly as the corpus grows. Use
     * [[suggestNlist]] to derive nlist from the corpus count when the call
-    * site doesn't need a pinned index layout (the oracled bench queries
-    * pin nlist=32 so the DuckDB re-derivation stays byte-stable).
+    * site doesn't need a pinned index layout — `ann_ivf`/`ann_ivf_refined`
+    * do exactly that, with the DuckDB oracle computing the same
+    * max(32, N/1024) in its centroid LIMIT subquery, so the re-derivation
+    * stays byte-stable at every scale.
     * Queries are driver-collected (bounded by `maxQueries`); an oversized
     * query set should be sharded by the caller.
     */
