@@ -937,11 +937,17 @@ object SparkEntry {
     "dedup_span_cut" -> ((s, d) =>
       Dedup.spanCut(Tables.documents(s, d), l = 5)),
 
-    // SemDeDup (Abbas et al. 2023): same deterministic first-32-centroid /
-    // argmax-cell convention as ann_ivf_assign, near-identical vectors
-    // pruned within cells only — nlist bounded self-joins, no all-pairs
-    "dedup_semantic" -> ((s, d) =>
-      Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.4, nlist = 32)),
+    // SemDeDup (Abbas et al. 2023): same deterministic first-nlist-centroid
+    // / argmax-cell convention as ann_ivf, near-identical vectors pruned
+    // within cells only — nlist bounded self-joins, no all-pairs. nlist
+    // follows the corpus (suggestNlist, mirrored by the oracle's LIMIT
+    // subquery) so the quadratic-cell guard never trips on grown data:
+    // at x100 a pinned 32 would put 6k+ vectors per cell and fail fast.
+    "dedup_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.semanticDedup(emb, threshold = 0.4,
+        nlist = operators.Similarity.suggestNlist(emb.count()))
+    }),
 
     // fuzzy decontamination: Jaccard near-dups BETWEEN the corpus and a
     // held-out eval slice. The eval set is a slice of the corpus, so the
@@ -2131,7 +2137,8 @@ object SparkEntry {
     // within each cell at round(cos,6) >= 0.4
     "dedup_semantic" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |           FROM embeddings ORDER BY vec_id LIMIT 32),
+        |           FROM embeddings ORDER BY vec_id
+        |           LIMIT (SELECT greatest(32, count(*) // 1024) FROM embeddings)),
         |s AS (SELECT e.vec_id, c.cid,
         |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce) /
         |         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
