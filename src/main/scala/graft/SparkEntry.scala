@@ -40,6 +40,12 @@ object SparkEntry {
     */
   private val rawAggBytes: Long = 4L << 20
 
+  /** Ceiling on a join build side's Catalyst stats for the shuffle_hash
+    * hint: hash builds are per-task and non-spillable, so past this the
+    * hint converts a spill into a stage failure — fall back to sort-merge.
+    */
+  private val shuffleHashBytes: Long = 256L << 20
+
   /** Pre-shuffle routing for a high-cardinality groupBy: above `smallBytes`
     * the raw rows repartition by `key`, so the subsequent aggregate's
     * distribution requirement is already satisfied and it runs in one
@@ -275,11 +281,35 @@ object SparkEntry {
     // ran 10.2 s vs 4.3 s for this shuffle-hash plan, min-of-3 same
     // session — the driver-side single-threaded HashedRelation build on
     // 15M rows costs more than both 32-way shuffle writes combined.
+    // AUDIT (r8, x1000): the shuffle_hash hint is GATED on the build
+    // side's stats ([[shuffleHashBytes]]): at 15 GB input the per-task
+    // hash build of 4.7M orders rows needs 256 MB x 32 concurrent tasks
+    // and the stage dies with "Can't acquire ... to build hash relation"
+    // (hash builds are non-spillable). Past the gate both sides
+    // repartition to a stats-derived count (~2 MB of build-side stats
+    // per task ≈ 25 MB real hash memory — the stats estimate undercounts
+    // the hashed-relation overhead ~12x) so every build fits, and the
+    // join keeps the hash strategy: measured 38.0 s at x1000 vs 104.4 s
+    // for the spillable sort-merge fallback and a dead stage for the
+    // unpartitioned hint. Stats: 0.8 MB sf0.1 / 84 MB x100 / 574 MB
+    // x1000; the 256 MB threshold keeps the plain fast path through
+    // x100, and the derived count is capped at 2048 (past that the
+    // per-node pool is the constraint a bigger cluster relieves).
     "j4_roleplay_join" -> ((s, d) => {
       val nat = Tables.nation(s, d)
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      val ordStat = operators.AdaptiveGate.statBytes(ord)
+      val joined =
+        if (ordStat < shuffleHashBytes)
+          li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        else {
+          val n = math.min(2048L, ordStat / (2L << 20)).toInt
+          li.repartition(n, col("l_orderkey"))
+            .join(ord.repartition(n, col("o_orderkey")).hint("shuffle_hash"),
+              col("l_orderkey") === col("o_orderkey"))
+        }
+      joined
         .join(broadcast(Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))

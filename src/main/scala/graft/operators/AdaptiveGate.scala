@@ -19,4 +19,12 @@ import org.apache.spark.sql.DataFrame
 private[graft] object AdaptiveGate {
   def isSmall(df: DataFrame, smallBytes: Long): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes < smallBytes
+
+  /** The optimized plan's stats estimate, clamped into Long range — for
+    * gates that need the magnitude (e.g. deriving a partition count),
+    * not just the boolean.
+    */
+  def statBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
 }

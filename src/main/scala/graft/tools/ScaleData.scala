@@ -87,13 +87,12 @@ object ScaleData {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
 
     def write(name: String, df: DataFrame, nFiles: Int): Unit = {
-      df.repartition(nFiles)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scale] $name x$factor -> $outDir/$name.parquet ($nFiles files)")
     }
     // fixed dims: copied once, single file, no shift
-    write("region", Tables.region(spark, srcDir), 1)
-    write("nation", Tables.nation(spark, srcDir), 1)
+    write("region", Tables.region(spark, srcDir).repartition(1), 1)
+    write("nation", Tables.nation(spark, srcDir).repartition(1), 1)
     for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
                   "documents", "embeddings", "events")) {
       // events goes through Tables.events so both physical ts generations
@@ -101,7 +100,13 @@ object ScaleData {
       val src = if (t == "events") Tables.events(spark, srcDir)
                 else Tables.read(spark, srcDir, t)
       val n = if (t == "supplier") math.min(files, 4) else files
-      write(t, replicate(src, t, factor), n)
+      // repartition the SOURCE rows (MBs), then explode per-partition and
+      // write straight out: each task owns all `factor` replicas of its
+      // input slice, so the job never shuffles the factor-times output —
+      // at x1000 the old output-side repartition spilled ~50 GB of
+      // exploded lineitem rows through the block manager and exhausted
+      // the disk before the write could finish
+      write(t, replicate(src.repartition(n), t, factor), n)
     }
     spark.stop()
   }
