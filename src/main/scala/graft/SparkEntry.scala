@@ -747,20 +747,31 @@ object SparkEntry {
     // aggregate runs post-shuffle with |parts|/32-entry maps: measured
     // 1.17 s vs 2.72 s (x30, min-of-3, same session). A single-scan
     // variant reusing that exchange for a shuffle-hash self-join measured
-    // 2.94 s (the 4-col exchange outweighs the saved scan) — rejected. At
-    // a scale where the per-part aggregate outgrows the broadcast ceiling,
-    // the same query re-plans as a shuffle join on l_partkey. Equivalent
-    // bit-for-bit: quantities are integral, so sum/avg are exact in
-    // double regardless of accumulation order.
+    // 2.94 s (the 4-col exchange outweighs the saved scan) — rejected.
+    // AUDIT (r8, x1000): past [[shuffleHashBytes]] of RAW projection
+    // stats the per-part aggregate outgrows what a broadcast should
+    // carry (20M parts at 15 GB: the driver-side single-threaded
+    // HashedRelation build was ~24 s of the 34.2 s total) and the query
+    // re-plans as a shuffle-hash join on l_partkey — the probe shuffles
+    // once, the build side REUSES the aggregate's own exchange
+    // partitioning, and the per-task builds stay bounded: measured
+    // 28.9 s vs 34.2 s (min-of-2, same session). Below the gate the
+    // broadcast stays (1.17 s vs 2.94 s at x30 — it wins by 2.5x when
+    // the build fits). Equivalent bit-for-bit: quantities are integral,
+    // so sum/avg are exact in double regardless of accumulation order.
     "a7_below_avg_qty" -> ((s, d) => {
-      val pa = preShuffled(Tables.lineitem(s, d)
-          .select(col("l_partkey"), col("l_quantity")), "l_partkey")
+      val raw = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"))
+      val pa = preShuffled(raw, "l_partkey")
         .groupBy(col("l_partkey"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
+      val paSide =
+        if (operators.AdaptiveGate.isSmall(raw, shuffleHashBytes)) broadcast(pa)
+        else pa.hint("shuffle_hash")
       Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
           col("l_returnflag"))
-        .join(broadcast(pa), Seq("l_partkey"))
+        .join(paSide, Seq("l_partkey"))
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_below"),
