@@ -836,7 +836,7 @@ object SparkEntry {
         .select(col("doc_id").as("doc_b"), col("prefix").as("pb"),
           col("bucket"), col("__blk").as("__j"))
         .repartition(width, col("bucket"), col("__j"))
-      left.hint("shuffle_hash").join(right,
+      operators.AdaptiveGate.hashHinted(left).join(right,
           Seq("bucket", "__j")).filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           graft.functions.TextFunctions.bounded_levenshtein(

@@ -27,4 +27,18 @@ private[graft] object AdaptiveGate {
   def statBytes(df: DataFrame): Long =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
       .min(BigInt(Long.MaxValue)).toLong
+
+  /** `shuffle_hash` hint gated on the hinted side's stats: hash-join
+    * builds are per-task and NON-spillable, so an unconditional hint
+    * converts memory pressure into a dead stage at scale ("Can't acquire
+    * ... to build hash relation" — measured on j4's 15 GB build before
+    * its gate). Below `smallBytes` the hint sticks (hash beats
+    * sort-merge when the build fits — every hinted site here measured
+    * that at bench scale); above it the hint drops and Spark's default
+    * sort-merge spills instead of failing. Stats are estimates — for
+    * the intermediate tables these sites join, overestimates drop the
+    * hint early, which degrades to the SAFE plan, never the fatal one.
+    */
+  def hashHinted(df: DataFrame, smallBytes: Long = 256L << 20): DataFrame =
+    if (isSmall(df, smallBytes)) df.hint("shuffle_hash") else df
 }

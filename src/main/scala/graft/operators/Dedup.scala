@@ -246,8 +246,8 @@ object Dedup {
       else {
         val big = buckets.filter(size(col("ids")) > GatherPairLimit)
           .select(col("band"), col("bh"), explode(col("ids")).as("id"))
-        val bigPairs = big.as("a").hint("shuffle_hash")
-          .join(big.as("b").hint("shuffle_hash"),
+        val bigPairs = AdaptiveGate.hashHinted(big.as("a"))
+          .join(AdaptiveGate.hashHinted(big.as("b")),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.id") < col("b.id"))
           .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -417,8 +417,8 @@ object Dedup {
     val hot = posting.groupBy(col("h31")).agg(count(lit(1)).as("__hn"))
       .filter(col("__hn") > maxPostings)
       .select(col("h31"))
-    val pruned = posting.hint("shuffle_hash")
-      .join(hot.hint("shuffle_hash"), Seq("h31"), "left_anti")
+    val pruned = AdaptiveGate.hashHinted(posting)
+      .join(AdaptiveGate.hashHinted(hot), Seq("h31"), "left_anti")
     // candidate generation stays a hash self-join here (unlike the LSH
     // band path's list-gather): shingle posting lists are overwhelmingly
     // singletons, so a collect_list pass aggregates ~|postings| tiny lists
@@ -427,7 +427,7 @@ object Dedup {
     // one side, the two sides' query stages stop being identical, and
     // ReuseExchange no longer collapses them — the whole posting subtree
     // (scan, hash, explode, df-cut) would execute twice
-    pruned.as("a").hint("shuffle_hash").join(pruned.as("b").hint("shuffle_hash"),
+    AdaptiveGate.hashHinted(pruned.as("a")).join(AdaptiveGate.hashHinted(pruned.as("b")),
         col("a.h31") === col("b.h31") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__inter"),
@@ -1111,8 +1111,8 @@ object Dedup {
     // SHUFFLE_HASH pin, as in pairStatsFromArr: an AQE broadcast of stats
     // would orphan the probe side's exchange from the aggregate's and the
     // md5-heavy occurrence subtree would execute twice
-    val dup = occ.hint("shuffle_hash")
-      .join(stats.select(col("h"), col("__canon")).hint("shuffle_hash"), Seq("h"))
+    val dup = AdaptiveGate.hashHinted(occ)
+      .join(AdaptiveGate.hashHinted(stats.select(col("h"), col("__canon"))), Seq("h"))
       .filter(col("doc_id") =!= col("__canon").getField("doc_id") ||
         col("pos") =!= col("__canon").getField("pos"))
     val covered = dup

@@ -350,7 +350,7 @@ object Multimodal {
     // ReuseExchange from collapsing the two identical decode+hash subtrees
     // (the pairStatsFromArr pattern) — without it every image is decoded
     // and hashed twice
-    banded.as("a").hint("shuffle_hash").join(banded.as("b").hint("shuffle_hash"),
+    AdaptiveGate.hashHinted(banded.as("a")).join(AdaptiveGate.hashHinted(banded.as("b")),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.asset_id") < col("b.asset_id"))
       .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),

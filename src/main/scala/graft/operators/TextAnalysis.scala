@@ -507,7 +507,7 @@ object TextAnalysis {
       // streams the probe side instead.
       val tfByTerm = tf.repartition(col("term"))
       val dft = tfByTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      rank(tfByTerm.join(dft.hint("shuffle_hash"), Seq("term")))
+      rank(tfByTerm.join(AdaptiveGate.hashHinted(dft), Seq("term")))
     }
   }
 
