@@ -499,9 +499,11 @@ object TextAnalysis {
       // skew-safely off a shared repartition(term) subtree; column pruning
       // pushes a term-only projection below the df branch's exchange
       // (defeating exchange reuse, but shipping ONE pruned column,
-      // partial-agg'd — plan-audited), the join is pinned shuffle_hash on
-      // the same key so the already-partitioned children add no third
-      // corpus exchange. A per-term unbounded WINDOW would save the narrow
+      // partial-agg'd — plan-audited), the join hash-hints on the same
+      // key so the already-partitioned children add no third corpus
+      // exchange ([[AdaptiveGate.hashHinted]]: past 256 MB of df-side
+      // stats the hint yields to spillable sort-merge rather than a
+      // non-spillable build). A per-term unbounded WINDOW would save the narrow
       // df exchange but buffer+sort every row of a hot term (a stopword ≈
       // one row per document) in a single window task — the hash join
       // streams the probe side instead.
