@@ -32,14 +32,14 @@ object Scratch {
     spark.sparkContext.addSparkListener(listener)
     for (q <- args) {
       val fn = SparkEntry.queries(q)
-      fn(spark, sfDir).count() // warm
+      Bench.evaluate(fn(spark, sfDir)) // warm
       spark.catalog.clearCache()
       Thread.sleep(300)
       stageInfo = Nil // drop warm-pass stages: the table must profile ONLY the timed pass
       println(s"===== $q (timed pass) =====")
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      df.count()
+      Bench.evaluate(df)
       println(f"  TOTAL ${(System.nanoTime() - t0) / 1e9}%.3f s")
       Thread.sleep(300)
       println(s"--- stages (id, tasks, ms) ---")

@@ -585,14 +585,37 @@ object SparkEntry {
     // same query — the exact values hash-match DuckDB, the within-tolerance
     // flags assert the sketches' error bounds (HLL rsd 0.02 -> 3-sigma 6%;
     // percentile_approx at accuracy 10000 -> well under 1% here)
-    "a6_sketch_agg" -> ((s, d) =>
-      Tables.lineitem(s, d).agg(
+    // The sketch inserts (QuantileSummaries compress, HLL register
+    // updates, exact-percentile buffer) are per-row EXPENSIVE, and the
+    // multi-distinct Expand triples the rows — on the driver's
+    // single-row-group sf files that work lands on ~1 scan task. Below
+    // the gate, fan the narrow projection across cores first (a ~10 MB
+    // round-robin exchange buys 32-way sketch building: 10.8 s -> 1.1 s
+    // at sf0.1); above it, multi-row-group splits already parallelize
+    // the scan and the exchange would shuffle the full fact for nothing.
+    "a6_sketch_agg" -> ((s, d) => {
+      val raw = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
+      val src = if (operators.AdaptiveGate.isSmall(raw, rawAggBytes))
+        raw.repartition(32) else raw
+      // sketches and exact-distincts aggregate in SEPARATE branches over
+      // the same subtree (one shared exchange): mixed, the two
+      // countDistincts force an Expand that triples the rows feeding the
+      // interpreted TypedImperativeAggregate updates (HLL registers,
+      // QuantileSummaries, the exact-percentile buffer) — the dominant
+      // cost of the combined spelling (5.4 s vs 1.9 s split, min-of-3).
+      // Split, the sketch branch runs ObjectHashAggregate over the
+      // un-expanded rows and the distinct branch stays whole-stage
+      // codegen; both 1-row results cross-join for free.
+      val sketches = src.agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           expr("percentile(l_extendedprice, 0.5)").as("em"))
+      val exacts = src.agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+      sketches.crossJoin(exacts)
         .select(
           col("exact_parts"), col("exact_orders"),
           (floor(col("em") * 100 + 0.5) / 100).as("exact_median_price"),
@@ -601,7 +624,8 @@ object SparkEntry {
           (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.06)
             .as("orders_within_3rsd"),
           (abs(col("am") - col("em")) <= col("em") * 0.01)
-            .as("median_within_1pct"))),
+            .as("median_within_1pct"))
+    }),
 
     // A2: count-distinct single and pair
     "a2_count_distinct" -> ((s, d) =>

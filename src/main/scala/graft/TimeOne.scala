@@ -26,12 +26,12 @@ object TimeOne {
     // that needs them) and are dropped only between passes
     val keepAcross = sys.env.getOrElse("SPARK_GRAFT_NO_CLEAR", "0") == "1"
     if (keepAcross) {
-      names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count()) // warm
+      names.foreach(n => Bench.evaluate(SparkEntry.queries(n)(spark, sfDir))) // warm
       spark.catalog.clearCache()
       val ts = (1 to passes).map { _ =>
         val r = names.map { name =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
+          Bench.evaluate(SparkEntry.queries(name)(spark, sfDir))
           name -> (System.nanoTime() - t0) / 1e9
         }
         spark.catalog.clearCache()
@@ -43,11 +43,11 @@ object TimeOne {
     } else {
       val best = names.map { name =>
         val fn = SparkEntry.queries(name)
-        fn(spark, sfDir).count() // warm
+        Bench.evaluate(fn(spark, sfDir)) // warm
         spark.catalog.clearCache()
         val ts = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          Bench.evaluate(fn(spark, sfDir))
           val t = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
           t
