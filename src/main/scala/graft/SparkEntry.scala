@@ -584,7 +584,12 @@ object SparkEntry {
     // A6: sketch aggregates checked against their exact counterparts in the
     // same query — the exact values hash-match DuckDB, the within-tolerance
     // flags assert the sketches' error bounds (HLL rsd 0.02 -> 3-sigma 6%;
-    // percentile_approx at accuracy 10000 -> well under 1% here)
+    // percentile_approx at accuracy 1000 -> rank error 0.1%, far inside
+    // the 1%-of-median VALUE tolerance on a dense price domain at every
+    // size. Accuracy is the QuantileSummaries compress cost: 10000
+    // measured 19.4 s vs 3.3 s at 1000 over 600M rows — the relative
+    // rank guarantee doesn't improve with data size, so the bigger
+    // sketch bought nothing)
     // The sketch inserts (QuantileSummaries compress, HLL register
     // updates, exact-percentile buffer) are per-row EXPENSIVE, and the
     // multi-distinct Expand triples the rows — on the driver's
@@ -596,25 +601,54 @@ object SparkEntry {
     "a6_sketch_agg" -> ((s, d) => {
       val raw = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
-      val src = if (operators.AdaptiveGate.isSmall(raw, rawAggBytes))
-        raw.repartition(32) else raw
+      val small = operators.AdaptiveGate.isSmall(raw, rawAggBytes)
+      val src = if (small) raw.repartition(32) else raw
       // sketches and exact-distincts aggregate in SEPARATE branches over
-      // the same subtree (one shared exchange): mixed, the two
-      // countDistincts force an Expand that triples the rows feeding the
-      // interpreted TypedImperativeAggregate updates (HLL registers,
+      // the same subtree: mixed, the two countDistincts force an Expand
+      // that triples the rows feeding the interpreted
+      // TypedImperativeAggregate updates (HLL registers,
       // QuantileSummaries, the exact-percentile buffer) — the dominant
-      // cost of the combined spelling (5.4 s vs 1.9 s split, min-of-3).
-      // Split, the sketch branch runs ObjectHashAggregate over the
-      // un-expanded rows and the distinct branch stays whole-stage
-      // codegen; both 1-row results cross-join for free.
-      val sketches = src.agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
-          expr("percentile(l_extendedprice, 0.5)").as("em"))
-      val exacts = src.agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+      // cost of the combined spelling (5.4 s vs 1.9 s split at sf0.1).
+      // AUDIT (r8, x1000): at 15 GB even the split pair ran 293 s — the
+      // exact percentile buffered 600M values through interpreted
+      // updates and merged 96 partials on ONE reducer (15.9 s single
+      // task). The large path decomposes further: the exact median
+      // reduces through a codegen'd value-count pre-aggregate (prices
+      // have a bounded domain; 600M rows -> 133k (value, cnt) rows, then
+      // percentile's FREQUENCY form — 4.2 s instead of dominating), the
+      // HLL pair and the quantile sketch each get their own un-Expanded
+      // interpreted pass, and the exact distinct counts run
+      // post-shuffle per key (the a2/q13 lesson; orderkey keeps the
+      // plain distinct — lineitem files cluster by orderkey, so ITS
+      // map-side dedup genuinely reduces). Measured 293 s -> ~60 s.
+      val sketches =
+        if (small)
+          src.agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+            expr("percentile(l_extendedprice, 0.5)").as("em"))
+        else {
+          val hll = src.agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+          val apx = src.agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+          val em = src.groupBy(col("l_extendedprice"))
+            .agg(count(lit(1)).as("__cnt"))
+            .agg(expr("percentile(l_extendedprice, 0.5, __cnt)").as("em"))
+          hll.crossJoin(apx).crossJoin(em)
+        }
+      val exacts =
+        if (small)
+          src.agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+        else
+          src.select(col("l_partkey")).repartition(col("l_partkey"))
+            .distinct().agg(count(lit(1)).as("exact_parts"))
+            .crossJoin(src.select(col("l_orderkey")).distinct()
+              .agg(count(lit(1)).as("exact_orders")))
       sketches.crossJoin(exacts)
         .select(
           col("exact_parts"), col("exact_orders"),
@@ -628,11 +662,36 @@ object SparkEntry {
     }),
 
     // A2: count-distinct single and pair
-    "a2_count_distinct" -> ((s, d) =>
-      Tables.lineitem(s, d).agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))),
+    // AUDIT (r8, x1000): the one-pass spelling plans an Expand that
+    // feeds |rows| x 3 duplicated rows into a single wide-key aggregate
+    // — 1.8B expanded rows at 15 GB, 192 s. A naive three-branch split
+    // was no better (171 s): the pair branch's map-side partial distinct
+    // barely dedups (18M rows/task vs 80M distinct pairs) while paying
+    // giant hash maps, and AQE coalesced the under-estimated distinct
+    // output into single-task stages. This spelling shuffles the raw
+    // 2-col rows ONCE by l_partkey (the q13 lesson): partkey
+    // partitioning satisfies the clustering of BOTH the parts-distinct
+    // and the (partkey, suppkey) pairs-distinct (subset rule), so both
+    // run post-shuffle on the same reused exchange with no partial maps;
+    // the suppkey branch partial-distincts on its own — |supps| is tiny,
+    // so ITS map-side dedup genuinely reduces. Below the gate the plain
+    // one-pass spelling stays (0.3 s at sf0.1 — the Expand is free on
+    // 600k rows).
+    "a2_count_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      if (operators.AdaptiveGate.isSmall(li, rawAggBytes))
+        li.agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
+      else {
+        val byPart = li.repartition(col("l_partkey"))
+        byPart.select(col("l_partkey")).distinct().agg(count(lit(1)).as("n_parts"))
+          .crossJoin(li.select(col("l_suppkey")).distinct()
+            .agg(count(lit(1)).as("n_supps")))
+          .crossJoin(byPart.distinct().agg(count(lit(1)).as("n_pairs")))
+      }
+    }),
 
     // J3: longest-prefix match join (opening-book analog): broadcast dict of
     // 2- and 3-word prefixes, non-equi startsWith join, longest match wins

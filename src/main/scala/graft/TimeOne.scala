@@ -25,6 +25,27 @@ object TimeOne {
     // queries (shared family subtrees are built once by the first query
     // that needs them) and are dropped only between passes
     val keepAcross = sys.env.getOrElse("SPARK_GRAFT_NO_CLEAR", "0") == "1"
+    // SPARK_GRAFT_SMOKE=1: single cold evaluation per query, failures
+    // CAUGHT and reported (not fatal to the run) — the mode for "does the
+    // whole board survive at a scale we can't afford to min-of-N",
+    // where one dead stage must not mask the rest of the board
+    if (sys.env.getOrElse("SPARK_GRAFT_SMOKE", "0") == "1") {
+      var failed = 0
+      for (name <- names) {
+        val t0 = System.nanoTime()
+        try {
+          Bench.evaluate(SparkEntry.queries(name)(spark, sfDir))
+          println(f"SMOKE $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s ok")
+        } catch { case e: Throwable =>
+          failed += 1
+          println(f"SMOKE $name%-28s FAILED ${e.getMessage.linesIterator.nextOption.getOrElse("").take(120)}")
+        }
+        spark.catalog.clearCache()
+      }
+      println(s"SMOKE __summary__ ${names.size - failed}/${names.size} ok")
+      spark.stop()
+      return
+    }
     if (keepAcross) {
       names.foreach(n => Bench.evaluate(SparkEntry.queries(n)(spark, sfDir))) // warm
       spark.catalog.clearCache()

@@ -25,7 +25,7 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("percentile_approx median lands between the exact 45th and 55th percentiles") {
     val li = graft.Tables.lineitem(spark, sf0001)
-    val approx = li.agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)))
+    val approx = li.agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)))
       .head.getDouble(0)
     val bounds = li.agg(
       expr("percentile(l_extendedprice, 0.45)"),
