@@ -58,6 +58,46 @@ object SparkEntry {
     if (operators.AdaptiveGate.isSmall(raw, smallBytes)) raw
     else raw.repartition(col(key))
 
+  /** `j3_prefix_match` body, size-adaptive (see the queries-map entry for
+    * the audit note). Extracted with an explicit `smallBytes` so specs can
+    * pin either path on a small fixture: `smallBytes = 0` forces the
+    * length-banded equi-join (strict gate), a huge value forces the
+    * broadcast startsWith nested-loop; both must agree row-for-row.
+    */
+  private[graft] def j3PrefixMatch(docs: DataFrame,
+                                   smallBytes: Long = rawAggBytes): DataFrame = {
+    val w = split(col("text"), " ")
+    val sample = docs.filter(col("doc_id") % 20 === 0)
+    val dict = sample.select(concat_ws(" ", slice(w, 1, 2)).as("p"))
+      .union(sample.filter(size(w) >= 3).select(concat_ws(" ", slice(w, 1, 3)).as("p")))
+      .distinct()
+    if (operators.AdaptiveGate.isSmall(docs, smallBytes))
+      docs.join(broadcast(dict), col("text").startsWith(col("p")), "left")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("p"), length(col("p"))).as("opening"),
+          max(length(col("p"))).cast("long").as("opening_len"))
+    else {
+      val maxLens = 512
+      val lens = dict.select(length(col("p")).as("len")).distinct()
+        .limit(maxLens + 1).collect().map(_.getInt(0))
+      require(lens.length <= maxLens,
+        s"j3_prefix_match: > $maxLens distinct prefix lengths — banded plan degenerates")
+      val dictKeyed = dict.select(length(col("p")).as("len"), col("p"))
+      val probes = docs
+        .select(col("doc_id"), col("text"), explode(lit(lens.sorted)).as("len"))
+        .select(col("doc_id"), col("len"), expr("substring(text, 1, len)").as("p"))
+      val matches = probes
+        .join(if (operators.AdaptiveGate.isSmall(dictKeyed, shuffleHashBytes))
+            broadcast(dictKeyed)
+          else operators.AdaptiveGate.hashHinted(dictKeyed), Seq("len", "p"))
+      val best = matches.groupBy(col("doc_id"))
+        .agg(max_by(col("p"), length(col("p"))).as("opening"),
+          max(length(col("p"))).cast("long").as("opening_len"))
+      docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("opening"), col("opening_len"))
+    }
+  }
+
   /** DuckDB CTE fragments shared by the text/dedup oracles. */
   private val ShinglesCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -693,20 +733,25 @@ object SparkEntry {
       }
     }),
 
-    // J3: longest-prefix match join (opening-book analog): broadcast dict of
-    // 2- and 3-word prefixes, non-equi startsWith join, longest match wins
-    "j3_prefix_match" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val w = split(col("text"), " ")
-      val sample = docs.filter(col("doc_id") % 20 === 0)
-      val dict = sample.select(concat_ws(" ", slice(w, 1, 2)).as("p"))
-        .union(sample.filter(size(w) >= 3).select(concat_ws(" ", slice(w, 1, 3)).as("p")))
-        .distinct()
-      docs.join(broadcast(dict), col("text").startsWith(col("p")), "left")
-        .groupBy(col("doc_id"))
-        .agg(max_by(col("p"), length(col("p"))).as("opening"),
-          max(length(col("p"))).cast("long").as("opening_len"))
-    }),
+    // J3: longest-prefix match join (opening-book analog): dict of 2- and
+    // 3-word prefixes, startsWith semantics, longest match wins.
+    // AUDIT (r8, x1000): the broadcast non-equi startsWith join is a
+    // BroadcastNestedLoopJoin — every doc probes EVERY dict prefix, and
+    // the dict grows linearly with the corpus (|docs|/20 x 2 entries), so
+    // the plan is O(|docs|^2/20) string compares: 1113 s at x1000 (1M docs
+    // x 100k prefixes). The large path replaces it with a LENGTH-BANDED
+    // EQUI-JOIN, exactly equivalent at the character level:
+    // text.startsWith(p) <=> substring(text, 1, length(p)) = p, so with
+    // the (few, data-derived, guarded) distinct prefix lengths L in hand,
+    // each doc emits one (len, substring(text,1,len)) probe per L and the
+    // join is a plain hash join on (len, p) — |docs| x |lengths| probe
+    // rows instead of |docs| x |dict| compares.
+    // The dict side broadcast is itself stats-gated: at real
+    // scale a corpus-derived dict outgrows an executor and the same
+    // equi-join degrades to a shuffle, never back to the nested loop.
+    // Below the gate the BNLJ spelling stays (0.33 s at sf0.1 — one job,
+    // no length-collect pass).
+    "j3_prefix_match" -> ((s, d) => j3PrefixMatch(Tables.documents(s, d))),
 
     // G1 (beyond reference): generator — positional token explode
     "g1_posexplode" -> ((s, d) =>

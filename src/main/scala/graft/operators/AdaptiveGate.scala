@@ -41,4 +41,26 @@ private[graft] object AdaptiveGate {
     */
   def hashHinted(df: DataFrame, smallBytes: Long = 256L << 20): DataFrame =
     if (isSmall(df, smallBytes)) df.hint("shuffle_hash") else df
+
+  /** Partition count for a hash-hinted exchange over a POST-EXPLODE
+    * subtree (posting/occurrence tables). Catalyst's stats for these are
+    * the parquet-compressed scan size scaled by column-width ratio — they
+    * never see the explode fanout, so they under-report the unsafe-row
+    * bytes ~70x (measured: the x1000 posting table reports 216 MB stats
+    * for 250M rows ≈ 15 GB of hash-relation build, and the stable
+    * 0.6-0.9 stat-bytes/row ratio holds from sf0.1 up — it derives from
+    * compression x width ratio, both scale-invariant per table). Rather
+    * than inflating the boolean gate, size the exchange so one
+    * partition's build always fits: 256 KB of STATS per partition ≈
+    * ~20 MB real build. Floor = the session's shuffle parallelism (the
+    * plan at bench scale is byte-identical to the ungated one), cap =
+    * 2048 (same rationale as j4: past that the per-node pool is the
+    * constraint a bigger cluster relieves — and the 256 MB [[hashHinted]]
+    * gate drops the hint before the cap can make builds grow again:
+    * hinted implies statBytes/256KB <= 1024 < cap).
+    */
+  def postingPartitions(df: DataFrame): Int = {
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(floor, math.min(2048L, statBytes(df) / (256L << 10))).toInt
+  }
 }

@@ -405,9 +405,16 @@ object Dedup {
     // Hash-partition on h31 once: the df-cut count, the broadcast
     // anti-join and both self-join sides are all satisfied by the same
     // exchange (ReuseExchange collapses them).
-    val posting = arr.select(col("doc_id"), size(col("hs")).as("__n"),
-        explode(col("hs")).as("h31"))
-      .repartition(col("h31"))
+    val postingRaw = arr.select(col("doc_id"), size(col("hs")).as("__n"),
+      explode(col("hs")).as("h31"))
+    // stats-derived partition count (AUDIT r8, x1000): at 32 partitions
+    // the 250M-row posting table's per-partition shuffle-hash build needs
+    // ~400 MB and the stage dies ("Can't acquire ... to build hash
+    // relation" — non-spillable); [[AdaptiveGate.postingPartitions]]
+    // sizes the exchange so every hinted build stays ~20 MB. All nine
+    // pairStats-backed queries ran at x1000 only after this.
+    val posting = postingRaw
+      .repartition(AdaptiveGate.postingPartitions(postingRaw), col("h31"))
     // df-cut CO-LOCATED with the posting exchange: every posting of a
     // shingle lives in one h31 partition, so the over-cap count aggregates
     // with no further exchange and the anti-join runs in the same stage —
@@ -1098,12 +1105,16 @@ object Dedup {
     // the pair family anyway; every sibling operator requires them
     // non-null.)
     val base = docs.filter(col("doc_id").isNotNull)
-    val occ = base
+    val occRaw = base
       .select(col("doc_id"),
         posexplode(TextAnalysis.shinglesAll(col("text"), l)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         shingleHash31(col("s")).as("h"))
-      .repartition(col("h"))
+    // stats-derived count, as in pairStatsFromArr: occ is post-explode,
+    // so its stats under-report ~70x and a fixed-width exchange would let
+    // the hinted build below outgrow task memory at scale
+    val occ = occRaw
+      .repartition(AdaptiveGate.postingPartitions(occRaw), col("h"))
     val stats = occ.groupBy("h")
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col("doc_id"), col("pos"))).as("__canon"))

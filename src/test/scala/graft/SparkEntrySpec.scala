@@ -24,6 +24,19 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("j3PrefixMatch: length-banded equi-join (forced) agrees with the startsWith nested loop") {
+    // smallBytes = 0 pins the banded large path, MaxValue the BNLJ small
+    // path, on the same fixture — the equivalence the scale plan rests on
+    // (text.startsWith(p) <=> substring(text, 1, length(p)) = p) checked
+    // row-for-row, including null-opening docs and mid-token matches
+    val docs = Tables.documents(spark, sf0001)
+    val banded = SparkEntry.j3PrefixMatch(docs, smallBytes = 0L)
+    val bnlj = SparkEntry.j3PrefixMatch(docs, smallBytes = Long.MaxValue)
+    banded.count() shouldBe bnlj.count()
+    banded.exceptAll(bnlj).count() shouldBe 0L
+    bnlj.exceptAll(banded).count() shouldBe 0L
+  }
+
   test("text_pii_redact leaves no detectable PII behind") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("text_pii_redact")(spark, sf0001)
