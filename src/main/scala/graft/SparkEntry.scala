@@ -98,6 +98,70 @@ object SparkEntry {
     }
   }
 
+  /** Fact⋈fact equi-join with j4's gated shuffle-hash strategy: hash
+    * beats sort-merge whenever every per-task build fits (no sorts on
+    * either side), but hash builds are non-spillable — so below
+    * [[shuffleHashBytes]] of build-side stats the plain hint sticks, and
+    * above it BOTH sides repartition to a stats-derived count (~2 MB of
+    * build stats per task ≈ 25 MB real hash memory, j4's x1000
+    * calibration) so every build fits and the join keeps the hash
+    * strategy. Capped at 2048 partitions — past that the per-node pool is
+    * the constraint a bigger cluster relieves.
+    */
+  private[graft] def hashJoined(probe: DataFrame, build: DataFrame,
+                                probeKey: String, buildKey: String,
+                                joinType: String = "inner"): DataFrame = {
+    val bStat = operators.AdaptiveGate.statBytes(build)
+    if (bStat < shuffleHashBytes)
+      probe.join(build.hint("shuffle_hash"),
+        col(probeKey) === col(buildKey), joinType)
+    else {
+      val n = math.min(2048L, bStat / (2L << 20)).toInt
+      probe.repartition(n, col(probeKey))
+        .join(build.repartition(n, col(buildKey)).hint("shuffle_hash"),
+          col(probeKey) === col(buildKey), joinType)
+    }
+  }
+
+  /** `f17_hour_gapfill` body, size-adaptive. The naive spelling (two
+    * independent aggs + a plain (user_id, hr) left join) plans the
+    * GENERATED side — |users| x span-hours rows, ~360M at x1000 — under a
+    * sort-merge join: the sort's pointer arrays grow to 2^25 entries per
+    * task and the warm x1000 pass died in UNABLE_TO_ACQUIRE_MEMORY page
+    * thrash. The large path never sorts or shuffles generated rows: ONE
+    * exchange of the RAW (user_id, hr) projection by user_id satisfies,
+    * via the subset-clustering rule, (a) the span agg, (b) the
+    * (user_id, hr) counts agg, and (c) the join's distribution on both
+    * sides (Generate preserves its child's partitioning), so the
+    * shuffle-hash hint builds the per-partition counts table (~10M/32
+    * skinny rows) and the generated grid STREAMS through it. `smallBytes`
+    * pins a path for parity specs: 0 forces the one-exchange plan,
+    * MaxValue the naive join.
+    */
+  private[graft] def f17GapFill(events: DataFrame,
+                                smallBytes: Long = rawAggBytes): DataFrame = {
+    val ev = events.select(col("user_id"),
+      (floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("hr"))
+    if (operators.AdaptiveGate.isSmall(ev, smallBytes)) {
+      val hours = ev.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+      val counts = ev.groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("n"))
+      hours.join(counts, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n_events"))
+    } else {
+      val evH = ev.repartition(col("user_id"))
+      val hours = evH.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+      val counts = evH.groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("n"))
+      hours.join(counts.hint("shuffle_hash"), Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n_events"))
+    }
+  }
+
   /** DuckDB CTE fragments shared by the text/dedup oracles. */
   private val ShinglesCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -272,12 +336,21 @@ object SparkEntry {
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
 
-    // J1: referential star join projecting fact columns only
+    // J1: referential star join projecting fact columns only. The joins
+    // carry multiplicity/existence semantics but no payload, so every
+    // right side is pre-projected to ITS KEY ALONE — identical rows (a
+    // left join's output depends only on the key multiset of the build
+    // side) at a fraction of the broadcast/shuffle bytes: at x1000 the
+    // unprojected spelling broadcasts 20M full part rows (9 cols) and
+    // shuffles 9-col orders; key-only sides cut both ~9x.
     "j1_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "left")
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"), "left")
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"), "left")
+      hashJoined(li, Tables.orders(s, d).select(col("o_orderkey")),
+          "l_orderkey", "o_orderkey", "left")
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
           col("l_returnflag"), col("l_shipdate"))
@@ -289,13 +362,37 @@ object SparkEntry {
     // probes are against 25/5-row maps (essentially free), while the
     // pre-join adds a build job on the critical path before the probe
     // stage can launch.
+    // AUDIT (r8, x1000): below the gate, the classic shape — fact scan
+    // probes three broadcast dims, then a 125-group string-key partial
+    // agg; at sf0.1 this is floor-optimal (the r7 audit measured the
+    // agg-first variant 0.69 s vs 0.50 s — extra post-agg join stages
+    // cost more than the narrow agg keys save on 600k rows). At x1000 the
+    // verdict inverts: the hot loop is 600M rows x (3 hash probes + a
+    // string-key agg update), and pre-aggregating by the INT l_suppkey
+    // (600M -> |supplier| rows, map-side combine at ~19x reduction per
+    // task) before any join removes all per-fact-row probe work — the
+    // three broadcast joins then run over |supplier| rows and the final
+    // 125-group re-agg is free. Same rows: supplier->nation->region is
+    // functionally dependent on l_suppkey, sum/count re-associate.
     "j1_a1_star_rollup" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+      val li = Tables.lineitem(s, d)
+      if (operators.AdaptiveGate.isSmall(li, rawAggBytes))
+        li.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+      else
+        li.select(col("l_suppkey"), revenue.as("__rev"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("__rev")).as("__rev"), count(lit(1)).as("__n"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("__rev")), 2).as("revenue"), sum(col("__n")).as("n_items"))
     }),
 
     // J4: role-playing dimension joined twice under different aliases.
@@ -339,17 +436,7 @@ object SparkEntry {
       val nat = Tables.nation(s, d)
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val ordStat = operators.AdaptiveGate.statBytes(ord)
-      val joined =
-        if (ordStat < shuffleHashBytes)
-          li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        else {
-          val n = math.min(2048L, ordStat / (2L << 20)).toInt
-          li.repartition(n, col("l_orderkey"))
-            .join(ord.repartition(n, col("o_orderkey")).hint("shuffle_hash"),
-              col("l_orderkey") === col("o_orderkey"))
-        }
-      joined
+      hashJoined(li, ord, "l_orderkey", "o_orderkey")
         .join(broadcast(Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
@@ -400,16 +487,25 @@ object SparkEntry {
     // (lineitem) STREAMS and the doubly-filtered customer⋈orders side is
     // broadcast — left to its size estimates the planner inverts this and
     // broadcasts the filtered fact (join-output stats are a row-count
-    // product, so the c⋈o side looks huge). At fact-×-fact scale where the
-    // date window no longer bounds c⋈o, drop the hint and let AQE pick the
-    // shuffle join from runtime sizes.
+    // product, so the c⋈o side looks huge; for the same reason the gate
+    // below reads the ORDERS scan stats, the only side whose estimate
+    // tracks reality). At fact-x-fact scale where the date window no
+    // longer bounds c⋈o under the driver's memory, the hint drops and AQE
+    // picks the join from runtime sizes. Gate = 16 GB of orders stats —
+    // one decade above the largest measured point (x1000: 1.9 GB orders
+    // -> 15M-row c⋈o broadcast, built and probed in 3.7 s; a 10x corpus
+    // would put ~150M rows on the driver, past any sensible
+    // autoBroadcast ceiling).
     "q3_shipping_priority" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
       val co = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"))
         .filter(col("o_orderdate") < "1995-03-15")
         .select(col("o_orderkey"), col("o_orderdate"))
+      val coSide =
+        if (operators.AdaptiveGate.isSmall(ord, 16L << 30)) broadcast(co) else co
       Tables.lineitem(s, d).filter(col("l_shipdate") > "1995-03-15")
-        .join(broadcast(co), col("l_orderkey") === col("o_orderkey"))
+        .join(coSide, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(revenue), 2).as("rev"))
         .orderBy(desc("rev"), col("l_orderkey")).limit(10)
@@ -1740,17 +1836,7 @@ object SparkEntry {
     // hourly grid between their first and last event and zero-fill missing
     // hours. The grid generates per key (explode of a bounded sequence),
     // so no global calendar table and no cross join; both joins are keyed.
-    "f17_hour_gapfill" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"),
-        (floor(col("ts").cast("long") / 3600) * 3600).cast("long").as("hr"))
-      val hours = ev.groupBy(col("user_id"))
-        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
-        .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
-      val counts = ev.groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("n"))
-      hours.join(counts, Seq("user_id", "hr"), "left")
-        .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n_events"))
-    }),
+    "f17_hour_gapfill" -> ((s, d) => f17GapFill(Tables.events(s, d))),
 
     // incremental LSH dedup: corpus (doc_id % 10 != 0) is indexed once;
     // the new batch (doc_id % 10 == 0) probes the index — per-batch cost

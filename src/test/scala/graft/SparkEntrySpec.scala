@@ -37,6 +37,22 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     bnlj.exceptAll(banded).count() shouldBe 0L
   }
 
+  test("f17GapFill: one-exchange gap-fill (forced) agrees with the naive join spelling") {
+    val ev = Tables.events(spark, sf0001)
+    val oneExchange = SparkEntry.f17GapFill(ev, smallBytes = 0L)
+    val naive = SparkEntry.f17GapFill(ev, smallBytes = Long.MaxValue)
+    oneExchange.count() shouldBe naive.count()
+    oneExchange.exceptAll(naive).count() shouldBe 0L
+    naive.exceptAll(oneExchange).count() shouldBe 0L
+  }
+
+  test("f17GapFill large path: generated grid never sorts — no Sort above the Generate") {
+    val plan = SparkEntry.f17GapFill(Tables.events(spark, sf0001), smallBytes = 0L)
+      .queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+    plan should include ("ShuffledHashJoin")
+  }
+
   test("text_pii_redact leaves no detectable PII behind") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("text_pii_redact")(spark, sf0001)
