@@ -128,15 +128,20 @@ object SparkEntry {
     * GENERATED side — |users| x span-hours rows, ~360M at x1000 — under a
     * sort-merge join: the sort's pointer arrays grow to 2^25 entries per
     * task and the warm x1000 pass died in UNABLE_TO_ACQUIRE_MEMORY page
-    * thrash. The large path never sorts or shuffles generated rows: ONE
-    * exchange of the RAW (user_id, hr) projection by user_id satisfies,
-    * via the subset-clustering rule, (a) the span agg, (b) the
-    * (user_id, hr) counts agg, and (c) the join's distribution on both
-    * sides (Generate preserves its child's partitioning), so the
-    * shuffle-hash hint builds the per-partition counts table (~10M/32
-    * skinny rows) and the generated grid STREAMS through it. `smallBytes`
-    * pins a path for parity specs: 0 forces the one-exchange plan,
-    * MaxValue the naive join.
+    * thrash. The large path never joins generated rows AT ALL: the hourly
+    * grid decomposes into the counted hours (already in the per-(user,hr)
+    * aggregate, with their counts) plus the pure-zero hours strictly
+    * between consecutive counted hours, and the latter need no probe —
+    * `lag(hr)` over each user's counted hours bounds every zero-run
+    * exactly, so the 97%-of-output zero rows are emitted by a codegen'd
+    * explode with NOTHING to look up. Shuffled bytes drop from the raw
+    * 600M-row projection (the round-8a one-exchange join plan, 34.9 s at
+    * x1000) to the ~10M-row post-partial-agg counts — the map-side
+    * combine does the reduction before the wire — and the only sort is
+    * the in-partition window over those counts, never over generated
+    * rows. 15.1 s at x1000 (vs 34.9 s for the join plan, DuckDB 8.5 s —
+    * 1.78x). `smallBytes` pins a path for parity specs:
+    * 0 forces the gap-generation plan, MaxValue the naive join.
     */
   private[graft] def f17GapFill(events: DataFrame,
                                 smallBytes: Long = rawAggBytes): DataFrame = {
@@ -151,14 +156,17 @@ object SparkEntry {
       hours.join(counts, Seq("user_id", "hr"), "left")
         .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n_events"))
     } else {
-      val evH = ev.repartition(col("user_id"))
-      val hours = evH.groupBy(col("user_id"))
-        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      val counts = ev.groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("prev", lag(col("hr"), 1).over(byUser))
+      val zeros = counts
+        .filter(col("prev").isNotNull && col("hr") - col("prev") >= 7200L)
         .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
-      val counts = evH.groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("n"))
-      hours.join(counts.hint("shuffle_hash"), Seq("user_id", "hr"), "left")
-        .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n_events"))
+          explode(sequence(col("prev") + 3600L, col("hr") - 3600L, lit(3600L)))
+            .as("hr"),
+          lit(0L).as("n_events"))
+      counts.select(col("user_id"), col("hr"), col("n_events")).unionAll(zeros)
     }
   }
 
@@ -342,7 +350,13 @@ object SparkEntry {
     // left join's output depends only on the key multiset of the build
     // side) at a fraction of the broadcast/shuffle bytes: at x1000 the
     // unprojected spelling broadcasts 20M full part rows (9 cols) and
-    // shuffles 9-col orders; key-only sides cut both ~9x.
+    // shuffles 9-col orders; key-only sides cut both ~9x (67.3 s -> 38.6 s
+    // at x1000). AUDIT (r8): the residual 3.3x vs DuckDB (11.7 s) is the
+    // one unavoidable orderkey exchange plus 8-column UnsafeRow
+    // materialization of the 600M-row output; both broadcast probes and
+    // the projection fuse into the probe stage, and the exchange is the
+    // stats-derived bounded-build hash path — on a cluster the exchange
+    // is the co-location any engine needs for this join.
     "j1_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       hashJoined(li, Tables.orders(s, d).select(col("o_orderkey")),
@@ -898,6 +912,13 @@ object SparkEntry {
           round(element_at(col("p"), 3), 4).as("p99"))),
 
     // A9 (beyond reference): UNPIVOT/melt — wide measures to long form
+    // AUDIT (r8, x1000): the executed plan is the optimum this query
+    // admits — Scan → Project → Expand fused in ONE WholeStageCodegen
+    // stage, zero exchanges, 5-column pruned read. The 26.1 s (vs DuckDB
+    // 3.3 s) is pure materialization throughput on the 1.8B-row output
+    // (each row re-writes a measure-name string DuckDB serves from a
+    // dictionary vector); per-partition work is embarrassingly parallel,
+    // so a cluster scales it linearly — nothing structural to remove.
     "a9_unpivot" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),

@@ -46,11 +46,12 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     naive.exceptAll(oneExchange).count() shouldBe 0L
   }
 
-  test("f17GapFill large path: generated grid never sorts — no Sort above the Generate") {
+  test("f17GapFill large path: zero-gap generation — no join touches generated rows") {
     val plan = SparkEntry.f17GapFill(Tables.events(spark, sf0001), smallBytes = 0L)
       .queryExecution.executedPlan.toString
-    plan should not include "SortMergeJoin"
-    plan should include ("ShuffledHashJoin")
+    plan should not include "Join"
+    plan should include ("Generate")
+    plan should include ("Window")
   }
 
   test("text_pii_redact leaves no detectable PII behind") {
