@@ -11,20 +11,25 @@ min=None and timeout=True — read as "DuckDB did not finish in <cap> s").
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
 
 WORKER = r"""
 import duckdb, json, os, sys, time
-sfdir, sql = sys.argv[1], sys.stdin.read()
+sfdir, tmpdir, sql = sys.argv[1], sys.argv[2], sys.stdin.read()
 # --wrap: forces full row evaluation without materializing the result into
 # Python — the DuckDB analog of the Spark side's noop sink (fetchall() on a
 # 600M-row result is a measurement artifact, not query cost). sum(hash(t))
 # evaluates every output column of every row and reduces to one value.
-if len(sys.argv) > 2 and sys.argv[2] == "wrap":
+if len(sys.argv) > 3 and sys.argv[3] == "wrap":
     sql = "SELECT count(*), sum(hash(t)) FROM (" + sql + ") t"
-con = duckdb.connect()
+# spill into a caller-owned dir: a timed-out worker is SIGKILLed and cannot
+# clean its own temp storage, and leaked spill silently starves every LATER
+# query of disk (observed: a 13 GB leak turned a finishable run into a
+# spurious out-of-disk failure). The parent removes the dir after each rep.
+con = duckdb.connect(config={"temp_directory": tmpdir})
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     p = os.path.join(sfdir, f"{t}.parquet")
@@ -62,14 +67,17 @@ def main():
             continue
         times, err, timed_out = [], None, False
         for _ in range(args.reps):
+            tmpdir = tempfile.mkdtemp(prefix="duckspill-")
             try:
                 p = subprocess.run(
-                    [sys.executable, worker, args.sfdir]
+                    [sys.executable, worker, args.sfdir, tmpdir]
                     + (["wrap"] if args.wrap else []), input=oracle[name],
                     capture_output=True, text=True, timeout=args.timeout)
             except subprocess.TimeoutExpired:
                 timed_out = True
                 break
+            finally:
+                shutil.rmtree(tmpdir, ignore_errors=True)
             if p.returncode != 0:
                 err = (p.stderr or "worker failed").strip().splitlines()[-1][:200]
                 break
