@@ -835,11 +835,27 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"),
           countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
       else {
+        // r8b refinement: dedup ONCE. The distinct pair set is ~7x smaller
+        // than the raw rows and every answer is a projection of it —
+        // n_pairs is its size, n_parts/n_supps are distincts over it — so
+        // one 600M-row in-partition dedup into a persisted ~80M-row
+        // intermediate replaces the second full-width dedup AND the
+        // suppkey branch's re-scan of the source. Eager
+        // persist-count-unpersist lifecycle (same pattern as the dedup
+        // hub/stratified sampling): three bounded scalars leave the JVM,
+        // the cache is freed before the 1-row result returns.
+        // Measured x1000: 109.3 s (reused-exchange 3-branch) -> 62.8 s
+        // (DuckDB 42.4 s — 1.48x); sf0.1 0.71 s (was 0.81 s).
         val byPart = li.repartition(col("l_partkey"))
-        byPart.select(col("l_partkey")).distinct().agg(count(lit(1)).as("n_parts"))
-          .crossJoin(li.select(col("l_suppkey")).distinct()
-            .agg(count(lit(1)).as("n_supps")))
-          .crossJoin(byPart.distinct().agg(count(lit(1)).as("n_pairs")))
+        val pairs = byPart.distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nPairs = pairs.count()
+          val nParts = pairs.select(col("l_partkey")).distinct().count()
+          val nSupps = pairs.select(col("l_suppkey")).distinct().count()
+          s.range(1).select(lit(nParts).as("n_parts"),
+            lit(nSupps).as("n_supps"), lit(nPairs).as("n_pairs"))
+        } finally pairs.unpersist(blocking = false)
       }
     }),
 
