@@ -513,8 +513,82 @@ object TextAnalysis {
     }
   }
 
-  /** Full per-document text-statistics projection. */
-  def profile(docs: DataFrame): DataFrame =
+  /** Full per-document text-statistics projection.
+    *
+    * Fused formulation: the kernel columns above each re-derive the token
+    * array (split) and walk it with their own interpreted lambda — the
+    * composed spelling runs ~9 splits and ~7 HOF passes per row
+    * (subexpression elimination does not reach across interpreted HOF
+    * subtrees), which made this the single heaviest board query at x1000.
+    * Here the document is tokenized ONCE and a single `aggregate` pass
+    * folds every token-level tally (total token chars, stopword hits, the
+    * five language-marker hits) into one struct accumulator; the
+    * punctuation count (a regex over raw chars, not tokens) is computed
+    * once and shared by punct_ratio and quality_score. Values are
+    * bit-identical to the composed kernels — same token array, same
+    * integer tallies, same IEEE divisions — pinned by the
+    * [[profileComposed]] parity spec and the DuckDB oracle.
+    */
+  def profile(docs: DataFrame): DataFrame = {
+    val zero = struct(
+      lit(0L).as("chars"), lit(0L).as("stop"),
+      lit(0L).as("en"), lit(0L).as("es"), lit(0L).as("fr"),
+      lit(0L).as("de"), lit(0L).as("zh"))
+    def hit(t: Column, ws: Seq[String]): Column =
+      when(t.isin(ws.map(lit): _*), 1L).otherwise(0L)
+    val markers = LangMarkers.toMap
+    val tallied = docs
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        words(col("text")).as("__w"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .as("__punct"))
+      .select(col("doc_id"), col("n_chars"), col("text"), col("__punct"),
+        size(col("__w")).as("__nw"),
+        aggregate(col("__w"), zero, (acc, t) => struct(
+          (acc("chars") + length(t)).as("chars"),
+          (acc("stop") + hit(t, Stopwords)).as("stop"),
+          (acc("en") + hit(t, markers("en"))).as("en"),
+          (acc("es") + hit(t, markers("es"))).as("es"),
+          (acc("fr") + hit(t, markers("fr"))).as("fr"),
+          (acc("de") + hit(t, markers("de"))).as("de"),
+          (acc("zh") + hit(t, markers("zh"))).as("zh"))).as("__t"))
+    val n = length(col("text"))
+    val nw = col("__nw")
+    val punctRatioC =
+      when(n > 0, col("__punct").cast("double") / n.cast("double"))
+        .otherwise(lit(0.0))
+    val stopRatioC =
+      when(nw > 0, col("__t")("stop").cast("double") / nw.cast("double"))
+        .otherwise(lit(0.0))
+    val langScores = LangMarkers.map { case (l, _) => l -> col("__t")(l) }
+    val langPred = langScores.tail
+      .foldLeft((when(lit(true), lit(langScores.head._1)), langScores.head._2)) {
+        case ((bestLang, bestScore), (l, s)) =>
+          (when(s > bestScore, lit(l)).otherwise(bestLang),
+            greatest(s, bestScore))
+      }._1
+    tallied.select(
+      col("doc_id"),
+      col("n_chars"),
+      nw.cast("long").as("n_tokens"),
+      regexTokenCount(col("text")).as("n_regex_tokens"),
+      punctRatioC.as("punct_ratio"),
+      stopRatioC.as("stopword_ratio"),
+      when(nw > 0, col("__t")("chars").cast("double") / nw.cast("double"))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      (when(n.between(20, 100000), lit(0.4)).otherwise(lit(0.0))
+        + when(punctRatioC < 0.1, lit(0.3)).otherwise(lit(0.0))
+        + when(stopRatioC.between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0)))
+        .as("quality_score"),
+      langPred.as("lang_pred"),
+      fingerprint(col("text")).as("fingerprint"))
+  }
+
+  /** Reference formulation of [[profile]] via the standalone kernel
+    * columns — kept for the fused/composed parity spec.
+    */
+  def profileComposed(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       col("n_chars"),

@@ -65,6 +65,16 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     df.count() shouldBe 500L
   }
 
+  test("profile: fused single-tokenize pass equals the composed kernel columns") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val fused = TextAnalysis.profile(docs)
+    val composed = TextAnalysis.profileComposed(docs)
+    fused.schema.map(f => (f.name, f.dataType)) shouldBe
+      composed.schema.map(f => (f.name, f.dataType))
+    fused.exceptAll(composed).count() shouldBe 0L
+    composed.exceptAll(fused).count() shouldBe 0L
+  }
+
   test("qualityModelScore: hand-computed hashed-linear sigmoid; deterministic") {
     // replicate the derivation outside Spark: distinct token hashes →
     // bucket → integer weight → mean/1000 → sigmoid, rounded to 6
