@@ -1426,6 +1426,13 @@ object SparkEntry {
         TextAnalysis.minShingleFingerprint(col("text"), 5).as("min_shingle_fp"))),
 
     // char-n-gram language ID + Gopher-style quality rule flags
+    // AUDIT (r8, x100 A/B): a profile-style fused spelling (one tokenize,
+    // one struct-fold for chars+alpha, shared lower(text)) measured
+    // 25.2 s vs 25.8 s composed at x100 steady and 292 s vs 274 s cold at
+    // x1000 — neutral-to-worse, REJECTED. Unlike text_profile (9 splits /
+    // 7 HOF walks collapsed to 1+1, 1.66x), this query's cost is the five
+    // regexp_extract_all corpus scans and the per-token rlike, which no
+    // fusion removes; the composed kernels stay for their reuse value.
     "text_quality_flags" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
