@@ -170,6 +170,66 @@ object SparkEntry {
     }
   }
 
+  /** `j1_a1_star_rollup` body, size-adaptive (audit at the queries entry).
+    * `smallBytes` pins a path for parity specs: 0 forces the pre-aggregate
+    * plan, MaxValue the broadcast-star plan.
+    */
+  private[graft] def j1A1Rollup(s: SparkSession, d: String,
+                                smallBytes: Long = rawAggBytes): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    if (operators.AdaptiveGate.isSmall(li, smallBytes))
+      li.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+    else
+      li.select(col("l_suppkey"), revenue.as("__rev"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("__rev")).as("__rev"), count(lit(1)).as("__n"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("__rev")), 2).as("revenue"), sum(col("__n")).as("n_items"))
+  }
+
+  /** `a2_count_distinct` body, size-adaptive (audit at the queries entry).
+    * Large path: dedup ONCE — the distinct pair set is ~7x smaller than
+    * the raw rows and every answer is a projection of it (n_pairs is its
+    * size, n_parts/n_supps are distincts over it), so one in-partition
+    * dedup into a persisted intermediate replaces a second full-width
+    * dedup AND the suppkey branch's re-scan of the source. Eager
+    * persist-count-unpersist lifecycle (same pattern as the dedup hub /
+    * stratified sampling): three bounded scalars leave the JVM, the cache
+    * is freed before the 1-row result returns. Measured x1000: 109.3 s
+    * (reused-exchange 3-branch) -> 62.8 s (DuckDB 42.4 s — 1.48x); sf0.1
+    * 0.71 s (was 0.81 s). `smallBytes` pins a path for parity specs.
+    */
+  private[graft] def a2CountDistinct(s: SparkSession, d: String,
+                                     smallBytes: Long = rawAggBytes): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+    if (operators.AdaptiveGate.isSmall(li, smallBytes))
+      li.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
+    else {
+      val byPart = li.repartition(col("l_partkey"))
+      val pairs = byPart.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nPairs = pairs.count()
+        val nParts = pairs.select(col("l_partkey")).distinct().count()
+        val nSupps = pairs.select(col("l_suppkey")).distinct().count()
+        s.range(1).select(lit(nParts).as("n_parts"),
+          lit(nSupps).as("n_supps"), lit(nPairs).as("n_pairs"))
+      } finally pairs.unpersist(blocking = false)
+    }
+  }
+
   /** DuckDB CTE fragments shared by the text/dedup oracles. */
   private val ShinglesCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -388,26 +448,7 @@ object SparkEntry {
     // three broadcast joins then run over |supplier| rows and the final
     // 125-group re-agg is free. Same rows: supplier->nation->region is
     // functionally dependent on l_suppkey, sum/count re-associate.
-    "j1_a1_star_rollup" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      if (operators.AdaptiveGate.isSmall(li, rawAggBytes))
-        li.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name"), col("n_name"))
-          .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
-      else
-        li.select(col("l_suppkey"), revenue.as("__rev"))
-          .groupBy(col("l_suppkey"))
-          .agg(sum(col("__rev")).as("__rev"), count(lit(1)).as("__n"))
-          .join(broadcast(Tables.supplier(s, d)
-            .select(col("s_suppkey"), col("s_nationkey"))),
-            col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name"), col("n_name"))
-          .agg(round(sum(col("__rev")), 2).as("revenue"), sum(col("__n")).as("n_items"))
-    }),
+    "j1_a1_star_rollup" -> ((s, d) => j1A1Rollup(s, d)),
 
     // J4: role-playing dimension joined twice under different aliases.
     // Both fact sides are pre-projected to exactly their join+agg columns
@@ -827,37 +868,7 @@ object SparkEntry {
     // so ITS map-side dedup genuinely reduces. Below the gate the plain
     // one-pass spelling stays (0.3 s at sf0.1 — the Expand is free on
     // 600k rows).
-    "a2_count_distinct" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-      if (operators.AdaptiveGate.isSmall(li, rawAggBytes))
-        li.agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
-      else {
-        // r8b refinement: dedup ONCE. The distinct pair set is ~7x smaller
-        // than the raw rows and every answer is a projection of it —
-        // n_pairs is its size, n_parts/n_supps are distincts over it — so
-        // one 600M-row in-partition dedup into a persisted ~80M-row
-        // intermediate replaces the second full-width dedup AND the
-        // suppkey branch's re-scan of the source. Eager
-        // persist-count-unpersist lifecycle (same pattern as the dedup
-        // hub/stratified sampling): three bounded scalars leave the JVM,
-        // the cache is freed before the 1-row result returns.
-        // Measured x1000: 109.3 s (reused-exchange 3-branch) -> 62.8 s
-        // (DuckDB 42.4 s — 1.48x); sf0.1 0.71 s (was 0.81 s).
-        val byPart = li.repartition(col("l_partkey"))
-        val pairs = byPart.distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val nPairs = pairs.count()
-          val nParts = pairs.select(col("l_partkey")).distinct().count()
-          val nSupps = pairs.select(col("l_suppkey")).distinct().count()
-          s.range(1).select(lit(nParts).as("n_parts"),
-            lit(nSupps).as("n_supps"), lit(nPairs).as("n_pairs"))
-        } finally pairs.unpersist(blocking = false)
-      }
-    }),
+    "a2_count_distinct" -> ((s, d) => a2CountDistinct(s, d)),
 
     // J3: longest-prefix match join (opening-book analog): dict of 2- and
     // 3-word prefixes, startsWith semantics, longest match wins.

@@ -54,6 +54,22 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     plan should include ("Window")
   }
 
+  test("j1A1Rollup: pre-aggregate path (forced) agrees with the broadcast-star path") {
+    val pre = SparkEntry.j1A1Rollup(spark, sf0001, smallBytes = 0L)
+    val star = SparkEntry.j1A1Rollup(spark, sf0001, smallBytes = Long.MaxValue)
+    pre.schema.map(f => (f.name, f.dataType)) shouldBe
+      star.schema.map(f => (f.name, f.dataType))
+    pre.exceptAll(star).count() shouldBe 0L
+    star.exceptAll(pre).count() shouldBe 0L
+  }
+
+  test("a2CountDistinct: persisted pair-dedup path (forced) agrees with the one-pass aggregate") {
+    val dedup = SparkEntry.a2CountDistinct(spark, sf0001, smallBytes = 0L)
+    val onePass = SparkEntry.a2CountDistinct(spark, sf0001, smallBytes = Long.MaxValue)
+    dedup.exceptAll(onePass).count() shouldBe 0L
+    onePass.exceptAll(dedup).count() shouldBe 0L
+  }
+
   test("text_pii_redact leaves no detectable PII behind") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("text_pii_redact")(spark, sf0001)
