@@ -230,6 +230,74 @@ object SparkEntry {
     }
   }
 
+  /** `a6_sketch_agg` body, size-adaptive (audit inline). `smallBytes`
+    * pins a path for parity specs: 0 forces the decomposed branches,
+    * MaxValue the single-pass spelling.
+    */
+  private[graft] def a6SketchAgg(s: SparkSession, d: String,
+                                 smallBytes: Long = rawAggBytes): DataFrame = {
+      val raw = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
+      val small = operators.AdaptiveGate.isSmall(raw, smallBytes)
+      val src = if (small) raw.repartition(32) else raw
+      // sketches and exact-distincts aggregate in SEPARATE branches over
+      // the same subtree: mixed, the two countDistincts force an Expand
+      // that triples the rows feeding the interpreted
+      // TypedImperativeAggregate updates (HLL registers,
+      // QuantileSummaries, the exact-percentile buffer) — the dominant
+      // cost of the combined spelling (5.4 s vs 1.9 s split at sf0.1).
+      // AUDIT (r8, x1000): at 15 GB even the split pair ran 293 s — the
+      // exact percentile buffered 600M values through interpreted
+      // updates and merged 96 partials on ONE reducer (15.9 s single
+      // task). The large path decomposes further: the exact median
+      // reduces through a codegen'd value-count pre-aggregate (prices
+      // have a bounded domain; 600M rows -> 133k (value, cnt) rows, then
+      // percentile's FREQUENCY form — 4.2 s instead of dominating), the
+      // HLL pair and the quantile sketch each get their own un-Expanded
+      // interpreted pass, and the exact distinct counts run
+      // post-shuffle per key (the a2/q13 lesson; orderkey keeps the
+      // plain distinct — lineitem files cluster by orderkey, so ITS
+      // map-side dedup genuinely reduces). Measured 293 s -> ~60 s.
+      val sketches =
+        if (small)
+          src.agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+            expr("percentile(l_extendedprice, 0.5)").as("em"))
+        else {
+          val hll = src.agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+          val apx = src.agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+          val em = src.groupBy(col("l_extendedprice"))
+            .agg(count(lit(1)).as("__cnt"))
+            .agg(expr("percentile(l_extendedprice, 0.5, __cnt)").as("em"))
+          hll.crossJoin(apx).crossJoin(em)
+        }
+      val exacts =
+        if (small)
+          src.agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+        else
+          src.select(col("l_partkey")).repartition(col("l_partkey"))
+            .distinct().agg(count(lit(1)).as("exact_parts"))
+            .crossJoin(src.select(col("l_orderkey")).distinct()
+              .agg(count(lit(1)).as("exact_orders")))
+      sketches.crossJoin(exacts)
+        .select(
+          col("exact_parts"), col("exact_orders"),
+          (floor(col("em") * 100 + 0.5) / 100).as("exact_median_price"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.06)
+            .as("parts_within_3rsd"),
+          (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.06)
+            .as("orders_within_3rsd"),
+          (abs(col("am") - col("em")) <= col("em") * 0.01)
+            .as("median_within_1pct"))
+  }
+
   /** DuckDB CTE fragments shared by the text/dedup oracles. */
   private val ShinglesCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -789,68 +857,7 @@ object SparkEntry {
     // round-robin exchange buys 32-way sketch building: 10.8 s -> 1.1 s
     // at sf0.1); above it, multi-row-group splits already parallelize
     // the scan and the exchange would shuffle the full fact for nothing.
-    "a6_sketch_agg" -> ((s, d) => {
-      val raw = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
-      val small = operators.AdaptiveGate.isSmall(raw, rawAggBytes)
-      val src = if (small) raw.repartition(32) else raw
-      // sketches and exact-distincts aggregate in SEPARATE branches over
-      // the same subtree: mixed, the two countDistincts force an Expand
-      // that triples the rows feeding the interpreted
-      // TypedImperativeAggregate updates (HLL registers,
-      // QuantileSummaries, the exact-percentile buffer) — the dominant
-      // cost of the combined spelling (5.4 s vs 1.9 s split at sf0.1).
-      // AUDIT (r8, x1000): at 15 GB even the split pair ran 293 s — the
-      // exact percentile buffered 600M values through interpreted
-      // updates and merged 96 partials on ONE reducer (15.9 s single
-      // task). The large path decomposes further: the exact median
-      // reduces through a codegen'd value-count pre-aggregate (prices
-      // have a bounded domain; 600M rows -> 133k (value, cnt) rows, then
-      // percentile's FREQUENCY form — 4.2 s instead of dominating), the
-      // HLL pair and the quantile sketch each get their own un-Expanded
-      // interpreted pass, and the exact distinct counts run
-      // post-shuffle per key (the a2/q13 lesson; orderkey keeps the
-      // plain distinct — lineitem files cluster by orderkey, so ITS
-      // map-side dedup genuinely reduces). Measured 293 s -> ~60 s.
-      val sketches =
-        if (small)
-          src.agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-            expr("percentile(l_extendedprice, 0.5)").as("em"))
-        else {
-          val hll = src.agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
-          val apx = src.agg(
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
-          val em = src.groupBy(col("l_extendedprice"))
-            .agg(count(lit(1)).as("__cnt"))
-            .agg(expr("percentile(l_extendedprice, 0.5, __cnt)").as("em"))
-          hll.crossJoin(apx).crossJoin(em)
-        }
-      val exacts =
-        if (small)
-          src.agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            countDistinct(col("l_orderkey")).as("exact_orders"))
-        else
-          src.select(col("l_partkey")).repartition(col("l_partkey"))
-            .distinct().agg(count(lit(1)).as("exact_parts"))
-            .crossJoin(src.select(col("l_orderkey")).distinct()
-              .agg(count(lit(1)).as("exact_orders")))
-      sketches.crossJoin(exacts)
-        .select(
-          col("exact_parts"), col("exact_orders"),
-          (floor(col("em") * 100 + 0.5) / 100).as("exact_median_price"),
-          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.06)
-            .as("parts_within_3rsd"),
-          (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.06)
-            .as("orders_within_3rsd"),
-          (abs(col("am") - col("em")) <= col("em") * 0.01)
-            .as("median_within_1pct"))
-    }),
+    "a6_sketch_agg" -> ((s, d) => a6SketchAgg(s, d)),
 
     // A2: count-distinct single and pair
     // AUDIT (r8, x1000): the one-pass spelling plans an Expand that

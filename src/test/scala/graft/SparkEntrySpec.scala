@@ -70,6 +70,16 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     onePass.exceptAll(dedup).count() shouldBe 0L
   }
 
+  test("a6SketchAgg: decomposed branches (forced) agree with the single-pass spelling") {
+    // exact columns and tolerance bools must agree; the sketch VALUES (ap,
+    // ao, am) are internal and partitioning-sensitive, which is exactly why
+    // the query exports only their within-tolerance flags
+    val split = SparkEntry.a6SketchAgg(spark, sf0001, smallBytes = 0L)
+    val onePass = SparkEntry.a6SketchAgg(spark, sf0001, smallBytes = Long.MaxValue)
+    split.exceptAll(onePass).count() shouldBe 0L
+    onePass.exceptAll(split).count() shouldBe 0L
+  }
+
   test("text_pii_redact leaves no detectable PII behind") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("text_pii_redact")(spark, sf0001)
