@@ -239,7 +239,11 @@ object SparkEntry {
       val raw = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
       val small = operators.AdaptiveGate.isSmall(raw, smallBytes)
-      val src = if (small) raw.repartition(32) else raw
+      // fan sketch building across every core of the session (a tiny input
+      // otherwise plans 1-2 scan tasks and serializes the sketch updates)
+      val src = if (small)
+        raw.repartition(s.sessionState.conf.numShufflePartitions)
+      else raw
       // sketches and exact-distincts aggregate in SEPARATE branches over
       // the same subtree: mixed, the two countDistincts force an Expand
       // that triples the rows feeding the interpreted
@@ -253,11 +257,19 @@ object SparkEntry {
       // reduces through a codegen'd value-count pre-aggregate (prices
       // have a bounded domain; 600M rows -> 133k (value, cnt) rows, then
       // percentile's FREQUENCY form — 4.2 s instead of dominating), the
-      // HLL pair and the quantile sketch each get their own un-Expanded
-      // interpreted pass, and the exact distinct counts run
-      // post-shuffle per key (the a2/q13 lesson; orderkey keeps the
-      // plain distinct — lineitem files cluster by orderkey, so ITS
-      // map-side dedup genuinely reduces). Measured 293 s -> ~60 s.
+      // quantile sketch gets its own un-Expanded interpreted pass, and
+      // the exact distinct counts run post-shuffle per key (the a2/q13
+      // lesson; orderkey keeps the plain distinct — lineitem files
+      // cluster by orderkey, so ITS map-side dedup genuinely reduces).
+      // Measured 293 s -> ~60 s.
+      // AUDIT (r9, x1000): the HLL pair moved INTO the exact-distinct
+      // branches: an HLL register set is a per-item max, so duplicates
+      // never change its state and approx_count_distinct over the
+      // deduped key set returns the bit-identical estimate at 30x
+      // (partkey) / 4x (orderkey) fewer interpreted updates — the
+      // separate 600M-row HLL pass (the r8 shape) is pure waste. The
+      // codegen'd dedup does the reduction; the interpreted sketch sees
+      // only survivors. Measured 52.3 s -> 35.9 s (DuckDB 25.8 s, 1.39x).
       val sketches =
         if (small)
           src.agg(
@@ -266,15 +278,12 @@ object SparkEntry {
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
             expr("percentile(l_extendedprice, 0.5)").as("em"))
         else {
-          val hll = src.agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
           val apx = src.agg(
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
           val em = src.groupBy(col("l_extendedprice"))
             .agg(count(lit(1)).as("__cnt"))
             .agg(expr("percentile(l_extendedprice, 0.5, __cnt)").as("em"))
-          hll.crossJoin(apx).crossJoin(em)
+          apx.crossJoin(em)
         }
       val exacts =
         if (small)
@@ -283,9 +292,12 @@ object SparkEntry {
             countDistinct(col("l_orderkey")).as("exact_orders"))
         else
           src.select(col("l_partkey")).repartition(col("l_partkey"))
-            .distinct().agg(count(lit(1)).as("exact_parts"))
+            .distinct()
+            .agg(count(lit(1)).as("exact_parts"),
+              approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
             .crossJoin(src.select(col("l_orderkey")).distinct()
-              .agg(count(lit(1)).as("exact_orders")))
+              .agg(count(lit(1)).as("exact_orders"),
+                approx_count_distinct(col("l_orderkey"), 0.02).as("ao")))
       sketches.crossJoin(exacts)
         .select(
           col("exact_parts"), col("exact_orders"),
@@ -1078,6 +1090,8 @@ object SparkEntry {
       val norm = TextAnalysis.normalizedText(substring(col("text"), 1, 128))
       val t = Tables.documents(s, d).select(col("doc_id"),
         substring(norm, 1, 32).as("prefix"), substring(norm, 1, 8).as("bucket"))
+        .withColumn("__sig",
+          graft.functions.TextFunctions.hist_sig16(col("prefix")))
       // bounded_levenshtein returns the exact distance when <= 8 and 9
       // otherwise, so the <= 8 filter is equivalent to filtering the exact
       // distance — at a fraction of the DP cost (early row-min exit plus
@@ -1109,14 +1123,21 @@ object SparkEntry {
       val left = blocked
         .withColumn("__j", explode(sequence(col("__blk"), col("__nblk") - 1)))
         .select(col("doc_id").as("doc_a"), col("prefix").as("pa"),
-          col("bucket"), col("__j"))
+          col("__sig").as("sa"), col("bucket"), col("__j"))
         .repartition(width, col("bucket"), col("__j"))
       val right = blocked
         .select(col("doc_id").as("doc_b"), col("prefix").as("pb"),
-          col("bucket"), col("__blk").as("__j"))
+          col("__sig").as("sb"), col("bucket"), col("__blk").as("__j"))
         .repartition(width, col("bucket"), col("__j"))
+      // per-pair gauntlet, cheap to expensive (CombineFilters keeps the
+      // conjunct order): id order halves the pairs, then the ~30-op
+      // histogram L1 reject (hist_l1 > 2*k proves distance > k — exact,
+      // never drops a surviving pair) spares the O(n*k) DP for the bulk
+      // of the block; only histogram-close pairs reach bounded_levenshtein
       operators.AdaptiveGate.hashHinted(left).join(right,
           Seq("bucket", "__j")).filter(col("doc_a") < col("doc_b"))
+        .filter(graft.functions.TextFunctions.hist_l1(
+          col("sa"), col("sb")) <= 16)
         .select(col("doc_a"), col("doc_b"),
           graft.functions.TextFunctions.bounded_levenshtein(
             col("pa"), col("pb"), 8).as("edit_dist"))

@@ -38,7 +38,8 @@ object TimeOne {
           println(f"SMOKE $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s ok")
         } catch { case e: Throwable =>
           failed += 1
-          println(f"SMOKE $name%-28s FAILED ${e.getMessage.linesIterator.nextOption.getOrElse("").take(120)}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          println(f"SMOKE $name%-28s FAILED ${msg.linesIterator.nextOption.getOrElse("").take(120)}")
         }
         spark.catalog.clearCache()
       }

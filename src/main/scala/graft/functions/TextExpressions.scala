@@ -296,9 +296,21 @@ object TextOps {
   def boundedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Long = {
     val s = a.toString
     val t = b.toString
-    val n = s.length
-    val m = t.length
-    if (math.abs(n - m) > maxDist) return maxDist + 1L
+    if (math.abs(s.length - t.length) > maxDist) return maxDist + 1L
+    // strip the common prefix and suffix before the DP: Levenshtein is
+    // invariant under removing a shared prefix or (then) a shared suffix
+    // (standard identity, e.g. commons-text does the same). The near-dup
+    // callers bucket by a shared 8-char fingerprint, so every pair this
+    // kernel sees starts with >= 8 identical chars — the strip removes
+    // those rows/cols from the quadratic DP for free.
+    var lo = 0
+    val minLen = math.min(s.length, t.length)
+    while (lo < minLen && s.charAt(lo) == t.charAt(lo)) lo += 1
+    var n = s.length
+    var m = t.length
+    while (n > lo && m > lo && s.charAt(n - 1) == t.charAt(m - 1)) { n -= 1; m -= 1 }
+    n -= lo
+    m -= lo
     if (n == 0) return m.toLong
     if (m == 0) return n.toLong
     var prev = new Array[Int](m + 1)
@@ -309,10 +321,10 @@ object TextOps {
     while (i <= n) {
       cur(0) = i
       var rowMin = i
-      val sc = s.charAt(i - 1)
+      val sc = s.charAt(lo + i - 1)
       j = 1
       while (j <= m) {
-        var v = prev(j - 1) + (if (sc == t.charAt(j - 1)) 0 else 1)
+        var v = prev(j - 1) + (if (sc == t.charAt(lo + j - 1)) 0 else 1)
         val del = prev(j) + 1
         if (del < v) v = del
         val ins = cur(j - 1) + 1
@@ -327,6 +339,45 @@ object TextOps {
     }
     val d = prev(m)
     if (d > maxDist) maxDist + 1L else d.toLong
+  }
+
+  /** 16-bucket character histogram of a string, counts clamped at 15 and
+    * packed 4 bits per bucket into one long — the row-side half of the
+    * [[histL1]] edit-distance lower bound. Bucket = `(c ^ (c >>> 4)) & 15`
+    * (mixes bits above the low nibble so an alphabet spanning one 16-char
+    * code block still spreads).
+    */
+  def histSig16(s: UTF8String): Long = {
+    val str = s.toString
+    var sig = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val shift = ((c ^ (c >>> 4)) & 15) << 2
+      if (((sig >>> shift) & 0xfL) < 15L) sig += (1L << shift)
+      i += 1
+    }
+    sig
+  }
+
+  /** L1 distance between two [[histSig16]] signatures. A single edit
+    * operation moves at most one character between histogram buckets, so
+    * it changes the (unclamped) L1 by at most 2; clamping each bucket at
+    * 15 is 1-Lipschitz per lane and can only shrink the L1. Hence
+    * `histL1(sig(a), sig(b)) > 2*k` PROVES `levenshtein(a, b) > k` — a
+    * ~30-op reject that runs before the O(n*k) DP and never changes which
+    * pairs survive a `<= k` filter.
+    */
+  def histL1(a: Long, b: Long): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val x = (a >>> i) & 0xfL
+      val y = (b >>> i) & 0xfL
+      sum += math.abs(x - y)
+      i += 4
+    }
+    sum
   }
 
   /** 16-bit SimHash over distinct single-space tokens: bit b is set when
@@ -695,10 +746,57 @@ case class BoundedLevenshtein(left: Expression, right: Expression, maxDist: Int)
     copy(left = l, right = r)
 }
 
+/** Packed 16-bucket character histogram — see [[TextOps.histSig16]]. */
+case class HistSig16(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "hist_sig16"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.histSig16(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.histSig16($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Histogram-signature L1 — the edit-distance lower bound of
+  * [[TextOps.histL1]] (`> 2*k` proves distance `> k`).
+  */
+case class HistL1(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "hist_l1"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two bigint arguments")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextOps.histL1(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextOps.histL1($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftShims.{column, expression}
   def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
     column(BoundedLevenshtein(expression(a), expression(b), maxDist))
+  def hist_sig16(text: Column): Column = column(HistSig16(expression(text)))
+  def hist_l1(a: Column, b: Column): Column =
+    column(HistL1(expression(a), expression(b)))
   def shingle_array(text: Column, k: Int): Column = column(ShingleArray(expression(text), k))
   def shingle_array_all(text: Column, k: Int): Column =
     column(ShingleArray(expression(text), k, distinct = false))

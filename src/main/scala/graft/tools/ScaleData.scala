@@ -88,7 +88,8 @@ object ScaleData {
 
     def write(name: String, df: DataFrame, nFiles: Int): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[scale] $name x$factor -> $outDir/$name.parquet ($nFiles files)")
+      println(s"[scale] $name x$factor -> $outDir/$name.parquet " +
+        s"(${df.rdd.getNumPartitions} partitions)")
     }
     // fixed dims: copied once, single file, no shift
     write("region", Tables.region(spark, srcDir).repartition(1), 1)

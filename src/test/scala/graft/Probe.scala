@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway dev main: print Catalyst stats of the dedup posting subtree
   * at the given sf dirs — calibration input for the posting hub's
-  * partition-count derivation. Not part of the library surface.
+  * partition-count derivation. Not part of the library surface (test sourceSet; run via `sbt Test/runMain`).
   */
 object Probe {
   def main(args: Array[String]): Unit = {

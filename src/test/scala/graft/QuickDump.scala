@@ -4,7 +4,7 @@ package graft
   * (same layout as [[Verify]]) so a subset can be oracle-checked at a
   * non-gate scale without paying the full 125-query dump.
   *
-  *   sbt "runMain graft.QuickDump <sfDir> <outDir> <query...>"
+  *   sbt "Test/runMain graft.QuickDump <sfDir> <outDir> <query...>"
   */
 object QuickDump {
   def main(args: Array[String]): Unit = {

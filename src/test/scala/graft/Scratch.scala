@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Throwaway dev main: per-job wall-time profile plus the executed plan of
-  * the named queries (after a warm pass). Not part of the library surface.
+  * the named queries (after a warm pass). Not part of the library surface (test sourceSet; run via `sbt Test/runMain`).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
