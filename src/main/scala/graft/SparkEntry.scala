@@ -38,13 +38,13 @@ object SparkEntry {
     * plan-stat estimate) from the x10/x30 scale fixtures (5–82 MB); both
     * sides are measured in the queries' audit notes.
     */
-  private val rawAggBytes: Long = 4L << 20
+  private[graft] val rawAggBytes: Long = 4L << 20
 
   /** Ceiling on a join build side's Catalyst stats for the shuffle_hash
     * hint: hash builds are per-task and non-spillable, so past this the
     * hint converts a spill into a stage failure — fall back to sort-merge.
     */
-  private val shuffleHashBytes: Long = 256L << 20
+  private[graft] val shuffleHashBytes: Long = 256L << 20
 
   /** Pre-shuffle routing for a high-cardinality groupBy: above `smallBytes`
     * the raw rows repartition by `key`, so the subsequent aggregate's
@@ -116,7 +116,8 @@ object SparkEntry {
       probe.join(build.hint("shuffle_hash"),
         col(probeKey) === col(buildKey), joinType)
     else {
-      val n = math.min(2048L, bStat / (2L << 20)).toInt
+      val n = math.min(operators.AdaptiveGate.MaxDerivedPartitions,
+        bStat / (2L << 20)).toInt
       probe.repartition(n, col(probeKey))
         .join(build.repartition(n, col(buildKey)).hint("shuffle_hash"),
           col(probeKey) === col(buildKey), joinType)
@@ -184,12 +185,18 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
     else
+      // r9: second agg level on the INT s_nationkey BEFORE the name
+      // joins — the nation/region probes and the string-key rollup then
+      // run over |nation| rows instead of |supplier|; the final
+      // (r_name, n_name) re-agg is over the same handful of rows
       li.select(col("l_suppkey"), revenue.as("__rev"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("__rev")).as("__rev"), count(lit(1)).as("__n"))
         .join(broadcast(Tables.supplier(s, d)
           .select(col("s_suppkey"), col("s_nationkey"))),
           col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("__rev")).as("__rev"), sum(col("__n")).as("__n"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -227,6 +234,59 @@ object SparkEntry {
         s.range(1).select(lit(nParts).as("n_parts"),
           lit(nSupps).as("n_supps"), lit(nPairs).as("n_pairs"))
       } finally pairs.unpersist(blocking = false)
+    }
+  }
+
+  /** `q13_custdist` body, size-adaptive. Both paths pre-aggregate orders
+    * by custkey and count the c_count=0 bucket by FK complement (see the
+    * r8 audit at the queries entry comment below this map — two O(1)
+    * aggregates instead of the customer left join). They differ in where
+    * |distinct ordering customers| comes from:
+    *
+    *  - small: counted off the `oc` subtree — its exchange canonicalizes
+    *    identically to branch 1's, so AQE exchange reuse serves both
+    *    branches from one orders scan, in PARALLEL (the sum-over-nonzero
+    *    spelling measured 1.07 s vs 0.26 s at sf0.1: three sequential
+    *    stage latencies dominate when stages are sub-100ms).
+    *  - large (past [[rawAggBytes]]): `sum(custdist)` over the persisted
+    *    ~100-row `nonzero` frame. At scale the branch cost is
+    *    data-dominated, the sequential-latency argument dies, and this
+    *    spelling makes the single-orders-scan property STRUCTURAL — the
+    *    r8 shape depended on AQE reuse firing, which the r9 x1000 explain
+    *    audit shows it does NOT under the gated raw-repartition plan (the
+    *    two branches' repartition exchanges canonicalize differently once
+    *    preShuffled rewrites branch 1): the r8 plan paid the 150M-row
+    *    orders scan + exchange twice. Measured at x1000: 5.22 s (r8,
+    *    double scan) -> 3.49 s (DuckDB 2.45 s — 1.43x, was 2.13x).
+    *    The tiny cache is session-freed (clearCache), matching the dedup
+    *    hub's lifecycle; an empty orders table degenerates safely
+    *    (coalesce(sum, 0)).
+    */
+  private[graft] def q13Custdist(s: SparkSession, d: String,
+                                 smallBytes: Long = rawAggBytes): DataFrame = {
+    val ordersC = Tables.orders(s, d).select(col("o_custkey"))
+    val oc = preShuffled(ordersC, "o_custkey", smallBytes)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val nonzero = oc.groupBy(col("cnt"))
+      .agg(count(lit(1)).as("custdist"))
+      .select(col("cnt").as("c_count"), col("custdist"))
+    if (operators.AdaptiveGate.isSmall(ordersC, smallBytes)) {
+      val zeroRow = Tables.customer(s, d).agg(count(lit(1)).as("n_cust"))
+        .crossJoin(oc.agg(count(lit(1)).as("n_ordering")))
+        .select(lit(0L).as("c_count"),
+          (col("n_cust") - col("n_ordering")).as("custdist"))
+        .filter(col("custdist") > 0)
+      nonzero.unionByName(zeroRow)
+    } else {
+      val nz = nonzero.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val zeroRow = Tables.customer(s, d).agg(count(lit(1)).as("n_cust"))
+        .crossJoin(nz.agg(
+          coalesce(sum(col("custdist")), lit(0L)).as("n_ordering")))
+        .select(lit(0L).as("c_count"),
+          (col("n_cust") - col("n_ordering")).as("custdist"))
+        .filter(col("custdist") > 0)
+      nz.unionByName(zeroRow)
     }
   }
 
@@ -489,18 +549,27 @@ object SparkEntry {
     // right side is pre-projected to ITS KEY ALONE — identical rows (a
     // left join's output depends only on the key multiset of the build
     // side) at a fraction of the broadcast/shuffle bytes: at x1000 the
-    // unprojected spelling broadcasts 20M full part rows (9 cols) and
-    // shuffles 9-col orders; key-only sides cut both ~9x (67.3 s -> 38.6 s
-    // at x1000). AUDIT (r8): the residual 3.3x vs DuckDB (11.7 s) is the
-    // one unavoidable orderkey exchange plus 8-column UnsafeRow
-    // materialization of the 600M-row output; both broadcast probes and
-    // the projection fuse into the probe stage, and the exchange is the
-    // stats-derived bounded-build hash path — on a cluster the exchange
-    // is the co-location any engine needs for this join.
+    // AUDIT (r8): key-only projections cut the broadcast/shuffle widths
+    // ~9x (67.3 s -> 38.6 s at x1000), but the orderkey exchange + hash
+    // build remained — 3.3x DuckDB's single-pipeline probe.
+    // AUDIT (r9): the exchange wasn't the floor, it was DEAD WORK. The
+    // query is the reference's `SELECT fact.* FROM fact LEFT JOIN dims`
+    // (python_scripts.py:566-573): every probe is a LEFT join against a
+    // declared-unique dimension key whose columns the query never reads,
+    // so each probe emits exactly one row per fact row and the engine's
+    // constraint-driven join elimination
+    // ([[graft.plans.EliminateUniqueKeyLeftJoin]], fed by the PKs
+    // [[Tables]] declares) deletes all three joins — the optimized plan
+    // is scan -> project, zero exchanges (pinned in PlanAuditSpec), the
+    // same rewrite any PK-aware RDBMS applies. What remains at x1000 is
+    // pure 600M-row 8-column output materialization, embarrassingly
+    // parallel — the a9_unpivot argument. Joins that DO read dim columns
+    // (chess_gold, j1_a1) keep their physical joins; the
+    // rule-off parity spec pins result equality both ways.
     "j1_star_join" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      hashJoined(li, Tables.orders(s, d).select(col("o_orderkey")),
-          "l_orderkey", "o_orderkey", "left")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
         .join(broadcast(Tables.part(s, d).select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"), "left")
         .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"))),
@@ -670,26 +739,7 @@ object SparkEntry {
     // (min-of-3, same session; sf0.1 keeps the direct groupBy, 0.28 s vs
     // 0.32 s). Gate validated at x100 (2.2 GB): 1.01 s gated vs 1.46 s
     // direct-groupBy spelling, min-of-3 same session.
-    "q13_custdist" -> ((s, d) => {
-      val oc = preShuffled(Tables.orders(s, d).select(col("o_custkey")),
-          "o_custkey")
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("cnt"))
-      val nonzero = oc.groupBy(col("cnt"))
-        .agg(count(lit(1)).as("custdist"))
-        .select(col("cnt").as("c_count"), col("custdist"))
-      // |distinct ordering customers| counted off the oc subtree, NOT off
-      // nonzero: oc's exchange canonicalizes identically to branch 1's, so
-      // AQE's exchange reuse serves both from one orders scan — while the
-      // sum(custdist)-over-nonzero spelling (measured 1.07 s vs 0.26 s)
-      // stacks three sequential exchange stages on the critical path
-      val zeroRow = Tables.customer(s, d).agg(count(lit(1)).as("n_cust"))
-        .crossJoin(oc.agg(count(lit(1)).as("n_ordering")))
-        .select(lit(0L).as("c_count"),
-          (col("n_cust") - col("n_ordering")).as("custdist"))
-        .filter(col("custdist") > 0)
-      nonzero.unionByName(zeroRow)
-    }),
+    "q13_custdist" -> ((s, d) => q13Custdist(s, d)),
 
     // Q18: HAVING over a grouped sum, joined back to the fact.
     // The per-order sum groups ~|lineitem|/4 keys — high-cardinality

@@ -28,10 +28,27 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Primary keys of the synthetic tables (TESTDATA.md; the reference
+    * declares the same in its DDL, `create_datawarehouse.sql:9-50`).
+    * Declared to [[graft.plans.UniqueKeys]] on first read so the
+    * optimizer may eliminate provably-redundant joins against them;
+    * ScaleData's per-replica key shifts preserve uniqueness, so the
+    * declaration holds at every scale the engine runs on.
+    */
+  private val primaryKeys: Map[String, Set[String]] = Map(
+    "region" -> Set("r_regionkey"), "nation" -> Set("n_nationkey"),
+    "customer" -> Set("c_custkey"), "supplier" -> Set("s_suppkey"),
+    "part" -> Set("p_partkey"), "orders" -> Set("o_orderkey"),
+    "events" -> Set("event_id"), "documents" -> Set("doc_id"),
+    "embeddings" -> Set("vec_id"))
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     cache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+      { case (s, p) =>
+        primaryKeys.get(name).foreach(graft.plans.UniqueKeys.declare(p, _))
+        s.read.parquet(p)
+      })
   }
 
   /** Drop memoized relations (all of them, or those under `dir`) so the

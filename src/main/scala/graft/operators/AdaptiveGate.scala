@@ -17,6 +17,19 @@ import org.apache.spark.sql.DataFrame
   * `defaultSizeInBytes` (huge), routing to the large path by magnitude.
   */
 private[graft] object AdaptiveGate {
+
+  /** Cap on stats-derived exchange widths (GATES.md): past this on one
+    * node the per-node memory pool binds, not parallelism — a bigger
+    * cluster relieves the pool, a wider exchange doesn't.
+    */
+  val MaxDerivedPartitions: Long = 2048L
+
+  /** Stats-bytes per partition for post-explode exchanges (GATES.md):
+    * explode fanout hides from Catalyst stats ~70x, so 256 KB of stats
+    * ≈ ~20 MB of real per-task hash build.
+    */
+  val PostingStatsPerPartition: Long = 256L << 10
+
   def isSmall(df: DataFrame, smallBytes: Long): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes < smallBytes
 
@@ -61,6 +74,7 @@ private[graft] object AdaptiveGate {
     */
   def postingPartitions(df: DataFrame): Int = {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
-    math.max(floor, math.min(2048L, statBytes(df) / (256L << 10))).toInt
+    math.max(floor, math.min(MaxDerivedPartitions,
+      statBytes(df) / PostingStatsPerPartition)).toInt
   }
 }

@@ -83,6 +83,11 @@ object Dedup {
     * stay full-universe. */
   val DefaultMaxPostings: Long = 1000000L
 
+  /** Default per-IVF-cell row cap for [[semanticDedup]]'s fail-fast
+    * guard (GATES.md).
+    */
+  val DefaultMaxCellRows: Long = 10000L
+
   /** Deterministic (multiplier, offset) pairs for h_i = (a*h + b) mod p —
     * shared by the Spark operator and the DuckDB oracle so both engines
     * realize the identical permutation family.
@@ -911,7 +916,7 @@ object Dedup {
     * ≤ nlist rows of driver state, paid eagerly at construction.
     */
   def semanticDedup(emb: DataFrame, threshold: Double, nlist: Int = 32,
-                    maxCellRows: Long = 10000L): DataFrame = {
+                    maxCellRows: Long = DefaultMaxCellRows): DataFrame = {
     require(maxCellRows > 0, "semanticDedup: maxCellRows must be positive")
     // bounded driver collect: nlist centroid rows, same contract as ivfTopK
     val cents = emb.orderBy("vec_id").limit(nlist)

@@ -166,6 +166,7 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => PrefixJoinStrategy)
+    ext.injectOptimizerRule(_ => EliminateUniqueKeyLeftJoin)
     fns.foreach { case (name, sig, arity, builder) =>
       val checked: Seq[Expression] => Expression = { args =>
         if (args.length != arity) throw new IllegalArgumentException(

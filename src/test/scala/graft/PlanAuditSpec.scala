@@ -36,6 +36,26 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan("j2_anti_join") should include("LeftAnti")
   }
 
+  test("j1: unreferenced unique-key LEFT joins are eliminated — scan -> project, no join, no exchange") {
+    // the declared-PK constraint rule (EliminateUniqueKeyJoin) must
+    // delete all three dimension probes: fact.* never reads a dim column
+    // and every join key is a declared-unique dimension PK
+    val p = plan("j1_star_join")
+    p should not include "Join"
+    p should not include "Exchange"
+    p should include("FileScan parquet")
+  }
+
+  test("j1: elimination respects the conf kill-switch and referenced dim columns") {
+    try {
+      spark.conf.set("spark.graft.eliminateUniqueKeyJoins", "false")
+      plan("j1_star_join") should include("Join")
+    } finally spark.conf.unset("spark.graft.eliminateUniqueKeyJoins")
+    // a query that READS a dim column keeps its physical joins even with
+    // the rule active (chess-independent witness: j1_a1 reads dim names)
+    plan("j1_a1_star_rollup") should include("BroadcastHashJoin")
+  }
+
   test("w1: latest-wins dedup partial-aggregates below its single exchange") {
     // r8: max-of-ordered-struct formulation — the exchange carries one
     // pre-reduced row per (input partition, user), never the event rows,

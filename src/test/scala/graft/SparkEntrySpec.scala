@@ -80,6 +80,25 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     onePass.exceptAll(split).count() shouldBe 0L
   }
 
+  test("q13Custdist: persisted sum-over-nonzero path (forced) agrees with the parallel-branch plan") {
+    val large = SparkEntry.q13Custdist(spark, sf0001, smallBytes = 0L)
+    val small = SparkEntry.q13Custdist(spark, sf0001, smallBytes = Long.MaxValue)
+    large.exceptAll(small).count() shouldBe 0L
+    small.exceptAll(large).count() shouldBe 0L
+  }
+
+  test("j1_star_join: eliminated plan agrees with the physical-join plan (rule off)") {
+    val eliminated = SparkEntry.queries("j1_star_join")(spark, sf0001)
+    val joined = try {
+      spark.conf.set("spark.graft.eliminateUniqueKeyJoins", "false")
+      val df = SparkEntry.queries("j1_star_join")(spark, sf0001)
+      df.queryExecution.executedPlan.toString should include("Join")
+      df.collect()
+    } finally spark.conf.unset("spark.graft.eliminateUniqueKeyJoins")
+    eliminated.collect().sortBy(_.toString).map(_.toString) shouldBe
+      joined.sortBy(_.toString).map(_.toString)
+  }
+
   test("text_pii_redact leaves no detectable PII behind") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("text_pii_redact")(spark, sf0001)
