@@ -457,6 +457,76 @@ object Multimodal {
     assets.mapPartitions(_.map(decodeOne))
   }
 
+  /** Pluggable model-forward seam: a real encoder (ONNX session, JNI
+    * weights, an RPC to a GPU sidecar) implements `encodeBatch`; the
+    * engine owns everything around it — partition plumbing, BOUNDED
+    * batching (rows AND payload bytes, so one partition of 4 MB images
+    * can't assemble a 2 GB batch), per-partition warmup, and the
+    * deterministic fallback. `open()` runs once per partition (session /
+    * weight load), `close()` on partition end.
+    */
+  trait MediaModel extends Serializable {
+    def name: String
+    /** embedding width this model produces */
+    def dim: Int
+    /** batch caps: flush when EITHER is reached */
+    def maxBatchRows: Int = 64
+    def maxBatchBytes: Long = 64L << 20
+    /** once-per-partition lifecycle (load weights / open session) */
+    def open(): Unit = ()
+    def close(): Unit = ()
+    /** one output row per input row, same order */
+    def encodeBatch(batch: Seq[MediaAsset]): Seq[Array[Float]]
+  }
+
+  /** The deterministic stand-in as a [[MediaModel]]: batches delegate to
+    * the per-asset kernels ([[featuresOne]] — real luma/RMS features for
+    * decodable payloads, hash-chain otherwise). The default model, so
+    * `extractFeatures` == `extractFeaturesWith(standInModel(dim))`.
+    */
+  def standInModel(dim0: Int): MediaModel = new MediaModel {
+    def name = "stand-in"
+    def dim: Int = dim0
+    def encodeBatch(batch: Seq[MediaAsset]): Seq[Array[Float]] =
+      batch.map(a => featuresOne(a, dim0))
+  }
+
+  /** [[extractFeatures]] through an arbitrary [[MediaModel]]. Batches
+    * are assembled lazily per partition (never materializing the
+    * partition), flushed on either cap, and the model is opened/closed
+    * once per partition — the mapPartitions shape a real encoder needs
+    * for amortized session reuse. Row order and count are preserved.
+    */
+  def extractFeaturesWith(assets: Dataset[MediaAsset],
+                          model: MediaModel): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      model.open()
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; model.close() }
+      val batches = new Iterator[Seq[MediaAsset]] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) closeOnce(); h }
+        def next(): Seq[MediaAsset] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[MediaAsset]
+          var bytes = 0L
+          while (it.hasNext && buf.size < model.maxBatchRows &&
+              bytes < model.maxBatchBytes) {
+            val a = it.next()
+            buf += a
+            bytes += Option(a.payload).map(_.length.toLong).getOrElse(0L)
+          }
+          buf.toSeq
+        }
+      }
+      batches.flatMap { b =>
+        val out = model.encodeBatch(b)
+        require(out.size == b.size,
+          s"MediaModel ${model.name}: ${out.size} outputs for ${b.size} inputs")
+        b.zip(out).map { case (a, e) => MediaFeatures(a.asset_id, e) }
+      }
+    }
+  }
+
   /** Feature extraction: REAL for decodable images (zero-mean unit-norm
     * bilinear luma grid — the pHash family's perceptual embedding);
     * audio/video and undecodable payloads keep the deterministic

@@ -147,6 +147,61 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     topk.count() shouldBe 3L
   }
 
+  test("MediaModel seam: stand-in model reproduces extractFeatures exactly") {
+    val direct = Multimodal.extractFeatures(assets, dim = 32)
+      .orderBy("asset_id").collect()
+    val seamed = Multimodal.extractFeaturesWith(assets,
+        Multimodal.standInModel(32))
+      .orderBy("asset_id").collect()
+    seamed.map(_.asset_id) shouldBe direct.map(_.asset_id)
+    seamed.map(_.embedding.toSeq) shouldBe direct.map(_.embedding.toSeq)
+  }
+
+  test("MediaModel seam: batches respect caps, lifecycle runs per partition, rows survive") {
+    MultimodalSpec.reset()
+    val model = new Multimodal.MediaModel {
+      def name = "fake"
+      def dim = 4
+      override def maxBatchRows = 7
+      override def maxBatchBytes = 2048L
+      override def open(): Unit = MultimodalSpec.opens.incrementAndGet()
+      override def close(): Unit = MultimodalSpec.closes.incrementAndGet()
+      def encodeBatch(b: Seq[Multimodal.MediaAsset]): Seq[Array[Float]] = {
+        // rows cap is strict; the bytes cap is a flush threshold — at
+        // most ONE asset past it (a single over-cap asset ships alone)
+        require(b.size <= 7, s"batch of ${b.size} rows")
+        val bytes = b.map(_.payload.length.toLong).sum
+        require(b.size == 1 || bytes - b.last.payload.length < 2048L,
+          s"batch of $bytes bytes not cap-flushed")
+        MultimodalSpec.batches.incrementAndGet()
+        b.map(a => Array(a.asset_id.toFloat, b.size.toFloat, 0f, 0f))
+      }
+    }
+    val sub = assets.limit(100).repartition(4)
+    val out = Multimodal.extractFeaturesWith(sub, model).collect()
+    out.length shouldBe 100
+    out.map(_.asset_id).sorted shouldBe sub.collect().map(_.asset_id).sorted
+    // every row's embedding came from ITS batch (first lane = asset_id)
+    out.foreach(f => f.embedding(0) shouldBe f.asset_id.toFloat)
+    MultimodalSpec.batches.get() should be >= 15 // 100 rows, <=7/batch
+    // local mode: executors share the JVM, so the counters are visible
+    MultimodalSpec.opens.get() shouldBe 4
+    MultimodalSpec.closes.get() shouldBe 4
+  }
+
+  test("MediaModel seam: a model returning the wrong row count fails the stage loudly") {
+    val bad = new Multimodal.MediaModel {
+      def name = "bad"
+      def dim = 1
+      def encodeBatch(b: Seq[Multimodal.MediaAsset]): Seq[Array[Float]] =
+        b.drop(1).map(_ => Array(0f))
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeaturesWith(assets.limit(10), bad).collect()
+    }
+    e.getMessage should include regex "(?i)outputs for"
+  }
+
   test("sampleFrames explodes videos to n frames, images to one") {
     val vids = Multimodal.asAssets(
       graft.Tables.documents(spark, sf0001).limit(10), "doc_id", "text", "video")
@@ -318,4 +373,15 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     p.count() shouldBe 500L
     p.columns should contain allOf ("content_hash", "embedding", "width")
   }
+}
+
+/** JVM-shared counters for the MediaModel lifecycle assertions (local
+  * mode: executors run in the test JVM, so task-side increments are
+  * visible here).
+  */
+object MultimodalSpec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0); batches.set(0) }
 }
