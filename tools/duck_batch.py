@@ -19,17 +19,25 @@ import tempfile
 WORKER = r"""
 import duckdb, json, os, sys, time
 sfdir, tmpdir, sql = sys.argv[1], sys.argv[2], sys.stdin.read()
+opts = sys.argv[3:]
 # --wrap: forces full row evaluation without materializing the result into
 # Python — the DuckDB analog of the Spark side's noop sink (fetchall() on a
 # 600M-row result is a measurement artifact, not query cost). sum(hash(t))
 # evaluates every output column of every row and reduces to one value.
-if len(sys.argv) > 3 and sys.argv[3] == "wrap":
+if "wrap" in opts:
     sql = "SELECT count(*), sum(hash(t)) FROM (" + sql + ") t"
 # spill into a caller-owned dir: a timed-out worker is SIGKILLed and cannot
 # clean its own temp storage, and leaked spill silently starves every LATER
 # query of disk (observed: a 13 GB leak turned a finishable run into a
 # spurious out-of-disk failure). The parent removes the dir after each rep.
-con = duckdb.connect(config={"temp_directory": tmpdir})
+cfg = {"temp_directory": tmpdir}
+# maxtemp=<size>: bound the spill so a quadratic query records a clean
+# "temp directory size limit" error (a DNF verdict) instead of running the
+# HOST out of disk — the disk-full failure mode poisons every later rep.
+for o in opts:
+    if o.startswith("maxtemp="):
+        cfg["max_temp_directory_size"] = o.split("=", 1)[1]
+con = duckdb.connect(config=cfg)
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     p = os.path.join(sfdir, f"{t}.parquet")
@@ -52,6 +60,9 @@ def main():
     ap.add_argument("--wrap", action="store_true",
                     help="evaluate via count+row-hash instead of fetchall "
                          "(for large-output queries)")
+    ap.add_argument("--max-temp-size", default="",
+                    help="cap DuckDB spill (e.g. 40GiB); over-cap queries "
+                         "fail cleanly with a temp-limit error (DNF)")
     args = ap.parse_args()
 
     oracle = json.load(open(args.oracle))
@@ -69,9 +80,12 @@ def main():
         for _ in range(args.reps):
             tmpdir = tempfile.mkdtemp(prefix="duckspill-")
             try:
+                opts = (["wrap"] if args.wrap else []) + (
+                    ["maxtemp=" + args.max_temp_size] if args.max_temp_size
+                    else [])
                 p = subprocess.run(
-                    [sys.executable, worker, args.sfdir, tmpdir]
-                    + (["wrap"] if args.wrap else []), input=oracle[name],
+                    [sys.executable, worker, args.sfdir, tmpdir] + opts,
+                    input=oracle[name],
                     capture_output=True, text=True, timeout=args.timeout)
             except subprocess.TimeoutExpired:
                 timed_out = True
