@@ -172,35 +172,54 @@ object SparkEntry {
   }
 
   /** `j1_a1_star_rollup` body, size-adaptive (audit at the queries entry).
-    * `smallBytes` pins a path for parity specs: 0 forces the pre-aggregate
-    * plan, MaxValue the broadcast-star plan.
+    * `smallBytes` pins a path for parity specs: 0 forces a scale plan,
+    * MaxValue the broadcast-star plan; `probeBytes` then splits the scale
+    * plans (MaxValue → broadcast-probe, 0 → suppkey pre-aggregate).
+    *
+    * Scale plan (r9): broadcast-probe supplier map-side and aggregate
+    * straight into the 25 `s_nationkey` slots inside the scan stage. The
+    * suppkey key space is dense, so the broadcast build is a
+    * LongToUnsafeRowMap in array mode — one array load per probe row —
+    * where the previous suppkey pre-aggregate paid a |supplier|-group
+    * hash-agg update per row (L2-hostile at 1M groups/task) and then
+    * exchanged ~120M partially-folded rows. One codegen stage does scan +
+    * probe + 25-slot partial agg; the exchange carries 25 rows per task.
+    * Measured x1000: 3.70 s vs 6.73 s pre-agg (DuckDB 3.07 s — 1.21x vs
+    * 2.19x). The pre-agg path is kept for supplier above `probeBytes`
+    * (per-executor broadcast build; supplier 2-col stats at x1000 are
+    * 2.4 MB, two decades under the gate).
     */
   private[graft] def j1A1Rollup(s: SparkSession, d: String,
-                                smallBytes: Long = rawAggBytes): DataFrame = {
+                                smallBytes: Long = rawAggBytes,
+                                probeBytes: Long = shuffleHashBytes): DataFrame = {
     val li = Tables.lineitem(s, d)
+    def natRollup(byNation: DataFrame): DataFrame = byNation
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("__rev")), 2).as("revenue"), sum(col("__n")).as("n_items"))
     if (operators.AdaptiveGate.isSmall(li, smallBytes))
       li.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
-    else
-      // r9: second agg level on the INT s_nationkey BEFORE the name
-      // joins — the nation/region probes and the string-key rollup then
-      // run over |nation| rows instead of |supplier|; the final
-      // (r_name, n_name) re-agg is over the same handful of rows
-      li.select(col("l_suppkey"), revenue.as("__rev"))
-        .groupBy(col("l_suppkey"))
-        .agg(sum(col("__rev")).as("__rev"), count(lit(1)).as("__n"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_nationkey"))
-        .agg(sum(col("__rev")).as("__rev"), sum(col("__n")).as("__n"))
-        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("__rev")), 2).as("revenue"), sum(col("__n")).as("n_items"))
+    else {
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      if (operators.AdaptiveGate.isSmall(supp, probeBytes))
+        natRollup(li.select(col("l_suppkey"), revenue.as("__rev"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(sum(col("__rev")).as("__rev"), count(lit(1)).as("__n")))
+      else
+        natRollup(li.select(col("l_suppkey"), revenue.as("__rev"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("__rev")).as("__rev"), count(lit(1)).as("__n"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(sum(col("__rev")).as("__rev"), sum(col("__n")).as("__n")))
+    }
   }
 
   /** `a2_count_distinct` body, size-adaptive (audit at the queries entry).

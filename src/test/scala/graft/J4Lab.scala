@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway dev main: j4/j1_a1 re-plan candidates plus their component
+  * floors (scan-only, scan+exchange) at the given SF dir. Times each
+  * variant min-of-2 after a warm pass through the noop sink — the
+  * BENCH_SCALE convention. Not part of the library surface (test
+  * sourceSet; run via `sbt Test/runMain graft.J4Lab <variant...>`).
+  */
+object J4Lab {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.create(_
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.locality.wait", "0ms"))
+    val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+    def li = Tables.lineitem(spark, d)
+    def ord = Tables.orders(spark, d)
+    def joinParts: Int = {
+      val bStat = operators.AdaptiveGate.statBytes(
+        ord.select(col("o_orderkey"), col("o_custkey")))
+      math.max(32, math.min(operators.AdaptiveGate.MaxDerivedPartitions,
+        bStat / (2L << 20)).toInt)
+    }
+
+    println("STATS supp2 = " + operators.AdaptiveGate.statBytes(
+      Tables.supplier(spark, d).select(col("s_suppkey"), col("s_nationkey"))))
+    println("STATS cust2 = " + operators.AdaptiveGate.statBytes(
+      Tables.customer(spark, d).select(col("c_custkey"), col("c_nationkey"))))
+    println("STATS ord2  = " + operators.AdaptiveGate.statBytes(
+      Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))))
+
+    val variants: Map[String, () => DataFrame] = Map(
+      // component floors
+      "scan_li2" -> (() => li.select(col("l_orderkey"), col("l_suppkey"))),
+      "xchg_li2" -> (() => li.select(col("l_orderkey"), col("l_suppkey"))
+        .repartition(joinParts, col("l_orderkey"))),
+      "scan_ord2" -> (() => ord.select(col("o_orderkey"), col("o_custkey"))),
+      "xchg_ord2" -> (() => ord.select(col("o_orderkey"), col("o_custkey"))
+        .repartition(joinParts, col("o_orderkey"))),
+      // packed-long single-column exchange: dims probed map-side, each
+      // side ships ONE long (orderkey<<5 | nationkey), join on >>5
+      "j4_packed" -> { () =>
+        val n = joinParts
+        val lp = li.select(col("l_orderkey"), col("l_suppkey"))
+          .join(broadcast(Tables.supplier(spark, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select((shiftleft(col("l_orderkey").cast("long"), 5).bitwiseOR(
+            col("s_nationkey").cast("long"))).as("lp"))
+          .repartition(n, shiftright(col("lp"), 5))
+        val op = ord.select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(Tables.customer(spark, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select((shiftleft(col("o_orderkey").cast("long"), 5).bitwiseOR(
+            col("c_nationkey").cast("long"))).as("op"))
+          .repartition(n, shiftright(col("op"), 5))
+        val nat = Tables.nation(spark, d)
+        lp.join(op.hint("shuffle_hash"),
+            shiftright(col("lp"), 5) === shiftright(col("op"), 5))
+          .groupBy((col("op") % 32).cast("int").as("cnk"),
+            (col("lp") % 32).cast("int").as("snk"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(nat.as("cn")), col("cnk") === col("cn.n_nationkey"))
+          .join(broadcast(nat.as("sn")), col("snk") === col("sn.n_nationkey"))
+          .select(col("cn.n_name").as("cust_nation"),
+            col("sn.n_name").as("supp_nation"), col("n"))
+      },
+      // collect_list composition: lineitem folds to one row per order
+      // before the wire (ObjectHashAggregate partial), join is 1:1
+      "j4_collect" -> { () =>
+        val lc = li.select(col("l_orderkey"), col("l_suppkey"))
+          .join(broadcast(Tables.supplier(spark, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(collect_list(col("s_nationkey").cast("int")).as("sn"))
+        val op = ord.select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(Tables.customer(spark, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        val nat = Tables.nation(spark, d)
+        lc.join(op.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("c_nationkey").as("cnk"), explode(col("sn")).as("snk"))
+          .groupBy(col("cnk"), col("snk")).agg(count(lit(1)).as("n"))
+          .join(broadcast(nat.as("cn")), col("cnk") === col("cn.n_nationkey"))
+          .join(broadcast(nat.as("sn")), col("snk") === col("sn.n_nationkey"))
+          .select(col("cn.n_name").as("cust_nation"),
+            col("sn.n_name").as("supp_nation"), col("n"))
+      },
+      // j1_a1: broadcast-probe supplier map-side, agg straight to the 25
+      // int nation slots in the scan stage (no 1M-group hash agg)
+      "j1a1_probe" -> { () =>
+        li.select(col("l_suppkey"), revenue.as("__rev"))
+          .join(broadcast(Tables.supplier(spark, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(sum(col("__rev")).as("__rev"), count(lit(1)).as("__n"))
+          .join(broadcast(Tables.nation(spark, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("__rev")), 2).as("revenue"), sum(col("__n")).as("n_items"))
+      },
+      "j4_cur" -> (() => SparkEntry.queries("j4_roleplay_join")(spark, d)),
+      "j1a1_cur" -> (() => SparkEntry.queries("j1_a1_star_rollup")(spark, d))
+    )
+
+    // SPARK_GRAFT_LABCHECK=1: assert each j4/j1a1 variant row-matches the
+    // shipped plan at this SF instead of timing
+    if (sys.env.getOrElse("SPARK_GRAFT_LABCHECK", "0") == "1") {
+      for ((cand, base) <- Seq("j4_packed" -> "j4_cur", "j4_collect" -> "j4_cur",
+          "j1a1_probe" -> "j1a1_cur")) {
+        val c = variants(cand)().collect().map(_.toString).sorted
+        val b = variants(base)().collect().map(_.toString).sorted
+        println(s"CHECK $cand vs $base: rows ${c.length}/${b.length} " +
+          (if (c.sameElements(b)) "MATCH" else "MISMATCH " +
+            c.zip(b).find(p => p._1 != p._2).map(_.toString).getOrElse("len")))
+      }
+      spark.stop(); return
+    }
+    val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
+    for (name <- names) {
+      val mk = variants(name)
+      Bench.evaluate(mk()) // warm
+      spark.catalog.clearCache()
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.evaluate(mk())
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"LAB $name%-14s ${ts.min}%.3f s (min-of-2)")
+    }
+    spark.stop()
+  }
+}

@@ -54,11 +54,20 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     plan should include ("Window")
   }
 
-  test("j1A1Rollup: pre-aggregate path (forced) agrees with the broadcast-star path") {
-    val pre = SparkEntry.j1A1Rollup(spark, sf0001, smallBytes = 0L)
+  test("j1A1Rollup: both scale paths (forced) agree with the broadcast-star path") {
+    // smallBytes = 0 pins a scale plan; probeBytes then picks which one:
+    // MaxValue → broadcast-probe straight to s_nationkey slots, 0 → the
+    // suppkey pre-aggregate. All three must agree row-for-row.
+    val probe = SparkEntry.j1A1Rollup(spark, sf0001, smallBytes = 0L,
+      probeBytes = Long.MaxValue)
+    val pre = SparkEntry.j1A1Rollup(spark, sf0001, smallBytes = 0L,
+      probeBytes = 0L)
     val star = SparkEntry.j1A1Rollup(spark, sf0001, smallBytes = Long.MaxValue)
-    pre.schema.map(f => (f.name, f.dataType)) shouldBe
-      star.schema.map(f => (f.name, f.dataType))
+    for (p <- Seq(probe, pre))
+      p.schema.map(f => (f.name, f.dataType)) shouldBe
+        star.schema.map(f => (f.name, f.dataType))
+    probe.exceptAll(star).count() shouldBe 0L
+    star.exceptAll(probe).count() shouldBe 0L
     pre.exceptAll(star).count() shouldBe 0L
     star.exceptAll(pre).count() shouldBe 0L
   }
