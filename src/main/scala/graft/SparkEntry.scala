@@ -298,14 +298,25 @@ object SparkEntry {
         .filter(col("custdist") > 0)
       nonzero.unionByName(zeroRow)
     } else {
-      val nz = nonzero.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the ~|distinct c_count| frame (one row per orders-per-customer
+      // value — about a hundred at any scale) is consumed TWICE: as the
+      // result body and as the n_ordering sum. r9 persisted it for the
+      // second consumer and leaked the cache entry (only harnesses that
+      // ran clearCache freed it); r10 materializes it once through a
+      // BOUNDED collect instead — no cache lifetime to manage, the
+      // single-orders-scan property stays structural, and the zero row
+      // becomes local arithmetic against the O(1) customer count.
+      val rows = nonzero.limit(100001).collect()
+      require(rows.length <= 100000,
+        s"q13_custdist: c_count domain exceeded the driver bound (${rows.length} rows)")
+      val nOrdering = rows.map(_.getLong(1)).sum
+      val body = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), nonzero.schema)
       val zeroRow = Tables.customer(s, d).agg(count(lit(1)).as("n_cust"))
-        .crossJoin(nz.agg(
-          coalesce(sum(col("custdist")), lit(0L)).as("n_ordering")))
         .select(lit(0L).as("c_count"),
-          (col("n_cust") - col("n_ordering")).as("custdist"))
+          (col("n_cust") - lit(nOrdering)).as("custdist"))
         .filter(col("custdist") > 0)
-      nz.unionByName(zeroRow)
+      body.unionByName(zeroRow)
     }
   }
 

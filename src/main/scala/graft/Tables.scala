@@ -52,11 +52,18 @@ object Tables {
   }
 
   /** Drop memoized relations (all of them, or those under `dir`) so the
-    * next read re-lists files — REFRESH TABLE for this memo.
+    * next read re-lists files — REFRESH TABLE for this memo. Also drops
+    * the matching [[graft.plans.UniqueKeys]] declarations: overwriting a
+    * declared path with PK-violating data must invalidate the constraint
+    * too, or the optimizer would keep eliminating joins from a promise
+    * the files no longer keep (the next read re-declares).
     */
-  def invalidate(dir: Option[String] = None): Unit = dir match {
-    case Some(d) => cache.keySet.removeIf { case (_, p) => p.startsWith(d) }
-    case None => cache.clear()
+  def invalidate(dir: Option[String] = None): Unit = {
+    dir match {
+      case Some(d) => cache.keySet.removeIf { case (_, p) => p.startsWith(d) }
+      case None => cache.clear()
+    }
+    graft.plans.UniqueKeys.undeclare(dir)
   }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")

@@ -504,6 +504,12 @@ object Multimodal {
       model.open()
       var closed = false
       def closeOnce(): Unit = if (!closed) { closed = true; model.close() }
+      // close on task completion/failure too: an early-terminating
+      // consumer (limit/take) never drains the iterator, and a task that
+      // dies mid-batch never reaches hasNext=false — either would leak
+      // the encoder session (GPU memory, an ONNX session, an RPC channel)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val batches = new Iterator[Seq[MediaAsset]] {
         def hasNext: Boolean = { val h = it.hasNext; if (!h) closeOnce(); h }
         def next(): Seq[MediaAsset] = {

@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo}
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -46,13 +46,30 @@ object UniqueKeys {
   def declare(path: String, cols: Set[String]): Unit =
     byPath.put(normalize(path), cols)
 
+  /** Drop declarations under `pathPrefix` (or all, with no prefix).
+    * [[graft.Tables.invalidate]] calls this so overwriting a declared
+    * path with new data cannot leave a stale constraint feeding the
+    * optimizer — the REFRESH TABLE analogue for the constraint catalog.
+    */
+  def undeclare(pathPrefix: Option[String] = None): Unit = pathPrefix match {
+    case Some(p) =>
+      val n = normalize(p)
+      byPath.keySet.removeIf(_.startsWith(n))
+    case None => byPath.clear()
+  }
+
   def colsFor(path: String): Set[String] =
     byPath.getOrDefault(normalize(path), Set.empty)
 
   /** Output attributes of `plan` that are unique-per-row, traced to scan
     * declarations through the operators that preserve per-column
-    * uniqueness: projection/aliasing, filtering (removing rows cannot
-    * create duplicates), repartitioning, and subquery aliasing.
+    * uniqueness: projection/aliasing, row-subsetting (filter, limit,
+    * semi/anti join — removing rows cannot create duplicates), ordering,
+    * repartitioning, and subquery aliasing. Grouping CREATES uniqueness:
+    * a single-expression `Aggregate` (the optimizer's form of GROUP BY
+    * one key, DISTINCT over one column, and dropDuplicates on one key)
+    * emits each grouping value exactly once, so its grouping output is
+    * unique by construction regardless of the child.
     */
   def uniqueOutputAttrs(plan: LogicalPlan): AttributeSet = plan match {
     case Project(projList, child) =>
@@ -65,8 +82,26 @@ object UniqueKeys {
     case Filter(_, child) => uniqueOutputAttrs(child)
     case SubqueryAlias(_, child) => uniqueOutputAttrs(child)
     case r: RepartitionOperation => uniqueOutputAttrs(r.child)
+    case s: Sort => uniqueOutputAttrs(s.child)
+    case l: GlobalLimit => uniqueOutputAttrs(l.child)
+    case l: LocalLimit => uniqueOutputAttrs(l.child)
+    case j @ Join(left, _, LeftSemi | LeftAnti, _, _) =>
+      // output rows are a subset of left's rows with left's schema
+      uniqueOutputAttrs(left)
+    case Aggregate(Seq(g), aggExprs, _, _) =>
+      // one grouping expression -> its output column holds each distinct
+      // value exactly once (unique whatever the child was)
+      AttributeSet(aggExprs.collect {
+        case a: AttributeReference if a.semanticEquals(g) => a
+        case al @ Alias(c, _) if c.semanticEquals(g) => al.toAttribute
+      })
+    case d @ Deduplicate(Seq(key: AttributeReference), _) =>
+      AttributeSet(d.output.filter(_.semanticEquals(key)))
     case rel: LogicalRelation => rel.relation match {
-      case fs: HadoopFsRelation =>
+      // honor declarations only for SINGLE-path scans: a relation built
+      // over several paths (spark.read.parquet(a, b)) can collide keys
+      // across paths, so a per-path PK proves nothing about the union
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
         val declared = fs.location.rootPaths
           .flatMap(p => colsFor(p.toString)).toSet
         AttributeSet(rel.output.filter(a => declared.contains(a.name)))
@@ -76,35 +111,43 @@ object UniqueKeys {
   }
 }
 
-/** Remove LEFT OUTER joins that provably contribute nothing: the join
-  * key on the preserved side equates to a DECLARED-unique attribute of
-  * the other side, and the projection above the join reads only
-  * preserved-side columns. Soundness: uniqueness bounds matches at one,
+/** Remove LEFT OUTER joins that provably contribute nothing: some
+  * equi-conjunct of the join condition equates a preserved-side value
+  * to a DECLARED-unique attribute of the other side, and the projection
+  * above the join reads only preserved-side columns. Soundness:
+  * uniqueness bounds matches at one PER CONJUNCT — any further
+  * conjuncts can only reject that single candidate, never add matches —
   * LEFT OUTER forbids dropping probe rows, and the unreferenced join
-  * output makes match-vs-null-extension unobservable — so the join is
+  * output makes match-vs-null-extension unobservable. So the join is
   * row- and value-identity on everything the query can see, under ANY
   * filtering of the dimension side. See [[UniqueKeys]].
   */
-object EliminateUniqueKeyLeftJoin extends Rule[LogicalPlan] {
+object EliminateUniqueKeyLeftJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString("spark.graft.eliminateUniqueKeyJoins", "true")
-        .toBoolean) return plan
+    // lenient parse: a malformed conf value must not detonate inside the
+    // optimizer (which would fail every query in the session) — anything
+    // that isn't an explicit "off" keeps the default-on behavior
+    val off = conf.getConfString("spark.graft.eliminateUniqueKeyJoins", "true")
+      .trim.equalsIgnoreCase("false")
+    if (off) return plan
     plan.transformUp {
-      case Project(projList,
-          Join(left, right, LeftOuter, Some(EqualTo(a, b)), _))
+      case Project(projList, Join(left, right, LeftOuter, Some(cond), _))
           if projList.forall(_.references.subsetOf(left.outputSet)) &&
-            isUniqueRightKey(left, right, a, b) =>
+            cond.deterministic && hasUniqueRightConjunct(left, right, cond) =>
         Project(projList, left)
     }
   }
 
-  private def isUniqueRightKey(left: LogicalPlan, right: LogicalPlan,
-                               a: Any, b: Any): Boolean = {
-    val sides = Seq(a, b).collect { case ar: AttributeReference => ar }
-    if (sides.length != 2) return false
-    sides.exists(k => left.outputSet.contains(k)) && {
-      val unique = UniqueKeys.uniqueOutputAttrs(right)
-      sides.exists(k => right.outputSet.contains(k) && unique.contains(k))
+  private def hasUniqueRightConjunct(left: LogicalPlan, right: LogicalPlan,
+                                     cond: Expression): Boolean = {
+    val unique = UniqueKeys.uniqueOutputAttrs(right)
+    unique.nonEmpty && splitConjunctivePredicates(cond).exists {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (left.outputSet.contains(a) && right.outputSet.contains(b) &&
+          unique.contains(b)) ||
+        (left.outputSet.contains(b) && right.outputSet.contains(a) &&
+          unique.contains(a))
+      case _ => false
     }
   }
 }

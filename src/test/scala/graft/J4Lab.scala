@@ -110,14 +110,69 @@ object J4Lab {
           .agg(round(sum(col("__rev")), 2).as("revenue"), sum(col("__n")).as("n_items"))
       },
       "j4_cur" -> (() => SparkEntry.queries("j4_roleplay_join")(spark, d)),
-      "j1a1_cur" -> (() => SparkEntry.queries("j1_a1_star_rollup")(spark, d))
+      "j1a1_cur" -> (() => SparkEntry.queries("j1_a1_star_rollup")(spark, d)),
+
+      // ---- q3_shipping_priority candidates (r10): the shipped plan
+      // broadcasts the doubly-filtered customer⋈orders side (15M rows at
+      // x1000 — a single-threaded driver hash build). Candidates replace
+      // the driver build with distributed work.
+      "q3_cur" -> (() => SparkEntry.queries("q3_shipping_priority")(spark, d)),
+      // semi-co: same broadcast shape, but c⋈o built as orders
+      // SEMI-probed by the BUILDING custkey set (3M 1-col rows broadcast
+      // instead of a 2-side inner join feeding the big broadcast)
+      "q3_semi_co" -> { () =>
+        val co = ord.filter(col("o_orderdate") < "1995-03-15")
+          .join(broadcast(Tables.customer(spark, d)
+            .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        li.filter(col("l_shipdate") > "1995-03-15")
+          .join(broadcast(co), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(revenue), 2).as("rev"))
+          .orderBy(desc("rev"), col("l_orderkey")).limit(10)
+      },
+      // shj: no driver build at all — lineitem exchanges on orderkey,
+      // the semi-filtered c⋈o side is the per-partition hash build
+      "q3_shj" -> { () =>
+        val co = ord.filter(col("o_orderdate") < "1995-03-15")
+          .join(broadcast(Tables.customer(spark, d)
+            .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        li.filter(col("l_shipdate") > "1995-03-15")
+          .select(col("l_orderkey"), revenue.as("__rev"))
+          .join(co.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("__rev")), 2).as("rev"))
+          .orderBy(desc("rev"), col("l_orderkey")).limit(10)
+      },
+      // preagg-shj: fold lineitem to one row/order BEFORE the wire
+      // (map-side combine rides the orderkey clustering), then a 1:1
+      // shuffle-hash join attaches o_orderdate; the final agg disappears
+      // (o_orderdate is functionally dependent on the orderkey)
+      "q3_preagg_shj" -> { () =>
+        val co = ord.filter(col("o_orderdate") < "1995-03-15")
+          .join(broadcast(Tables.customer(spark, d)
+            .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        li.filter(col("l_shipdate") > "1995-03-15")
+          .select(col("l_orderkey"), revenue.as("__rev"))
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("__rev")), 2).as("rev"))
+          .join(co.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("o_orderdate"), col("rev"))
+          .orderBy(desc("rev"), col("l_orderkey")).limit(10)
+      }
     )
 
     // SPARK_GRAFT_LABCHECK=1: assert each j4/j1a1 variant row-matches the
     // shipped plan at this SF instead of timing
     if (sys.env.getOrElse("SPARK_GRAFT_LABCHECK", "0") == "1") {
       for ((cand, base) <- Seq("j4_packed" -> "j4_cur", "j4_collect" -> "j4_cur",
-          "j1a1_probe" -> "j1a1_cur")) {
+          "j1a1_probe" -> "j1a1_cur", "q3_semi_co" -> "q3_cur",
+          "q3_shj" -> "q3_cur", "q3_preagg_shj" -> "q3_cur")) {
         val c = variants(cand)().collect().map(_.toString).sorted
         val b = variants(base)().collect().map(_.toString).sorted
         println(s"CHECK $cand vs $base: rows ${c.length}/${b.length} " +

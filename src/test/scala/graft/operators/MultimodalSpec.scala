@@ -189,6 +189,54 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     MultimodalSpec.closes.get() shouldBe 4
   }
 
+  test("MediaModel seam: an early-terminating consumer still closes the session") {
+    // limit() never drains the partition iterator, so the drain-side
+    // closeOnce never fires — the task-completion listener must (r10,
+    // the GPU/ONNX/RPC leak an encoder seam exists to prevent)
+    MultimodalSpec.reset()
+    val model = new Multimodal.MediaModel {
+      def name = "leaky-probe"
+      def dim = 2
+      override def open(): Unit = MultimodalSpec.opens.incrementAndGet()
+      override def close(): Unit = MultimodalSpec.closes.incrementAndGet()
+      def encodeBatch(b: Seq[Multimodal.MediaAsset]): Seq[Array[Float]] =
+        b.map(_ => Array(0f, 0f))
+    }
+    Multimodal.extractFeaturesWith(assets, model).limit(3).collect()
+      .length shouldBe 3
+    MultimodalSpec.opens.get() should be >= 1
+    MultimodalSpec.closes.get() shouldBe MultimodalSpec.opens.get()
+  }
+
+  test("MediaModel seam: batch caps bound a per-batch-allocating model's peak memory") {
+    // a model that allocates proportionally to its batch (the real-model
+    // memory shape: pixel buffers, activation tensors) — the caps must
+    // bound PEAK concurrent allocation across all executor threads to
+    // tasks x (byte cap + one over-cap asset), or a 4 MB-image partition
+    // would assemble a multi-GB device batch
+    MultimodalSpec.reset()
+    val capBytes = 4096L
+    val model = new Multimodal.MediaModel {
+      def name = "allocating"
+      def dim = 2
+      override def maxBatchRows = 16
+      override def maxBatchBytes = capBytes
+      def encodeBatch(b: Seq[Multimodal.MediaAsset]): Seq[Array[Float]] = {
+        val sz = b.map(_.payload.length.toLong).sum
+        val cur = MultimodalSpec.allocated.addAndGet(sz)
+        MultimodalSpec.peak.accumulateAndGet(cur, math.max)
+        try b.map(_ => Array(0f, 0f))
+        finally MultimodalSpec.allocated.addAndGet(-sz)
+      }
+    }
+    val sub = assets.limit(200).repartition(4)
+    val maxAsset = sub.collect().map(_.payload.length.toLong).max
+    Multimodal.extractFeaturesWith(sub, model).collect().length shouldBe 200
+    // 4 local cores -> at most 4 concurrent batches
+    MultimodalSpec.peak.get() should be <= 4 * (capBytes + maxAsset)
+    MultimodalSpec.peak.get() should be > 0L
+  }
+
   test("MediaModel seam: a model returning the wrong row count fails the stage loudly") {
     val bad = new Multimodal.MediaModel {
       def name = "bad"
@@ -383,5 +431,10 @@ object MultimodalSpec {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val closes = new java.util.concurrent.atomic.AtomicInteger(0)
   val batches = new java.util.concurrent.atomic.AtomicInteger(0)
-  def reset(): Unit = { opens.set(0); closes.set(0); batches.set(0) }
+  val allocated = new java.util.concurrent.atomic.AtomicLong(0L)
+  val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = {
+    opens.set(0); closes.set(0); batches.set(0)
+    allocated.set(0L); peak.set(0L)
+  }
 }
