@@ -187,7 +187,8 @@ object SparkEntry {
     * Measured x1000: 3.70 s vs 6.73 s pre-agg (DuckDB 3.07 s — 1.21x vs
     * 2.19x). The pre-agg path is kept for supplier above `probeBytes`
     * (per-executor broadcast build; supplier 2-col stats at x1000 are
-    * 2.4 MB, two decades under the gate).
+    * 2.4 MB, two decades under the gate). r10 same-day re-pair:
+    * 4.10 s vs DuckDB 3.36 s = 1.22x — the r9 ratio reproduces.
     */
   private[graft] def j1A1Rollup(s: SparkSession, d: String,
                                 smallBytes: Long = rawAggBytes,
@@ -277,9 +278,9 @@ object SparkEntry {
     *    preShuffled rewrites branch 1): the r8 plan paid the 150M-row
     *    orders scan + exchange twice. Measured at x1000: 5.22 s (r8,
     *    double scan) -> 3.49 s (DuckDB 2.45 s — 1.43x, was 2.13x).
-    *    The tiny cache is session-freed (clearCache), matching the dedup
-    *    hub's lifecycle; an empty orders table degenerates safely
-    *    (coalesce(sum, 0)).
+    *    r10 re-pair on a slower day: 4.58 s vs DuckDB 2.80 s = 1.64x,
+    *    still inside the bar. An empty orders table degenerates safely
+    *    (the collected frame is empty, nOrdering = 0).
     */
   private[graft] def q13Custdist(s: SparkSession, d: String,
                                  smallBytes: Long = rawAggBytes): DataFrame = {
@@ -318,6 +319,68 @@ object SparkEntry {
         .filter(col("custdist") > 0)
       body.unionByName(zeroRow)
     }
+  }
+
+  /** `j4_roleplay_join` body, size-adaptive. Both paths probe the two
+    * role-playing dims as broadcasts and meet lineitem⋈orders on
+    * orderkey; they differ in what the fact⋈fact exchanges CARRY:
+    *
+    *  - small (orders-2col stats under `packedBytes`): the r6-r8 shape —
+    *    2-col pre-projections through [[hashJoined]] (0.59 s vs the
+    *    packed plan's 0.84 s at sf0.1, min-of-2 same session: on tiny
+    *    inputs the packed plan's extra broadcast builds sit on the
+    *    critical path and buy nothing).
+    *  - large: the dims are probed BEFORE the wire and each side ships
+    *    ONE long — orderkey<<5 | nationkey (the 25-nation TPC-H domain
+    *    fits 5 bits; orderkey is generator-positive, so the pack is
+    *    lossless and order-preserving on >>5) — then a stats-derived
+    *    shuffle-hash join on >>5 and a 625-group agg on the unpacked
+    *    low bits. AUDIT (r10, x1000, min-of-2 same session): 29.2 s vs
+    *    48.1 s for the small-path plan at that scale. The two-exchange
+    *    floor measured the same day: 16.1 s (lineitem 2-col) + 4.0 s
+    *    (orders 2-col) = 20.1 s with ZERO join/agg work — the packed
+    *    plan pays 1.45x the pure-exchange floor, and the remaining gap
+    *    to DuckDB's single-node zero-exchange pipeline is the exchange
+    *    itself, which a real cluster parallelizes across nodes (the
+    *    co-located/bucketed layout removes it entirely).
+    */
+  private[graft] def j4Roleplay(s: SparkSession, d: String,
+                                packedBytes: Long = shuffleHashBytes): DataFrame = {
+    val nat = Tables.nation(s, d)
+    val li2 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord2 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val supp2 = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val cust2 = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val counts =
+      if (operators.AdaptiveGate.isSmall(ord2, packedBytes))
+        hashJoined(li2, ord2, "l_orderkey", "o_orderkey")
+          .join(broadcast(cust2), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp2), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("cnk"), col("s_nationkey").as("snk"))
+          .agg(count(lit(1)).as("n"))
+      else {
+        val bStat = operators.AdaptiveGate.statBytes(ord2)
+        val n = math.max(32L, math.min(
+          operators.AdaptiveGate.MaxDerivedPartitions, bStat / (2L << 20))).toInt
+        val lp = li2.join(broadcast(supp2), col("l_suppkey") === col("s_suppkey"))
+          .select(shiftleft(col("l_orderkey").cast("long"), 5)
+            .bitwiseOR(col("s_nationkey").cast("long")).as("lp"))
+          .repartition(n, shiftright(col("lp"), 5))
+        val op = ord2.join(broadcast(cust2), col("o_custkey") === col("c_custkey"))
+          .select(shiftleft(col("o_orderkey").cast("long"), 5)
+            .bitwiseOR(col("c_nationkey").cast("long")).as("op"))
+          .repartition(n, shiftright(col("op"), 5))
+        lp.join(op.hint("shuffle_hash"),
+            shiftright(col("lp"), 5) === shiftright(col("op"), 5))
+          .groupBy((col("op") % 32).cast("int").as("cnk"),
+            (col("lp") % 32).cast("int").as("snk"))
+          .agg(count(lit(1)).as("n"))
+      }
+    counts
+      .join(broadcast(nat.as("cn")), col("cnk") === col("cn.n_nationkey"))
+      .join(broadcast(nat.as("sn")), col("snk") === col("sn.n_nationkey"))
+      .select(col("cn.n_name").as("cust_nation"),
+        col("sn.n_name").as("supp_nation"), col("n"))
   }
 
   /** `a6_sketch_agg` body, size-adaptive (audit inline). `smallBytes`
@@ -360,6 +423,12 @@ object SparkEntry {
       // separate 600M-row HLL pass (the r8 shape) is pure waste. The
       // codegen'd dedup does the reduction; the interpreted sketch sees
       // only survivors. Measured 52.3 s -> 35.9 s (DuckDB 25.8 s, 1.39x).
+      // AUDIT (r10, x1000, same-day pair): 63.2 s vs DuckDB 130.5 s
+      // (reps 130.5/166.8) = 0.48x — the host runs both engines ~25-75%
+      // slower than the r9 sweep, and DuckDB's exact median (spilling
+      // 600M doubles) degrades far more than Spark's value-count
+      // pre-aggregate, flipping the ratio. Same plan both rounds; the
+      // same-day pairing is the governing number.
       val sketches =
         if (small)
           src.agg(
@@ -596,6 +665,11 @@ object SparkEntry {
     // parallel — the a9_unpivot argument. Joins that DO read dim columns
     // (chess_gold, j1_a1) keep their physical joins; the
     // rule-off parity spec pins result equality both ways.
+    // AUDIT (r10, x1000, same-day): the floor argument is now MEASURED —
+    // eliminated plan 4.06 s vs DuckDB 11.91 s (0.34x; the r8 physical
+    // join was 3.31x). Cost tracks projection width, confirming pure
+    // materialization: 8-col 4.66 s vs 2-col 1.68 s (the bare 2-col scan
+    // floor is 2.2 s the same day).
     "j1_star_join" -> ((s, d) => {
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select(col("o_orderkey")),
@@ -666,24 +740,11 @@ object SparkEntry {
     // x1000; the 256 MB threshold keeps the plain fast path through
     // x100, and the derived count is capped at 2048 (past that the
     // per-node pool is the constraint a bigger cluster relieves).
-    "j4_roleplay_join" -> ((s, d) => {
-      val nat = Tables.nation(s, d)
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      hashJoined(li, ord, "l_orderkey", "o_orderkey")
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_nationkey"))),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey"), col("s_nationkey"))
-        .agg(count(lit(1)).as("n"))
-        .join(broadcast(nat.as("cn")), col("c_nationkey") === col("cn.n_nationkey"))
-        .join(broadcast(nat.as("sn")), col("s_nationkey") === col("sn.n_nationkey"))
-        .select(col("cn.n_name").as("cust_nation"), col("sn.n_name").as("supp_nation"),
-          col("n"))
-    }),
+    // AUDIT (r10, x1000): past the same gate the exchanges now carry
+    // PACKED single-long rows (orderkey<<5 | nationkey, dims probed
+    // before the wire) — 29.2 s vs 48.1 s for the r8 plan, against a
+    // measured 20.1 s two-exchange floor. See [[j4Roleplay]].
+    "j4_roleplay_join" -> ((s, d) => j4Roleplay(s, d)),
 
     // W1/P6: latest-record dedup (the reference's merge semantics).
     // Formulated as max-of-ordered-struct instead of row_number()+rn=1: the
@@ -730,6 +791,15 @@ object SparkEntry {
     // -> 15M-row c⋈o broadcast, built and probed in 3.7 s; a 10x corpus
     // would put ~150M rows on the driver, past any sensible
     // autoBroadcast ceiling).
+    // AUDIT (r10, x1000, all same-day min-of-2): three re-plans measured
+    // and REJECTED — semi-filtered c⋈o build 5.45 s, shuffle-hash (fact
+    // exchanges) 14.2 s, per-order pre-agg before the join 72.7 s — vs
+    // 4.92 s for this plan (4.23 s in the TimeOne sweep). Decomposed
+    // floors the same day: the filtered 3-col fact scan alone is 2.0 s
+    // and the distributed c⋈o build alone 1.2 s, while DuckDB ran the
+    // ENTIRE query in 1.93 s — at Spark's own scan floor. The residual
+    // 2.19x is scan-engine speed, not a missing rewrite; every
+    // alternative shape loses to the broadcast probe.
     "q3_shipping_priority" -> ((s, d) => {
       val ord = Tables.orders(s, d)
       val co = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -1213,7 +1283,11 @@ object SparkEntry {
       // conjunct order): id order halves the pairs, then the ~30-op
       // histogram L1 reject (hist_l1 > 2*k proves distance > k — exact,
       // never drops a surviving pair) spares the O(n*k) DP for the bulk
-      // of the block; only histogram-close pairs reach bounded_levenshtein
+      // of the block; only histogram-close pairs reach bounded_levenshtein.
+      // AUDIT (r10, x1000): the r9 guard is MEASURED — 272.6 s cold
+      // (was 898.7 s before the hist_l1 reject + prefix/suffix strip),
+      // under the ~300 s bar; DuckDB's oracle did not finish in 700 s
+      // the same day (fresh process, count+hash wrap).
       operators.AdaptiveGate.hashHinted(left).join(right,
           Seq("bucket", "__j")).filter(col("doc_a") < col("doc_b"))
         .filter(graft.functions.TextFunctions.hist_l1(

@@ -112,6 +112,32 @@ object J4Lab {
       "j4_cur" -> (() => SparkEntry.queries("j4_roleplay_join")(spark, d)),
       "j1a1_cur" -> (() => SparkEntry.queries("j1_a1_star_rollup")(spark, d)),
 
+      // j1_star materialization-floor probe: the shipped 8-col plan (all
+      // joins eliminated -> scan+project) vs the same plan at 2 columns —
+      // if the gap tracks projection width, the cost IS output
+      // materialization, not plan overhead
+      "j1s_8col" -> (() => SparkEntry.queries("j1_star_join")(spark, d)),
+      "j1s_2col" -> { () =>
+        Tables.lineitem(spark, d)
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .join(broadcast(Tables.part(spark, d).select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left")
+          .join(broadcast(Tables.supplier(spark, d).select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left")
+          .select(col("l_orderkey"), col("l_linenumber"))
+      },
+
+      // q3 decomposition floors: the 4-col filtered fact scan and the
+      // c⋈o broadcast-build side, each alone
+      "q3_scanfloor" -> (() => li.filter(col("l_shipdate") > "1995-03-15")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))),
+      "q3_cobuild" -> (() => Tables.customer(spark, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < "1995-03-15")
+        .select(col("o_orderkey"), col("o_orderdate"))),
+
       // ---- q3_shipping_priority candidates (r10): the shipped plan
       // broadcasts the doubly-filtered customer⋈orders side (15M rows at
       // x1000 — a single-threaded driver hash build). Candidates replace

@@ -56,6 +56,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan("j1_a1_star_rollup") should include("BroadcastHashJoin")
   }
 
+  test("j4: packed path (forced) — both fact exchanges carry single-long rows into a shuffle-hash join") {
+    // the r10 scale plan: dims broadcast-probed BEFORE the wire, each
+    // side ships one packed long (orderkey<<5 | nationkey), the fact
+    // meet keeps the hash strategy (no sorts), and only the two fact
+    // repartitions exchange data besides broadcasts
+    val p = SparkEntry.j4Roleplay(spark, sf0001, packedBytes = 0L)
+      .queryExecution.executedPlan.toString
+    p should include("ShuffledHashJoin")
+    p should not include "SortMergeJoin"
+    p should include("shiftleft")
+    // exactly the two packed fact exchanges partition on >>5; the only
+    // other hash exchange is the 625-group final agg's
+    "hashpartitioning\\(shiftright".r.findAllIn(p).length shouldBe 2
+  }
+
   test("w1: latest-wins dedup partial-aggregates below its single exchange") {
     // r8: max-of-ordered-struct formulation — the exchange carries one
     // pre-reduced row per (input partition, user), never the event rows,

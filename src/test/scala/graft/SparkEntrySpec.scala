@@ -89,6 +89,13 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     onePass.exceptAll(split).count() shouldBe 0L
   }
 
+  test("j4Roleplay: packed-exchange path (forced) agrees with the plain-join path") {
+    val packed = SparkEntry.j4Roleplay(spark, sf0001, packedBytes = 0L)
+    val plain = SparkEntry.j4Roleplay(spark, sf0001, packedBytes = Long.MaxValue)
+    packed.collect().map(_.toString).sorted shouldBe
+      plain.collect().map(_.toString).sorted
+  }
+
   test("q13Custdist: persisted sum-over-nonzero path (forced) agrees with the parallel-branch plan") {
     val large = SparkEntry.q13Custdist(spark, sf0001, smallBytes = 0L)
     val small = SparkEntry.q13Custdist(spark, sf0001, smallBytes = Long.MaxValue)
