@@ -794,24 +794,36 @@ object SparkEntry {
     // AUDIT (r10, x1000, all same-day min-of-2): three re-plans measured
     // and REJECTED — semi-filtered c⋈o build 5.45 s, shuffle-hash (fact
     // exchanges) 14.2 s, per-order pre-agg before the join 72.7 s — vs
-    // 4.92 s for this plan (4.23 s in the TimeOne sweep). Decomposed
-    // floors the same day: the filtered 3-col fact scan alone is 2.0 s
-    // and the distributed c⋈o build alone 1.2 s, while DuckDB ran the
-    // ENTIRE query in 1.93 s — at Spark's own scan floor. The residual
-    // 2.19x is scan-engine speed, not a missing rewrite; every
-    // alternative shape loses to the broadcast probe.
+    // 4.92 s for the r8 plan. Decomposed floors the same day: the
+    // filtered 3-col fact scan alone is 2.0 s and the distributed c⋈o
+    // build alone 1.2 s, while DuckDB ran the ENTIRE query in 1.93 s —
+    // at Spark's own scan floor. What DID win is the j4 lesson applied
+    // to the broadcast: c⋈o ships ONE long per row
+    // (orderkey<<14 | epoch-days — orderdates are day-grained, the
+    // corpus predates 2014-11 = day 16384, and only pre-1995 rows are
+    // packed; lossless), halving broadcast row bytes AND collapsing the
+    // 15M-group agg key (l_orderkey, o_orderdate) into that single
+    // long, since the date is functionally dependent on the orderkey.
+    // Measured: 3.69 s vs 4.17 s same-session (sf0.1: 0.40 s vs 0.53 s)
+    // = 1.91x DuckDB — under the bar at both scales.
     "q3_shipping_priority" -> ((s, d) => {
       val ord = Tables.orders(s, d)
-      val co = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val cop = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .join(ord, col("c_custkey") === col("o_custkey"))
         .filter(col("o_orderdate") < "1995-03-15")
-        .select(col("o_orderkey"), col("o_orderdate"))
+        .select((shiftleft(col("o_orderkey").cast("long"), 14) +
+          unix_date(col("o_orderdate").cast("date")).cast("long")).as("cop"))
       val coSide =
-        if (operators.AdaptiveGate.isSmall(ord, 16L << 30)) broadcast(co) else co
+        if (operators.AdaptiveGate.isSmall(ord, 16L << 30)) broadcast(cop) else cop
       Tables.lineitem(s, d).filter(col("l_shipdate") > "1995-03-15")
-        .join(coSide, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(sum(revenue), 2).as("rev"))
+        .select(col("l_orderkey"), revenue.as("__rev"))
+        .join(coSide, col("l_orderkey") === shiftright(col("cop"), 14))
+        .groupBy(col("cop"))
+        .agg(round(sum(col("__rev")), 2).as("rev"))
+        .select(shiftright(col("cop"), 14).as("l_orderkey"),
+          date_from_unix_date((col("cop") % 16384).cast("int"))
+            .cast("timestamp_ntz").as("o_orderdate"),
+          col("rev"))
         .orderBy(desc("rev"), col("l_orderkey")).limit(10)
     }),
 
