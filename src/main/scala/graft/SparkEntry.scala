@@ -46,6 +46,17 @@ object SparkEntry {
     */
   private[graft] val shuffleHashBytes: Long = 256L << 20
 
+  /** Stats threshold where j4 switches from the plain 2-col exchange to
+    * the packed-long plan ([[j4Roleplay]]). Both sides measured, same
+    * session: plain wins at sf0.1 (0.8 MB stats: 0.59 s vs 0.84 s — the
+    * packed plan's extra broadcast builds sit on the critical path and
+    * buy nothing on a tiny exchange), packed wins from x30 up (24.6 MB:
+    * 1.28 s vs 1.61 s; x100 84 MB: 3.12 s vs 3.97 s; x1000 574 MB:
+    * 29.2 s vs 48.1 s). 8 MB is a decade above the sf0.1 point and 3x
+    * under the x30 point.
+    */
+  private[graft] val j4PackedBytes: Long = 8L << 20
+
   /** Pre-shuffle routing for a high-cardinality groupBy: above `smallBytes`
     * the raw rows repartition by `key`, so the subsequent aggregate's
     * distribution requirement is already satisfied and it runs in one
@@ -345,7 +356,7 @@ object SparkEntry {
     *    co-located/bucketed layout removes it entirely).
     */
   private[graft] def j4Roleplay(s: SparkSession, d: String,
-                                packedBytes: Long = shuffleHashBytes): DataFrame = {
+                                packedBytes: Long = j4PackedBytes): DataFrame = {
     val nat = Tables.nation(s, d)
     val li2 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val ord2 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))

@@ -20,6 +20,9 @@ class GateInvariantsSpec extends AnyFunSuite with Matchers {
     SparkEntry.shuffleHashBytes shouldBe (256L << 20)
     doc should include("`shuffleHashBytes` | **256 MB**")
 
+    SparkEntry.j4PackedBytes shouldBe (8L << 20)
+    doc should include("`j4PackedBytes` | **8 MB**")
+
     operators.AdaptiveGate.MaxDerivedPartitions shouldBe 2048L
     doc should include("partition cap | **2048**")
 
