@@ -808,15 +808,20 @@ object SparkEntry {
     // 4.92 s for the r8 plan. Decomposed floors the same day: the
     // filtered 3-col fact scan alone is 2.0 s and the distributed c⋈o
     // build alone 1.2 s, while DuckDB ran the ENTIRE query in 1.93 s —
-    // at Spark's own scan floor. What DID win is the j4 lesson applied
-    // to the broadcast: c⋈o ships ONE long per row
-    // (orderkey<<14 | epoch-days — orderdates are day-grained, the
-    // corpus predates 2014-11 = day 16384, and only pre-1995 rows are
-    // packed; lossless), halving broadcast row bytes AND collapsing the
-    // 15M-group agg key (l_orderkey, o_orderdate) into that single
-    // long, since the date is functionally dependent on the orderkey.
-    // Measured: 3.69 s vs 4.17 s same-session (sf0.1: 0.40 s vs 0.53 s)
-    // = 1.91x DuckDB — under the bar at both scales.
+    // at Spark's own scan floor — the residual 2.19x is scan-engine
+    // speed, not a missing rewrite. The broadcast side ships ONE long
+    // per row (orderkey<<14 | epoch-days — orderdates are day-grained,
+    // the corpus predates 2014-11 = day 16384, and only pre-1995 rows
+    // are packed; lossless), halving broadcast row bytes AND collapsing
+    // the 15M-group agg key (l_orderkey, o_orderdate) into that single
+    // long (the date is functionally dependent on the orderkey).
+    // ORDER-CONTROLLED A/B vs the textbook spelling: timing PARITY at
+    // x1000 (like-position 4.1/4.2 vs 4.0/3.8; solo sessions 4.4-4.7
+    // both) — adopted for the build-width halving, which is what the
+    // 10x-corpus broadcast gate case actually stresses, not for a
+    // single-node win. An earlier 3.69-vs-4.17 same-session reading was
+    // in-session order bias (second variant runs 15-30% warmer, even
+    // between identical plans) and is retracted.
     "q3_shipping_priority" -> ((s, d) => {
       val ord = Tables.orders(s, d)
       val cop = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")

@@ -110,6 +110,12 @@ object J4Lab {
           .agg(round(sum(col("__rev")), 2).as("revenue"), sum(col("__n")).as("n_items"))
       },
       "j4_cur" -> (() => SparkEntry.queries("j4_roleplay_join")(spark, d)),
+      // forced paths of the shipped body, for order-controlled A/B at a
+      // given scale (run both orders; compare like positions)
+      "j4_forceplain" -> (() => SparkEntry.j4Roleplay(spark, d,
+        packedBytes = Long.MaxValue)),
+      "j4_forcepacked" -> (() => SparkEntry.j4Roleplay(spark, d,
+        packedBytes = 0L)),
       "j1a1_cur" -> (() => SparkEntry.queries("j1_a1_star_rollup")(spark, d)),
 
       // j1_star materialization-floor probe: the shipped 8-col plan (all
@@ -171,6 +177,20 @@ object J4Lab {
           .join(co.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(round(sum(col("__rev")), 2).as("rev"))
+          .orderBy(desc("rev"), col("l_orderkey")).limit(10)
+      },
+      // the pre-r10 textbook spelling (unpacked broadcast, 2-col agg key)
+      // kept for order-controlled A/B against the shipped packed plan
+      "q3_unpacked" -> { () =>
+        val co = Tables.customer(spark, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < "1995-03-15")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        li.filter(col("l_shipdate") > "1995-03-15")
+          .join(broadcast(co), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(revenue), 2).as("rev"))
           .orderBy(desc("rev"), col("l_orderkey")).limit(10)
       },
       // packed broadcast: c⋈o ships ONE long (orderkey<<14 | epoch-days;
