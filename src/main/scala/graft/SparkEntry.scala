@@ -352,8 +352,10 @@ object SparkEntry {
     *    (orders 2-col) = 20.1 s with ZERO join/agg work — the packed
     *    plan pays 1.45x the pure-exchange floor, and the remaining gap
     *    to DuckDB's single-node zero-exchange pipeline is the exchange
-    *    itself, which a real cluster parallelizes across nodes (the
-    *    co-located/bucketed layout removes it entirely).
+    *    itself, which a real cluster parallelizes across nodes — and a
+    *    co-located/bucketed layout removes entirely (BucketingSpec pins
+    *    exactly this fact⋈fact-on-orderkey join running with ZERO
+    *    shuffle exchanges over bucketed tables).
     */
   private[graft] def j4Roleplay(s: SparkSession, d: String,
                                 packedBytes: Long = j4PackedBytes): DataFrame = {

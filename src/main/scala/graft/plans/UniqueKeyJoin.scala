@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -111,16 +111,22 @@ object UniqueKeys {
   }
 }
 
-/** Remove LEFT OUTER joins that provably contribute nothing: some
+/** Remove outer joins that provably contribute nothing: some
   * equi-conjunct of the join condition equates a preserved-side value
-  * to a DECLARED-unique attribute of the other side, and the projection
-  * above the join reads only preserved-side columns. Soundness:
-  * uniqueness bounds matches at one PER CONJUNCT — any further
-  * conjuncts can only reject that single candidate, never add matches —
-  * LEFT OUTER forbids dropping probe rows, and the unreferenced join
-  * output makes match-vs-null-extension unobservable. So the join is
-  * row- and value-identity on everything the query can see, under ANY
-  * filtering of the dimension side. See [[UniqueKeys]].
+  * to a DECLARED-unique attribute of the other side, and the consuming
+  * operator directly above the join reads only preserved-side columns.
+  * Soundness: uniqueness bounds matches at one PER CONJUNCT — any
+  * further conjuncts can only reject that single candidate, never add
+  * matches — the outer join forbids dropping preserved rows, and the
+  * unreferenced join output makes match-vs-null-extension unobservable.
+  * So the join is row- and value-identity on everything the query can
+  * see, under ANY filtering of the other side — which also preserves
+  * aggregates bit-exactly, `count(*)` included, so the consumer may be
+  * a [[Project]] OR an [[Aggregate]] sitting directly on the join
+  * (Catalyst's column pruning inserts no Project between an Aggregate
+  * and its join child, so matching Project alone misses the
+  * `GROUP BY fact.x` star shapes). LEFT OUTER preserves the left side;
+  * RIGHT OUTER is the mirror. See [[UniqueKeys]].
   */
 object EliminateUniqueKeyLeftJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -131,21 +137,39 @@ object EliminateUniqueKeyLeftJoin extends Rule[LogicalPlan] with PredicateHelper
       .trim.equalsIgnoreCase("false")
     if (off) return plan
     plan.transformUp {
-      case Project(projList, Join(left, right, LeftOuter, Some(cond), _))
-          if projList.forall(_.references.subsetOf(left.outputSet)) &&
-            cond.deterministic && hasUniqueRightConjunct(left, right, cond) =>
-        Project(projList, left)
+      case p @ Project(projList, j: Join) =>
+        preservedSide(j, AttributeSet(projList.flatMap(_.references)))
+          .map(side => p.copy(child = side)).getOrElse(p)
+      case a @ Aggregate(gExprs, aExprs, j: Join, _) =>
+        preservedSide(j, AttributeSet((gExprs ++ aExprs).flatMap(_.references)))
+          .map(side => a.copy(child = side)).getOrElse(a)
     }
   }
 
-  private def hasUniqueRightConjunct(left: LogicalPlan, right: LogicalPlan,
-                                     cond: Expression): Boolean = {
-    val unique = UniqueKeys.uniqueOutputAttrs(right)
+  /** The join's preserved side, when `refs` read only that side and the
+    * other side's key is declared unique under the join condition.
+    */
+  private def preservedSide(j: Join, refs: AttributeSet): Option[LogicalPlan] =
+    j match {
+      case Join(left, right, LeftOuter, Some(cond), _)
+          if refs.subsetOf(left.outputSet) && cond.deterministic &&
+            hasUniqueConjunct(probe = left, dim = right, cond) =>
+        Some(left)
+      case Join(left, right, RightOuter, Some(cond), _)
+          if refs.subsetOf(right.outputSet) && cond.deterministic &&
+            hasUniqueConjunct(probe = right, dim = left, cond) =>
+        Some(right)
+      case _ => None
+    }
+
+  private def hasUniqueConjunct(probe: LogicalPlan, dim: LogicalPlan,
+                                cond: Expression): Boolean = {
+    val unique = UniqueKeys.uniqueOutputAttrs(dim)
     unique.nonEmpty && splitConjunctivePredicates(cond).exists {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (left.outputSet.contains(a) && right.outputSet.contains(b) &&
+        (probe.outputSet.contains(a) && dim.outputSet.contains(b) &&
           unique.contains(b)) ||
-        (left.outputSet.contains(b) && right.outputSet.contains(a) &&
+        (probe.outputSet.contains(b) && dim.outputSet.contains(a) &&
           unique.contains(a))
       case _ => false
     }

@@ -64,6 +64,41 @@ class UniqueKeyJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     q.collect().map(_.toString).sorted shouldBe ruleOffRows(q)
   }
 
+  test("aggregate directly over the join is eliminated when it reads only the probe side") {
+    // GROUP BY fact.x with unread dims: Catalyst inserts no Project
+    // between Aggregate and Join, so the rule must match the Aggregate
+    // consumer itself — count(*) is preserved because the unique key
+    // bounds every probe row at exactly one output row
+    def q: DataFrame = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    withClue(q.queryExecution.optimizedPlan.toString) {
+      optimizedHasJoin(q) shouldBe false
+    }
+    q.collect().map(_.toString).sorted shouldBe ruleOffRows(q)
+  }
+
+  test("aggregate reading a dim column keeps the join (negative)") {
+    val q = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    optimizedHasJoin(q) shouldBe true
+  }
+
+  test("RIGHT OUTER mirror: unread unique-key left side is eliminated") {
+    def q: DataFrame = Tables.orders(spark, sf0001)
+      .join(Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey"), "right")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    withClue(q.queryExecution.optimizedPlan.toString) {
+      optimizedHasJoin(q) shouldBe false
+    }
+    q.collect().map(_.toString).sorted shouldBe ruleOffRows(q)
+  }
+
   test("two-key grouping does NOT mark either key unique (negative)") {
     val two = Tables.orders(spark, sf0001)
       .groupBy(col("o_custkey"), col("o_orderstatus")).agg(count(lit(1)).as("c"))
