@@ -375,13 +375,20 @@ object SparkEntry {
         val bStat = operators.AdaptiveGate.statBytes(ord2)
         val n = math.max(32L, math.min(
           operators.AdaptiveGate.MaxDerivedPartitions, bStat / (2L << 20))).toInt
+        // the 5-bit pack holds for the 25-nation dim this schema declares;
+        // a corpus that ever widened the domain must fail LOUDLY, not
+        // corrupt counts — the guard is one codegen'd branch per row
+        def packed(key: Column, nk: Column, what: String): Column =
+          when(nk >= 0 && nk < 32,
+            shiftleft(key.cast("long"), 5).bitwiseOR(nk.cast("long")))
+            .otherwise(raise_error(concat(
+              lit(s"j4 packed plan: $what nationkey outside [0,32): "),
+              nk.cast("string"))))
         val lp = li2.join(broadcast(supp2), col("l_suppkey") === col("s_suppkey"))
-          .select(shiftleft(col("l_orderkey").cast("long"), 5)
-            .bitwiseOR(col("s_nationkey").cast("long")).as("lp"))
+          .select(packed(col("l_orderkey"), col("s_nationkey"), "supplier").as("lp"))
           .repartition(n, shiftright(col("lp"), 5))
         val op = ord2.join(broadcast(cust2), col("o_custkey") === col("c_custkey"))
-          .select(shiftleft(col("o_orderkey").cast("long"), 5)
-            .bitwiseOR(col("c_nationkey").cast("long")).as("op"))
+          .select(packed(col("o_orderkey"), col("c_nationkey"), "customer").as("op"))
           .repartition(n, shiftright(col("op"), 5))
         lp.join(op.hint("shuffle_hash"),
             shiftright(col("lp"), 5) === shiftright(col("op"), 5))

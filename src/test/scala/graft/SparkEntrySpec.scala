@@ -96,6 +96,28 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
       plain.collect().map(_.toString).sorted
   }
 
+  test("j4Roleplay: packed path fails loudly on a nationkey outside the 5-bit domain") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("j4-guard").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, 7L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    // supplier nationkey 40: does not fit orderkey<<5 | nationkey
+    Seq((7L, 40L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((3L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "A"), (40L, "Z")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.j4Roleplay(spark, dir, packedBytes = 0L).collect()
+    }
+    e.getMessage should include regex "(?s)nationkey outside"
+  }
+
   test("q13Custdist: persisted sum-over-nonzero path (forced) agrees with the parallel-branch plan") {
     val large = SparkEntry.q13Custdist(spark, sf0001, smallBytes = 0L)
     val small = SparkEntry.q13Custdist(spark, sf0001, smallBytes = Long.MaxValue)
