@@ -164,6 +164,9 @@ object EliminateUniqueKeyLeftJoin extends Rule[LogicalPlan] with PredicateHelper
 
   private def hasUniqueConjunct(probe: LogicalPlan, dim: LogicalPlan,
                                 cond: Expression): Boolean = {
+    // a streaming dim's grouped "uniqueness" holds per micro-batch, not
+    // across the incremental result evolution — don't reason about it
+    if (dim.isStreaming) return false
     val unique = UniqueKeys.uniqueOutputAttrs(dim)
     unique.nonEmpty && splitConjunctivePredicates(cond).exists {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
