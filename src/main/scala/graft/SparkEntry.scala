@@ -347,7 +347,9 @@ object SparkEntry {
     *    lossless and order-preserving on >>5) — then a stats-derived
     *    shuffle-hash join on >>5 and a 625-group agg on the unpacked
     *    low bits. AUDIT (r10, x1000, min-of-2 same session): 29.2 s vs
-    *    48.1 s for the small-path plan at that scale. The two-exchange
+    *    48.1 s for the small-path plan at that scale — re-verified
+    *    ORDER-CONTROLLED (packed first, the disadvantaged position):
+    *    27.9 s vs 43.9 s. The two-exchange
     *    floor measured the same day: 16.1 s (lineitem 2-col) + 4.0 s
     *    (orders 2-col) = 20.1 s with ZERO join/agg work — the packed
     *    plan pays 1.45x the pure-exchange floor, and the remaining gap
