@@ -268,7 +268,19 @@ object SparkEntry {
     }
   }
 
-  /** `q13_custdist` body, size-adaptive. Both paths pre-aggregate orders
+  /** `q13_custdist` body, size-adaptive. EAGER-MATERIALIZATION CONTRACT:
+    * unlike every other `queries` entry, the LARGE path runs the
+    * orders scan + per-customer aggregate as a Spark job at
+    * DataFrame-CONSTRUCTION time (the bounded collect below) and bakes
+    * the ~100-row result into a local relation — merely building or
+    * explaining the returned frame triggers that job, and the frame
+    * snapshots the files as of construction ([[graft.Tables.invalidate]]
+    * cannot refresh it; rebuild the DataFrame to re-read). Accepted
+    * deliberately: the alternative (persist) leaked its cache entry in
+    * r9, and every harness in this repo constructs immediately before
+    * evaluating. The small path stays fully lazy.
+    *
+    * Both paths pre-aggregate orders
     * by custkey and count the c_count=0 bucket by FK complement (see the
     * r8 audit at the queries entry comment below this map — two O(1)
     * aggregates instead of the customer left join). They differ in where
@@ -406,19 +418,17 @@ object SparkEntry {
   }
 
   /** `a6_sketch_agg` body, size-adaptive (audit inline). `smallBytes`
-    * pins a path for parity specs: 0 forces the decomposed branches,
-    * MaxValue the single-pass spelling.
+    * pins a path for parity specs: 0 forces the large decomposition
+    * (vc-freq exact median, keyed pre-repartitions), MaxValue the small
+    * one (plain exact percentile over a narrow forced repartition). Both
+    * paths share the r9 dedup-first HLL shape.
     */
   private[graft] def a6SketchAgg(s: SparkSession, d: String,
                                  smallBytes: Long = rawAggBytes): DataFrame = {
       val raw = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
       val small = operators.AdaptiveGate.isSmall(raw, smallBytes)
-      // fan sketch building across every core of the session (a tiny input
-      // otherwise plans 1-2 scan tasks and serializes the sketch updates)
-      val src = if (small)
-        raw.repartition(s.sessionState.conf.numShufflePartitions)
-      else raw
+      val src = raw
       // sketches and exact-distincts aggregate in SEPARATE branches over
       // the same subtree: mixed, the two countDistincts force an Expand
       // that triples the rows feeding the interpreted
@@ -451,13 +461,27 @@ object SparkEntry {
       // 600M doubles) degrades far more than Spark's value-count
       // pre-aggregate, flipping the ratio. Same plan both rounds; the
       // same-day pairing is the governing number.
+      // AUDIT (r11, sf0.1, order-controlled A6Lab min-of-3): the r10
+      // small path (full-width repartition + one 4-sketch interpreted agg
+      // + a separate Expand countDistinct agg) measured 2.55 s — the
+      // single most expensive line of the governing bench. The adopted
+      // small shape mirrors the large path's r9 lesson at small scale:
+      // HLLs ride the codegen'd distinct-dedup branches (30x/4x fewer
+      // interpreted updates), and the two percentile sketches get their
+      // own job over a NARROW (price-only) forced repartition — the
+      // full-width exchange shipped 3 columns to feed a 1-column
+      // interpreted agg. Variants measured: adopted split 1.65 s, split
+      // without the price repartition 2.02 s (scan plans 2 tasks and
+      // serializes the interpreted updates), r10 shape minus repartition
+      // 1.95 s, large path at sf0.1 1.74 s (its vc-freq exact median
+      // buys nothing at a sf where 583k of 600k prices are distinct).
       val sketches =
         if (small)
-          src.agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-            expr("percentile(l_extendedprice, 0.5)").as("em"))
+          src.select(col("l_extendedprice"))
+            .repartition(s.sessionState.conf.numShufflePartitions)
+            .agg(
+              percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+              expr("percentile(l_extendedprice, 0.5)").as("em"))
         else {
           val apx = src.agg(
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
@@ -468,9 +492,12 @@ object SparkEntry {
         }
       val exacts =
         if (small)
-          src.agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            countDistinct(col("l_orderkey")).as("exact_orders"))
+          src.select(col("l_partkey")).distinct()
+            .agg(count(lit(1)).as("exact_parts"),
+              approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+            .crossJoin(src.select(col("l_orderkey")).distinct()
+              .agg(count(lit(1)).as("exact_orders"),
+                approx_count_distinct(col("l_orderkey"), 0.02).as("ao")))
         else
           src.select(col("l_partkey")).repartition(col("l_partkey"))
             .distinct()
@@ -532,6 +559,25 @@ object SparkEntry {
     * shared table, because `jaccardPairs`' threshold only appears in its
     * final filter.
     */
+  /** The documents scan fanned to session width when the corpus is a
+    * single small file: the text-analysis kernels (regexp scans, HOF
+    * walks, char n-gram folds) are CPU-bound per-row work, and a
+    * sub-[[fanDocsBytes]] corpus plans ONE scan task (parquet splits at
+    * row-group granularity), serializing all of it on one core — the
+    * narrow exchange costs milliseconds against the serial kernel
+    * seconds (r11 sf0.1: text_quality_flags 1.15 s -> see bench). At
+    * scale the file count supplies the parallelism and the gate keeps
+    * the scan exchange-free. Explicit partition count so AQE's
+    * small-shuffle coalescing cannot fold the fan-out back to one task.
+    */
+  private val fanDocsBytes: Long = 64L << 20
+  private def fannedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    if (operators.AdaptiveGate.isSmall(docs, fanDocsBytes))
+      docs.repartition(s.sessionState.conf.numShufflePartitions)
+    else docs
+  }
+
   private def sharedShingleArr(s: SparkSession, d: String): DataFrame =
     Dedup.docShingleHashes(Tables.documents(s, d), k = 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -592,6 +638,30 @@ object SparkEntry {
       }
     }
 
+  /** Docs-scan stats bound under which the connected-components labelers
+    * take [[Dedup.duplicateClustersDriver]]'s one-job union-find instead
+    * of the iterative checkpoint loop (whose 4-6 floor-bound stages
+    * dominate at bench scale: dedup_clusters_star measured 2.04 s for a
+    * graph the driver folds instantly — r11). Gated on the DOCUMENTS scan
+    * (the only subtree whose stats track reality here — the pair plan's
+    * join-output estimate is a row-count product), one decade above
+    * sf0.1's ~0.6 MB and two under x1000's ~600 MB; the driver collect
+    * itself is bounded at [[CcDriverMaxEdges]] rows and DEGRADES to the
+    * distributed loop on overflow, so a mis-sized gate costs a bounded
+    * probe, never driver memory.
+    */
+  private val ccDriverDocBytes: Long = 64L << 20
+  private val CcDriverMaxEdges: Int = 2000000
+
+  private def ccLabels(s: SparkSession, d: String,
+                       distributed: DataFrame => DataFrame): DataFrame = {
+    val pairs = sharedJaccardPairs(s, d)
+    if (operators.AdaptiveGate.isSmall(Tables.documents(s, d), ccDriverDocBytes))
+      Dedup.duplicateClustersDriver(pairs, CcDriverMaxEdges)
+        .getOrElse(distributed(pairs))
+    else distributed(pairs)
+  }
+
   private def sharedClusters(s: SparkSession, d: String): DataFrame =
     clustersMemo.synchronized {
       clustersMemo.keySet.removeIf(k => k.sparkContext.isStopped)
@@ -600,7 +670,7 @@ object SparkEntry {
       m.get(d).filter(org.apache.spark.sql.GraftShims.isCached) match {
         case Some(df) => df
         case None =>
-          val df = Dedup.duplicateClusters(sharedJaccardPairs(s, d))
+          val df = ccLabels(s, d, p => Dedup.duplicateClusters(p))
           m(d) = df
           df
       }
@@ -643,6 +713,15 @@ object SparkEntry {
 
   // ---- queries ----------------------------------------------------------
 
+  /** Every entry builds its DataFrame lazily — construction is job-free —
+    * with the documented exceptions that run bounded Spark jobs at
+    * construction time: `q13_custdist`'s large path (see [[q13Custdist]]'s
+    * eager-materialization contract) and the connected-components family
+    * (`dedup_clusters`/`dedup_clusters_star`/`dedup_keep`/
+    * `dedup_split_by_cluster` via [[ccLabels]]/[[sharedClusters]]), whose
+    * iterative fixpoint loops (or gated driver union-find) are inherently
+    * evaluation, not plan construction.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1/A4 + F: grouped aggregation with exact and rounded measures
@@ -835,11 +914,20 @@ object SparkEntry {
     // between identical plans) and is retracted.
     "q3_shipping_priority" -> ((s, d) => {
       val ord = Tables.orders(s, d)
+      // 14-bit date pack is lossless only for epoch days in [0, 16384)
+      // (1970-01-01 .. 2014-11-06); the query filter bounds dates above
+      // (pre-1995) but NOT below — a pre-1970 orderdate would go negative
+      // and borrow into the orderkey bits, silently corrupting the group
+      // key. Same fail-loudly contract as j4's packed() nationkey guard.
+      val epochDay = unix_date(col("o_orderdate").cast("date")).cast("long")
       val cop = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .join(ord, col("c_custkey") === col("o_custkey"))
         .filter(col("o_orderdate") < "1995-03-15")
-        .select((shiftleft(col("o_orderkey").cast("long"), 14) +
-          unix_date(col("o_orderdate").cast("date")).cast("long")).as("cop"))
+        .select(when(epochDay >= 0 && epochDay < 16384,
+            shiftleft(col("o_orderkey").cast("long"), 14) + epochDay)
+          .otherwise(raise_error(concat(
+            lit("q3 packed plan: o_orderdate outside [1970-01-01, 2014-11-06): "),
+            col("o_orderdate").cast("string")))).as("cop"))
       val coSide =
         if (operators.AdaptiveGate.isSmall(ord, 16L << 30)) broadcast(cop) else cop
       Tables.lineitem(s, d).filter(col("l_shipdate") > "1995-03-15")
@@ -1136,7 +1224,11 @@ object SparkEntry {
 
     // A11 (beyond reference): exact interpolated percentiles per group —
     // Spark's sort-based percentile agg, same interpolation as DuckDB's
-    // quantile_cont
+    // quantile_cont. A r11 attempt to fan the raw rows to session width
+    // before the groupBy (the a6/a11 interpreted-update argument)
+    // measured 1.30 s vs 1.03 s plain — the cost here is the per-GROUP
+    // final merge+sort (3 groups, ~200k buffered values each), which no
+    // update-side fan-out touches; REJECTED, plain spelling kept.
     "a11_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -1449,9 +1541,11 @@ object SparkEntry {
     // same clustering semantics via large-star/small-star (O(log n) rounds
     // on any graph shape — the adversarial-diameter alternative); shares
     // the family's pair subtree and the min-label oracle, since both
-    // algorithms define component = min reachable doc_id
+    // algorithms define component = min reachable doc_id. Same small-graph
+    // gate as dedup_clusters: below [[ccDriverDocBytes]] both labelers'
+    // iterative loops lose to one bounded union-find job
     "dedup_clusters_star" -> ((s, d) =>
-      Dedup.duplicateClustersStar(sharedJaccardPairs(s, d))),
+      ccLabels(s, d, p => Dedup.duplicateClustersStar(p))),
 
     // the dedup endgame: pairs -> clusters -> one survivor per cluster
     // (longest text, ties to min doc_id), singletons pass through
@@ -1596,19 +1690,19 @@ object SparkEntry {
 
     // ---- scale-path: text analysis --------------------------------------
 
-    "text_profile" -> ((s, d) => TextAnalysis.profile(Tables.documents(s, d))),
+    "text_profile" -> ((s, d) => TextAnalysis.profile(fannedDocs(s, d))),
 
     // training-sample construction: 32-word chunks, 8-word overlap (stride
     // 24) — documents become model-sized pieces in one shuffle-free
     // generate inside the scan stage
     "text_chunk" -> ((s, d) =>
-      TextAnalysis.chunkWords(Tables.documents(s, d), chunkSize = 32, overlap = 8)),
+      TextAnalysis.chunkWords(fannedDocs(s, d), chunkSize = 32, overlap = 8)),
 
     // quality-threshold calibration: docs/tokens retained at each candidate
     // cut-off; the corpus collapses to its ≤8 distinct score values before
     // the grid expansion touches anything
     "text_quality_sweep" -> ((s, d) =>
-      TextAnalysis.qualityThresholdSweep(Tables.documents(s, d), gridSteps = 10)),
+      TextAnalysis.qualityThresholdSweep(fannedDocs(s, d), gridSteps = 10)),
 
     // top-3 salient terms per doc by the exact-rational tf-idf variant
     // (keyword extraction; ln would diverge in the last ulp across engines)
@@ -1652,7 +1746,7 @@ object SparkEntry {
     }),
 
     "text_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      fannedDocs(s, d).select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.minShingleFingerprint(col("text"), 5).as("min_shingle_fp"))),
@@ -1666,7 +1760,7 @@ object SparkEntry {
     // regexp_extract_all corpus scans and the per-token rlike, which no
     // fusion removes; the composed kernels stay for their reuse value.
     "text_quality_flags" -> ((s, d) =>
-      Tables.documents(s, d)
+      fannedDocs(s, d)
         .select(col("doc_id"),
           TextAnalysis.langIdCharNgram(col("text")).as("lang_ngram"),
           TextAnalysis.gopherFlags(col("text")).as("g"))
@@ -1677,7 +1771,7 @@ object SparkEntry {
     // repetition detection: top 2-gram share per document (Gopher-style
     // duplicate-n-gram fraction)
     "text_repetition" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
+      val grams = fannedDocs(s, d)
         .select(col("doc_id"), explode(TextAnalysis.shinglesAll(col("text"), 2)).as("g"))
       grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -1688,7 +1782,7 @@ object SparkEntry {
 
     // PII-ish pattern counts (emails / urls / long digit runs)
     "text_pii_flags" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      fannedDocs(s, d).select(
         col("doc_id"),
         size(regexp_extract_all(col("text"),
           lit("[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"), lit(0))).cast("long").as("n_emails"),
@@ -1703,7 +1797,7 @@ object SparkEntry {
     // codegen'd projection (nested regexp_replace; url first so an email
     // inside a url query-string cannot leave a half-redacted hybrid)
     "text_pii_redact" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      fannedDocs(s, d).select(
         col("doc_id"),
         regexp_replace(
           regexp_replace(
@@ -1727,7 +1821,7 @@ object SparkEntry {
     }),
 
     "text_rolling_hash" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      fannedDocs(s, d).select(
         col("doc_id"),
         graft.functions.TextFunctions.rolling_hash(col("text")).as("rhash"),
         graft.functions.TextFunctions.rolling_hash(

@@ -653,6 +653,58 @@ object Dedup {
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** Driver-side union-find small path for the connected-components
+    * labelers: identical output contract to [[duplicateClusters]] /
+    * [[duplicateClustersStar]] (one row per vertex appearing in any pair,
+    * `component` = min doc_id reachable), computed in ONE bounded job
+    * instead of the iterative checkpoint loop. At sf0.1 the loop costs
+    * 4-6 floor-bound stages to label a few-thousand-edge graph the
+    * driver folds in microseconds (r11: dedup_clusters_star 2.04 s ->
+    * ~0.3 s); at scale the caller's gate routes to the distributed loop
+    * before this method is entered.
+    *
+    * Bounded by construction (GATES.md invariant 5): collects at most
+    * `maxEdges + 1` rows; overflow returns None — the caller DEGRADES to
+    * the distributed loop, never fails, never collects unbounded state.
+    * Long-keyed inputs only (the family's doc_id type): any other
+    * endpoint type returns None so the output schema can never diverge
+    * from the distributed path's.
+    */
+  private[graft] def duplicateClustersDriver(pairs: DataFrame,
+                                             maxEdges: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types.LongType
+    val fields = pairs.schema.fields
+    val okTypes = Seq("doc_a", "doc_b").forall(n =>
+      fields.exists(f => f.name == n && f.dataType == LongType))
+    if (!okTypes) return None
+    val rows = pairs.select(col("doc_a"), col("doc_b"))
+      .limit(maxEdges + 1).collect()
+    if (rows.length > maxEdges) return None
+    // union-by-min + path compression: attaching the larger root under
+    // the smaller makes every root the component minimum — find() then
+    // IS the min-label the distributed loop converges to
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { e =>
+      val a = e.getLong(0); val b = e.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach(v => out.add(org.apache.spark.sql.Row(v, find(v))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("component", LongType, nullable = true)))
+    Some(pairs.sparkSession.createDataFrame(out, schema))
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager) after every step: iterative algorithms must
     // truncate lineage, or each round's logical plan nests all previous
@@ -1090,9 +1142,11 @@ object Dedup {
     * md5-per-occurrence scan stage runs once, not twice. The join has
     * exactly one build row per span key, so a hot span skews partition
     * SIZE only (AQE splits it), never the output; covered positions
-    * expand ≤ l rows per duplicate occurrence before a distinct on
-    * (doc, position). The rebuild groups by doc — per-task state is one
-    * document's words, the same bound as any per-doc window.
+    * expand ≤ l rows per duplicate occurrence into a per-doc
+    * collect_set. The rebuild is a per-ROW array kernel over the base
+    * table joined with its covered-position set — per-task state is one
+    * document's words, the same bound as any per-doc window, and the
+    * corpus text is never word-exploded through an exchange.
     *
     * Uses positional (non-distinct) shingles, so it cannot ride the dedup
     * family's distinct-set hub; the hash function IS the family's
@@ -1102,9 +1156,9 @@ object Dedup {
     */
   def spanCut(docs: DataFrame, l: Int): DataFrame = {
     require(l >= 1, "spanCut: span length must be >= 1")
-    // one explicit null-id filter owns every subtree: the anti-join below
-    // infers IsNotNull(doc_id) on its build side, and without the same
-    // filter here the probe/stats occurrence subtrees stop being
+    // one explicit null-id filter owns every subtree: the covered-set
+    // join below infers IsNotNull(doc_id) on its build side, and without
+    // the same filter here the probe/stats occurrence subtrees stop being
     // canonically equal — ReuseExchange silently stops collapsing them
     // and the md5 scan stage runs twice. (Null ids have no identity in
     // the pair family anyway; every sibling operator requires them
@@ -1131,28 +1185,40 @@ object Dedup {
       .join(AdaptiveGate.hashHinted(stats.select(col("h"), col("__canon"))), Seq("h"))
       .filter(col("doc_id") =!= col("__canon").getField("doc_id") ||
         col("pos") =!= col("__canon").getField("pos"))
-    val covered = dup
+    // rebuild via per-doc covered-POSITION SETS and an array-kernel
+    // reconstruction, not a corpus-wide word anti-join. The r10 shape
+    // (posexplode every word -> anti-join covered -> collect_list -> sort
+    // -> join back) re-shuffled the ENTIRE corpus text as (doc, p, w)
+    // rows across three extra exchanges; this shape shuffles only the
+    // covered positions (≤ l rows per duplicate occurrence, collect_set
+    // dedups in the aggregate — no separate distinct) and joins them to
+    // the one-row-per-doc base, where array_except(positions, covered)
+    // + element_at rebuild the text per row. Per-row state is one
+    // document's words — the same bound as the old per-doc group — and
+    // the all-words exchange (the heaviest post-occ shuffle at any
+    // scale) is gone. r11 sf0.1: 1.51 s -> see bench; plan drops from 7
+    // exchanges to 4.
+    val coveredSets = dup
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("p"))
-      .distinct()
-    val words = base
-      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("p", "w")))
-      .select(col("doc_id"), col("p").cast("long").as("p"), col("w"))
-    val rebuilt = words.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(
-        array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),
-          x => x.getField("w")), " ").as("text_clean"),
-        count(lit(1)).as("__n_kept"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("__cov"))
+    val words = split(col("text"), " ", -1)
+    // null text has zero words (NOT legacy size(null) = -1, which would
+    // report n_cut = -1 where the oracle's len(NULL) is no cut)
+    val nw = when(col("text").isNotNull, size(words)).otherwise(0).cast("long")
+    // the otherwise branch only runs for docs WITH covered spans, which
+    // have ≥ l ≥ 1 words — sequence(0, nw-1) is never start>stop there
+    val keptArr = when(col("text").isNull, array().cast("array<string>"))
+      .when(col("__cov").isNull, words)
+      .otherwise(transform(
+        array_except(sequence(lit(0L), nw - lit(1L)), col("__cov")),
+        p => element_at(words, (p + lit(1L)).cast("int"))))
     base
+      .select(col("doc_id"), col("text"))
+      .join(coveredSets, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        // null text has zero words (NOT legacy size(null) = -1, which
-        // would report n_cut = -1 where the oracle's len(NULL) is no cut)
-        when(col("text").isNotNull, size(split(col("text"), " ", -1)))
-          .otherwise(0).cast("long").as("__n_words"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        (col("__n_words") - coalesce(col("__n_kept"), lit(0L))).as("n_cut"))
+        array_join(keptArr, " ").as("text_clean"),
+        (nw - size(keptArr)).as("n_cut"))
   }
 }

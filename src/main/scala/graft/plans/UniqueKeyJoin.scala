@@ -53,13 +53,24 @@ object UniqueKeys {
     */
   def undeclare(pathPrefix: Option[String] = None): Unit = pathPrefix match {
     case Some(p) =>
-      val n = normalize(p)
-      byPath.keySet.removeIf(_.startsWith(n))
+      // path-boundary match: undeclaring /data/foo must not also drop
+      // /data/foobar — only the exact path or true descendants
+      val n = normalize(p).stripSuffix("/")
+      byPath.keySet.removeIf(k => k == n || k.startsWith(n + "/"))
     case None => byPath.clear()
   }
 
   def colsFor(path: String): Set[String] =
     byPath.getOrDefault(normalize(path), Set.empty)
+
+  /** Accepted kill-switch spellings (see [[EliminateUniqueKeyLeftJoin]]). */
+  private[plans] val FalsySpellings = Set("false", "0", "off", "no")
+  private[plans] val TruthySpellings = Set("true", "1", "on", "yes")
+  /** Conf values already warned about — bounds the log to one line per
+    * distinct misspelling per JVM, not one per optimized query.
+    */
+  private[plans] val warnedConfValues =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Output attributes of `plan` that are unique-per-row, traced to scan
     * declarations through the operators that preserve per-column
@@ -131,10 +142,19 @@ object UniqueKeys {
 object EliminateUniqueKeyLeftJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // lenient parse: a malformed conf value must not detonate inside the
-    // optimizer (which would fail every query in the session) — anything
-    // that isn't an explicit "off" keeps the default-on behavior
-    val off = conf.getConfString("spark.graft.eliminateUniqueKeyJoins", "true")
-      .trim.equalsIgnoreCase("false")
+    // optimizer (which would fail every query in the session). All common
+    // falsy spellings disable the rule; anything unrecognized keeps the
+    // default-on behavior but WARNS (once per distinct value) — a user who
+    // typo'd their kill-switch must not silently get rewritten plans
+    val raw = conf.getConfString("spark.graft.eliminateUniqueKeyJoins", "true")
+    val v = raw.trim.toLowerCase(java.util.Locale.ROOT)
+    val off = UniqueKeys.FalsySpellings.contains(v)
+    if (!off && !UniqueKeys.TruthySpellings.contains(v) &&
+        UniqueKeys.warnedConfValues.add(raw)) {
+      logWarning(s"spark.graft.eliminateUniqueKeyJoins=$raw is not a " +
+        "recognized boolean (true/false/1/0/on/off/yes/no); join " +
+        "elimination stays ENABLED")
+    }
     if (off) return plan
     plan.transformUp {
       case p @ Project(projList, j: Join) =>

@@ -1,0 +1,109 @@
+package graft.tools
+
+import graft.{Bench, GraftSession, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev lab: order-controlled A/B of `a6_sketch_agg` SMALL-path spellings
+  * at sf0.1 (the governing bench's single most expensive line, 2.86 s on
+  * the r11 host). Run variants in BOTH orders before believing a ratio
+  * (GATES.md in-session order-bias note).
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.A6Lab [variant ...]"
+  */
+object A6Lab {
+  def variants(s: SparkSession, d: String): Map[String, () => DataFrame] = {
+    def raw = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"))
+    def price = Tables.lineitem(s, d).select(col("l_extendedprice"))
+    Map(
+      // current small path (r10 shape)
+      "vA_current" -> (() => graft.SparkEntry.a6SketchAgg(s, d, smallBytes = Long.MaxValue)),
+      // large path at sf0.1 for reference
+      "vL_large" -> (() => graft.SparkEntry.a6SketchAgg(s, d, smallBytes = 0L)),
+      // dedup-first HLLs + exact counts; price sketches in their own narrow job
+      "vB_split" -> (() => {
+        val parts = raw.select(col("l_partkey")).distinct()
+          .agg(count(lit(1)).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+        val orders = raw.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        val med = price.repartition(s.sessionState.conf.numShufflePartitions)
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+            expr("percentile(l_extendedprice, 0.5)").as("em"))
+        finish(parts.crossJoin(orders).crossJoin(med))
+      }),
+      // vB without the price repartition
+      "vC_split_norepart" -> (() => {
+        val parts = raw.select(col("l_partkey")).distinct()
+          .agg(count(lit(1)).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+        val orders = raw.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        val med = price
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+            expr("percentile(l_extendedprice, 0.5)").as("em"))
+        finish(parts.crossJoin(orders).crossJoin(med))
+      }),
+      // current small path minus the forced repartition
+      "vD_norepart" -> (() => {
+        val sketches = raw.agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+          expr("percentile(l_extendedprice, 0.5)").as("em"))
+        val exacts = raw.agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        finish(sketches.crossJoin(exacts))
+      }),
+      // exact median from the sorted-price two-sided limit; sketches deduped
+      "vE_sortmedian" -> (() => {
+        val parts = raw.select(col("l_partkey")).distinct()
+          .agg(count(lit(1)).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+        val orders = raw.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        val med = price.repartition(s.sessionState.conf.numShufflePartitions)
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+            expr("percentile(l_extendedprice, 0.5)").as("em"))
+        finish(parts.crossJoin(orders).crossJoin(med))
+      }))
+  }
+
+  private def finish(joined: DataFrame): DataFrame =
+    joined.select(
+      col("exact_parts"), col("exact_orders"),
+      (floor(col("em") * 100 + 0.5) / 100).as("exact_median_price"),
+      (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.06)
+        .as("parts_within_3rsd"),
+      (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.06)
+        .as("orders_within_3rsd"),
+      (abs(col("am") - col("em")) <= col("em") * 0.01)
+        .as("median_within_1pct"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.create(_
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.locality.wait", "0ms"))
+    val vs = variants(spark, sfDir)
+    val names = if (args.nonEmpty) args.toSeq else vs.keys.toSeq.sorted
+    // warm the scan + JIT once with the first variant
+    Bench.evaluate(vs(names.head)())
+    for (n <- names) {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.evaluate(vs(n)())
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"A6LAB $n%-22s min ${ts.min}%.3f s  (${ts.map(t => f"$t%.2f").mkString(",")})")
+    }
+    spark.stop()
+  }
+}

@@ -389,15 +389,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("ShuffledHashJoin")
   }
 
-  test("dedup_span_cut: no window over span occurrences; anti-join removal; no cartesian") {
+  test("dedup_span_cut: no window over span occurrences; array-kernel rebuild; no cartesian") {
     // canonical-occurrence selection is groupBy+min (partial aggregation,
-    // skew-safe on a corpus-stopword span), NOT a per-hash window; covered
-    // positions remove via left_anti; nothing plans a nested-loop join
+    // skew-safe on a corpus-stopword span), NOT a per-hash window; the
+    // rebuild joins per-doc covered-position SETS to the one-row-per-doc
+    // base (r11) — the corpus text is never word-exploded through an
+    // exchange, so no Generate may appear downstream of the covered-set
+    // aggregate; nothing plans a nested-loop join
     val p = plan("dedup_span_cut")
     p should not include "Window"
-    p should include("LeftAnti")
     (p should not).include("CartesianProduct")
     (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("dedup_span_cut: covered-SET rebuild — no word anti-join, no all-words regroup") {
+    // the r10 rebuild word-exploded the whole corpus, anti-joined covered
+    // positions and collect_list-regrouped it; the r11 shape aggregates
+    // covered positions into per-doc SETS and rebuilds per row — the plan
+    // must carry the collect_set aggregate and neither of the old markers
+    val p = plan("dedup_span_cut")
+    p should include("collect_set")
+    (p should not).include("collect_list")
+    (p should not).include("LeftAnti")
   }
 
   test("spanCut executed: the md5 occurrence subtree exchanges once (ReuseExchange)") {

@@ -79,7 +79,7 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     onePass.exceptAll(dedup).count() shouldBe 0L
   }
 
-  test("a6SketchAgg: decomposed branches (forced) agree with the single-pass spelling") {
+  test("a6SketchAgg: large decomposition (forced) agrees with the small path") {
     // exact columns and tolerance bools must agree; the sketch VALUES (ap,
     // ao, am) are internal and partitioning-sensitive, which is exactly why
     // the query exports only their within-tolerance flags

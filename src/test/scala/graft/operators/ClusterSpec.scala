@@ -22,6 +22,30 @@ class ClusterSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.map(_.getLong(1)).distinct shouldBe Array(1L)
   }
 
+  test("driver union-find small path agrees with the distributed loop") {
+    val pairs = Dedup.jaccardPairs(graft.Tables.documents(spark, sf0001),
+      k = 5, threshold = 0.5).cache()
+    val dist = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val star = Dedup.duplicateClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val drv = Dedup.duplicateClustersDriver(pairs, maxEdges = 1000000)
+    drv.isDefined shouldBe true
+    drv.get.schema.map(f => (f.name, f.dataType)) shouldBe
+      Seq(("doc_id", org.apache.spark.sql.types.LongType),
+        ("component", org.apache.spark.sql.types.LongType))
+    val local = drv.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    local shouldBe dist
+    local shouldBe star
+  }
+
+  test("driver union-find degrades to None past the edge bound and on non-long keys") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    Dedup.duplicateClustersDriver(pairs, maxEdges = 1) shouldBe None
+    val intPairs = Seq((1, 2)).toDF("doc_a", "doc_b")
+    Dedup.duplicateClustersDriver(intPairs, maxEdges = 10) shouldBe None
+  }
+
   test("clusters over real near-dup pairs partition the pair graph") {
     val pairs = Dedup.jaccardPairs(graft.Tables.documents(spark, sf0001),
       k = 5, threshold = 0.5).cache()
