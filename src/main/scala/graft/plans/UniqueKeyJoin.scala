@@ -31,20 +31,35 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * force the physical join).
   */
 object UniqueKeys {
-  /** normalized path (scheme-stripped URI path) -> unique column names */
+  /** normalized path (scheme-stripped URI path) -> declared unique KEYS,
+    * each a column-name set that is unique TOGETHER (singleton set = the
+    * classic single-column PK/UNIQUE; multi-column set = a composite key)
+    */
   private val byPath =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Set[String]]]()
 
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** Declare `cols` as each individually unique in the table at `path`.
+  /** Declare `cols` as each INDIVIDUALLY unique in the table at `path`
+    * (n singleton keys — the DDL shape `UNIQUE(a), UNIQUE(b)`).
     * Informational only: the engine TRUSTS the declaration, exactly like
     * an RDBMS trusts (and enforces) a PRIMARY KEY. Re-declaration
-    * overwrites.
+    * overwrites every key (composite ones included) for the path.
     */
   def declare(path: String, cols: Set[String]): Unit =
-    byPath.put(normalize(path), cols)
+    byPath.put(normalize(path), cols.map(Set(_)))
+
+  /** Declare the columns of `key` as unique TOGETHER (a composite
+    * PRIMARY KEY / UNIQUE constraint — `UNIQUE(a, b)`); column order is
+    * irrelevant to uniqueness and not retained. ADDS to the path's
+    * declarations (a table routinely carries one PK plus several UNIQUE
+    * constraints); [[declare]] and [[undeclare]] reset them.
+    */
+  def declareComposite(path: String, key: Seq[String]): Unit = {
+    require(key.nonEmpty, "declareComposite: key must name at least one column")
+    byPath.merge(normalize(path), Set(key.toSet), (a, b) => a ++ b)
+  }
 
   /** Drop declarations under `pathPrefix` (or all, with no prefix).
     * [[graft.Tables.invalidate]] calls this so overwriting a declared
@@ -60,7 +75,14 @@ object UniqueKeys {
     case None => byPath.clear()
   }
 
+  /** The path's SINGLE-column unique declarations (compatibility view of
+    * [[keysFor]]): columns unique on their own.
+    */
   def colsFor(path: String): Set[String] =
+    keysFor(path).collect { case k if k.size == 1 => k.head }
+
+  /** Every declared unique key (column-name set) for the table at `path`. */
+  def keysFor(path: String): Set[Set[String]] =
     byPath.getOrDefault(normalize(path), Set.empty)
 
   /** Accepted kill-switch spellings (see [[EliminateUniqueKeyLeftJoin]]). */
@@ -72,61 +94,85 @@ object UniqueKeys {
   private[plans] val warnedConfValues =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Output attributes of `plan` that are unique-per-row, traced to scan
-    * declarations through the operators that preserve per-column
-    * uniqueness: projection/aliasing, row-subsetting (filter, limit,
-    * semi/anti join — removing rows cannot create duplicates), ordering,
-    * repartitioning, and subquery aliasing. Grouping CREATES uniqueness:
-    * a single-expression `Aggregate` (the optimizer's form of GROUP BY
-    * one key, DISTINCT over one column, and dropDuplicates on one key)
-    * emits each grouping value exactly once, so its grouping output is
-    * unique by construction regardless of the child.
+  /** Unique KEYS of `plan`'s output — each returned [[AttributeSet]] is a
+    * set of output attributes that are unique TOGETHER — traced to scan
+    * declarations through the operators that preserve key uniqueness:
+    * projection/aliasing (a key survives only if EVERY member column is
+    * still projected), row-subsetting (filter, limit, semi/anti join —
+    * removing rows cannot create duplicates), ordering, repartitioning,
+    * and subquery aliasing. Grouping CREATES uniqueness: an `Aggregate`
+    * emits each distinct grouping TUPLE exactly once, so when every
+    * grouping expression has an output column, that column set is a key
+    * by construction regardless of the child — the single-expression
+    * case (the optimizer's form of GROUP BY one key, DISTINCT over one
+    * column, dropDuplicates on one key) falls out as a singleton.
     */
-  def uniqueOutputAttrs(plan: LogicalPlan): AttributeSet = plan match {
+  def uniqueKeySets(plan: LogicalPlan): Seq[AttributeSet] = plan match {
     case Project(projList, child) =>
-      val below = uniqueOutputAttrs(child)
-      AttributeSet(projList.collect {
-        case a: AttributeReference if below.contains(a) => a
-        case al @ Alias(a: AttributeReference, _) if below.contains(a) =>
-          al.toAttribute
-      })
-    case Filter(_, child) => uniqueOutputAttrs(child)
-    case SubqueryAlias(_, child) => uniqueOutputAttrs(child)
-    case r: RepartitionOperation => uniqueOutputAttrs(r.child)
-    case s: Sort => uniqueOutputAttrs(s.child)
-    case l: GlobalLimit => uniqueOutputAttrs(l.child)
-    case l: LocalLimit => uniqueOutputAttrs(l.child)
+      uniqueKeySets(child).flatMap { key =>
+        val outs = key.toSeq.map { a =>
+          projList.collectFirst {
+            case ar: AttributeReference if ar.exprId == a.exprId => ar
+            case al @ Alias(ar: AttributeReference, _)
+                if ar.exprId == a.exprId => al.toAttribute
+          }
+        }
+        if (outs.forall(_.isDefined)) Some(AttributeSet(outs.flatten))
+        else None
+      }
+    case Filter(_, child) => uniqueKeySets(child)
+    case SubqueryAlias(_, child) => uniqueKeySets(child)
+    case r: RepartitionOperation => uniqueKeySets(r.child)
+    case s: Sort => uniqueKeySets(s.child)
+    case l: GlobalLimit => uniqueKeySets(l.child)
+    case l: LocalLimit => uniqueKeySets(l.child)
     case j @ Join(left, _, LeftSemi | LeftAnti, _, _) =>
       // output rows are a subset of left's rows with left's schema
-      uniqueOutputAttrs(left)
-    case Aggregate(Seq(g), aggExprs, _, _) =>
-      // one grouping expression -> its output column holds each distinct
-      // value exactly once (unique whatever the child was)
-      AttributeSet(aggExprs.collect {
-        case a: AttributeReference if a.semanticEquals(g) => a
-        case al @ Alias(c, _) if c.semanticEquals(g) => al.toAttribute
-      })
-    case d @ Deduplicate(Seq(key: AttributeReference), _) =>
-      AttributeSet(d.output.filter(_.semanticEquals(key)))
+      uniqueKeySets(left)
+    case Aggregate(gExprs, aggExprs, _, _) if gExprs.nonEmpty =>
+      // the full grouping tuple is emitted once per distinct value; the
+      // key materializes only if every grouping expression has an output
+      // column (a dropped grouping column would leave apparent duplicates)
+      val outs = gExprs.map { g =>
+        aggExprs.collectFirst {
+          case a: AttributeReference if a.semanticEquals(g) => a
+          case al @ Alias(c, _) if c.semanticEquals(g) => al.toAttribute
+        }
+      }
+      if (outs.forall(_.isDefined)) Seq(AttributeSet(outs.flatten)) else Nil
+    case d @ Deduplicate(keys, _) if keys.forall(_.isInstanceOf[AttributeReference]) =>
+      val outs = keys.map(k => d.output.find(_.semanticEquals(k)))
+      if (outs.forall(_.isDefined)) Seq(AttributeSet(outs.flatten)) else Nil
     case rel: LogicalRelation => rel.relation match {
       // honor declarations only for SINGLE-path scans: a relation built
       // over several paths (spark.read.parquet(a, b)) can collide keys
       // across paths, so a per-path PK proves nothing about the union
       case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-        val declared = fs.location.rootPaths
-          .flatMap(p => colsFor(p.toString)).toSet
-        AttributeSet(rel.output.filter(a => declared.contains(a.name)))
-      case _ => AttributeSet.empty
+        fs.location.rootPaths.flatMap(p => keysFor(p.toString)).toSeq
+          .flatMap { keyNames =>
+            val attrs = keyNames.toSeq.map(n => rel.output.find(_.name == n))
+            if (attrs.forall(_.isDefined)) Some(AttributeSet(attrs.flatten))
+            else None
+          }
+      case _ => Nil
     }
-    case _ => AttributeSet.empty
+    case _ => Nil
   }
+
+  /** Compatibility view of [[uniqueKeySets]]: attributes unique on their
+    * own (the singleton keys).
+    */
+  def uniqueOutputAttrs(plan: LogicalPlan): AttributeSet =
+    AttributeSet(uniqueKeySets(plan).filter(_.size == 1).flatMap(_.toSeq))
 }
 
-/** Remove outer joins that provably contribute nothing: some
-  * equi-conjunct of the join condition equates a preserved-side value
-  * to a DECLARED-unique attribute of the other side, and the consuming
-  * operator directly above the join reads only preserved-side columns.
-  * Soundness: uniqueness bounds matches at one PER CONJUNCT — any
+/** Remove outer joins that provably contribute nothing: the join
+  * condition's equi-conjuncts bind dim attributes that COVER some
+  * declared unique key of the other side (a single-column key bound by
+  * one conjunct, or a composite key with every member column bound),
+  * and the consuming operator directly above the join reads only
+  * preserved-side columns.
+  * Soundness: a fully-bound unique key bounds matches at one — any
   * further conjuncts can only reject that single candidate, never add
   * matches — the outer join forbids dropping preserved rows, and the
   * unreferenced join output makes match-vs-null-extension unobservable.
@@ -187,14 +233,20 @@ object EliminateUniqueKeyLeftJoin extends Rule[LogicalPlan] with PredicateHelper
     // a streaming dim's grouped "uniqueness" holds per micro-batch, not
     // across the incremental result evolution — don't reason about it
     if (dim.isStreaming) return false
-    val unique = UniqueKeys.uniqueOutputAttrs(dim)
-    unique.nonEmpty && splitConjunctivePredicates(cond).exists {
+    val keys = UniqueKeys.uniqueKeySets(dim)
+    if (keys.isEmpty) return false
+    // dim attributes bound by equality to a probe value: each such
+    // conjunct fixes one dim column per probe row, so any declared key
+    // FULLY COVERED by the bound set admits at most one dim match per
+    // probe row (partial coverage proves nothing — a two-column key with
+    // one column bound can still match many rows)
+    val bound = AttributeSet(splitConjunctivePredicates(cond).flatMap {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (probe.outputSet.contains(a) && dim.outputSet.contains(b) &&
-          unique.contains(b)) ||
-        (probe.outputSet.contains(b) && dim.outputSet.contains(a) &&
-          unique.contains(a))
-      case _ => false
-    }
+        if (probe.outputSet.contains(a) && dim.outputSet.contains(b)) Seq(b)
+        else if (probe.outputSet.contains(b) && dim.outputSet.contains(a)) Seq(a)
+        else Nil
+      case _ => Nil
+    })
+    keys.exists(_.subsetOf(bound))
   }
 }

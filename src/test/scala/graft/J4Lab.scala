@@ -16,8 +16,26 @@ object J4Lab {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
-      .config("spark.locality.wait", "0ms"))
+      .config("spark.locality.wait", "0ms")
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse")))
     val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+    // `write_bucketed` (as first arg): persist the two 2-col j4 fact
+    // projections bucketed+sorted by orderkey into the session warehouse
+    // — the write-once-shuffle layout whose zero-exchange join
+    // BucketingSpec pins at spec scale. Subsequent runs time
+    // `j4_bucketed` against them.
+    if (args.headOption.contains("write_bucketed")) {
+      val t0 = System.nanoTime()
+      operators.Bucketing.writeBucketed(
+        li.select(col("l_orderkey"), col("l_suppkey")), "j4_li_b",
+        "l_orderkey", 32)
+      operators.Bucketing.writeBucketed(
+        ord.select(col("o_orderkey"), col("o_custkey")), "j4_ord_b",
+        "o_orderkey", 32)
+      println(f"WROTE bucketed j4 tables from $d in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
 
     def li = Tables.lineitem(spark, d)
     def ord = Tables.orders(spark, d)
@@ -66,6 +84,33 @@ object J4Lab {
             shiftright(col("lp"), 5) === shiftright(col("op"), 5))
           .groupBy((col("op") % 32).cast("int").as("cnk"),
             (col("lp") % 32).cast("int").as("snk"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(nat.as("cn")), col("cnk") === col("cn.n_nationkey"))
+          .join(broadcast(nat.as("sn")), col("snk") === col("sn.n_nationkey"))
+          .select(col("cn.n_name").as("cust_nation"),
+            col("sn.n_name").as("supp_nation"), col("n"))
+      },
+      // bucketed-layout j4: both fact projections read from the
+      // orderkey-bucketed tables written by `write_bucketed` — the
+      // fact⋈fact join consumes the bucket distribution and plans ZERO
+      // exchanges before the 625-group agg; dims broadcast as usual.
+      // This is the recorded 100 TB answer for J4: the exchange that
+      // floors the unbucketed plan (20.1 s measured at x1000) is paid
+      // once at write time and amortized over every orderkey join after.
+      "j4_bucketed" -> { () =>
+        val nat = Tables.nation(spark, d)
+        val lp = spark.table("j4_li_b")
+          .join(broadcast(Tables.supplier(spark, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_orderkey"), col("s_nationkey"))
+        val op = spark.table("j4_ord_b")
+          .join(broadcast(Tables.customer(spark, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        lp.join(op, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_nationkey").as("cnk"), col("s_nationkey").as("snk"))
           .agg(count(lit(1)).as("n"))
           .join(broadcast(nat.as("cn")), col("cnk") === col("cn.n_nationkey"))
           .join(broadcast(nat.as("sn")), col("snk") === col("sn.n_nationkey"))
@@ -250,7 +295,8 @@ object J4Lab {
       }
       spark.stop(); return
     }
-    val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
+    val names = (if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted)
+      .filterNot(_ == "write_bucketed")
     for (name <- names) {
       val mk = variants(name)
       Bench.evaluate(mk()) // warm
@@ -260,7 +306,13 @@ object J4Lab {
         Bench.evaluate(mk())
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"LAB $name%-14s ${ts.min}%.3f s (min-of-2)")
+      val extra = if (name == "j4_bucketed") {
+        val df = mk(); df.collect()
+        val ex = "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+        s"  [hash exchanges in executed plan: $ex — expect 1, the 625-group agg]"
+      } else ""
+      println(f"LAB $name%-14s ${ts.min}%.3f s (min-of-2)$extra")
     }
     spark.stop()
   }

@@ -99,10 +99,114 @@ class UniqueKeyJoinSpec extends AnyFunSuite with SparkFixture with Matchers {
     q.collect().map(_.toString).sorted shouldBe ruleOffRows(q)
   }
 
-  test("two-key grouping does NOT mark either key unique (negative)") {
+  test("two-key grouping does NOT mark either key unique alone — but the TUPLE is a key") {
     val two = Tables.orders(spark, sf0001)
       .groupBy(col("o_custkey"), col("o_orderstatus")).agg(count(lit(1)).as("c"))
     UniqueKeys.uniqueOutputAttrs(two.queryExecution.analyzed).isEmpty shouldBe true
+    val keys = UniqueKeys.uniqueKeySets(two.queryExecution.analyzed)
+    keys.map(_.map(_.name).toSet) shouldBe Seq(Set("o_custkey", "o_orderstatus"))
+  }
+
+  test("composite grouped key: join binding the FULL grouping tuple is eliminated") {
+    def q: DataFrame = {
+      val dim = Tables.orders(spark, sf0001)
+        .groupBy(col("o_custkey").as("gc"), col("o_orderstatus").as("gs"))
+        .agg(count(lit(1)).as("cnt"))
+      Tables.orders(spark, sf0001)
+        .join(dim, col("o_custkey") === col("gc") &&
+          col("o_orderstatus") === col("gs"), "left")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }
+    withClue(q.queryExecution.optimizedPlan.toString) {
+      optimizedHasJoin(q) shouldBe false
+    }
+    q.collect().map(_.toString).sorted shouldBe ruleOffRows(q)
+  }
+
+  test("composite grouped key: PARTIAL binding keeps the join (negative)") {
+    // only o_custkey bound — a (custkey, status) key with one column
+    // bound can match several rows; eliminating would drop duplicates
+    val dim = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey").as("gc"), col("o_orderstatus").as("gs"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = Tables.orders(spark, sf0001)
+      .join(dim, col("o_custkey") === col("gc"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    optimizedHasJoin(q) shouldBe true
+  }
+
+  test("declared composite key: full-coverage join eliminated, partial kept, parity both ways") {
+    // a genuinely composite-unique dim: the testdata's lineitem is only
+    // TPC-H-ISH — (l_orderkey, l_linenumber) pairs DO repeat in it (a
+    // first draft of this spec trusted the textbook PK and the parity
+    // check caught the duplicated rows), so the key is made true by
+    // construction with a dedup before writing
+    val dir = java.nio.file.Files.createTempDirectory("uk-composite")
+    val p = s"$dir/li.parquet"
+    Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("k_ord"), col("l_linenumber").as("k_line"),
+        col("l_quantity").as("d_qty"))
+      .dropDuplicates("k_ord", "k_line")
+      .write.parquet(p)
+    UniqueKeys.declareComposite(p, Seq("k_ord", "k_line"))
+    try {
+      UniqueKeys.keysFor(p) shouldBe Set(Set("k_ord", "k_line"))
+      UniqueKeys.colsFor(p) shouldBe Set.empty // no column is unique ALONE
+      def full: DataFrame = Tables.lineitem(spark, sf0001)
+        .join(spark.read.parquet(p),
+          col("l_orderkey") === col("k_ord") &&
+            col("l_linenumber") === col("k_line"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      withClue(full.queryExecution.optimizedPlan.toString) {
+        optimizedHasJoin(full) shouldBe false
+      }
+      full.collect().map(_.toString).sorted shouldBe ruleOffRows(full)
+      // partial coverage: k_ord alone is NOT a key — join must survive
+      val partial = Tables.lineitem(spark, sf0001)
+        .join(spark.read.parquet(p), col("l_orderkey") === col("k_ord"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      optimizedHasJoin(partial) shouldBe true
+    } finally {
+      UniqueKeys.undeclare(Some(dir.toString))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("composite key survives projection only when EVERY member survives") {
+    val dim = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"), col("o_orderstatus")).agg(count(lit(1)).as("c"))
+    val kept = dim.select(col("o_custkey").as("a"), col("o_orderstatus").as("b"))
+    UniqueKeys.uniqueKeySets(kept.queryExecution.analyzed)
+      .map(_.map(_.name).toSet) shouldBe Seq(Set("a", "b"))
+    val dropped = dim.select(col("o_custkey"))
+    UniqueKeys.uniqueKeySets(dropped.queryExecution.analyzed) shouldBe Nil
+  }
+
+  test("falsy kill-switch spellings disable the rule; truthy and junk keep it on") {
+    def q: DataFrame = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("l_orderkey"))
+    try {
+      for (v <- Seq("false", "0", "off", "no", " OFF ")) {
+        spark.conf.set("spark.graft.eliminateUniqueKeyJoins", v)
+        withClue(s"value=$v") { optimizedHasJoin(q) shouldBe true }
+      }
+      for (v <- Seq("true", "1", "on", "yes")) {
+        spark.conf.set("spark.graft.eliminateUniqueKeyJoins", v)
+        withClue(s"value=$v") { optimizedHasJoin(q) shouldBe false }
+      }
+    } finally spark.conf.unset("spark.graft.eliminateUniqueKeyJoins")
+  }
+
+  test("undeclare is path-boundary exact: /data/foo does not drop /data/foobar") {
+    UniqueKeys.declare("/tmp/uk-bound/foo/t.parquet", Set("id"))
+    UniqueKeys.declare("/tmp/uk-bound/foobar/t.parquet", Set("id"))
+    UniqueKeys.undeclare(Some("/tmp/uk-bound/foo"))
+    UniqueKeys.colsFor("/tmp/uk-bound/foo/t.parquet") shouldBe Set.empty
+    UniqueKeys.colsFor("/tmp/uk-bound/foobar/t.parquet") shouldBe Set("id")
+    UniqueKeys.undeclare(Some("/tmp/uk-bound"))
+    UniqueKeys.colsFor("/tmp/uk-bound/foobar/t.parquet") shouldBe Set.empty
   }
 
   test("multi-path scan: declarations do not survive a two-path union read") {

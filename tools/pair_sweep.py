@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""The ONE sanctioned same-day pairing path for the governing sf0.1 ratio.
+
+Round 10's verdict flagged pairing fragility as the top systemic risk: the
+same code measured 1.75x in the morning and 1.87x at end-of-round, the host
+swings 25-75% day-to-day, and the conventions that make a ratio meaningful
+(same-day, fixed order, min-of-N, quiet host) were enforced by hand. This
+tool makes them structural:
+
+  1. REFUSES to start while another sbt / java(Spark) / duckdb process is
+     alive (a polluted DuckDB rep once measured 152 s vs the clean 42 s).
+     The check reads /proc directly -- pgrep pattern-matches its own
+     command line (documented pitfall).
+  2. Runs the columns back-to-back in a FIXED order: graft.Verify (fresh
+     oracle_sql.json + correctness dumps), N x graft.Bench (Spark column),
+     then tools/bench_oracle.py (DuckDB column, min-of-3, fresh view over
+     the same parquet). Spark-then-DuckDB is the same order every round
+     recorded, so order bias is at least CONSTANT across rounds.
+  3. Writes BENCH_ORACLE.json ATOMICALLY (tmp + rename in the target dir)
+     and keeps every raw Bench full-map under --raw-dir with a timestamp,
+     so a crashed sweep can never leave a half-written governing file.
+
+Usage (from /root/repo):
+  python3 tools/pair_sweep.py                       # full sweep, 2 bench runs
+  python3 tools/pair_sweep.py --bench-runs 3
+  python3 tools/pair_sweep.py --oracle-dir /tmp/verify_sf001  # skip Verify
+
+BENCH_rNN.json stays DRIVER-owned (it snapshots Bench stdout); this tool
+governs BENCH_ORACLE.json only.
+"""
+import argparse, datetime, json, os, subprocess, sys, tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def busy_processes():
+    """Processes that would contaminate a timing column: sbt launchers,
+    Spark JVMs, duckdb workers. Reads /proc cmdlines directly; excludes
+    this process and its ancestors (the invoking shell chain)."""
+    me = os.getpid()
+    ancestors = set()
+    pid = me
+    while pid > 1:
+        ancestors.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split()[3])
+        except OSError:
+            break
+    hits = []
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit() or int(ent) in ancestors:
+            continue
+        try:
+            with open(f"/proc/{ent}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+            exe = os.path.basename(os.readlink(f"/proc/{ent}/exe"))
+        except OSError:
+            continue
+        # match on the EXECUTABLE, not just cmdline substrings: any process
+        # whose argv merely MENTIONS these strings (an editor, a shell
+        # history grep, an orchestrator prompt) is not a timing hazard.
+        # The hazards are JVMs (sbt or a Spark driver) and python workers
+        # actually importing duckdb.
+        jvm = exe.startswith("java") and any(
+            m in cmd for m in ("sbt-launch", "org.apache.spark", "graft."))
+        duck = exe.startswith("python") and any(
+            m in cmd for m in ("duckdb", "duck_batch", "bench_oracle",
+                               "check_oracle"))
+        if jvm or duck:
+            hits.append((int(ent), f"[{exe}] {cmd[:110]}"))
+    return hits
+
+
+def run(cmd, env=None, desc=""):
+    print(f"[pair_sweep] {desc or ' '.join(cmd)}", flush=True)
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    r = subprocess.run(cmd, env=e, cwd=REPO)
+    if r.returncode != 0:
+        sys.exit(f"[pair_sweep] FAILED ({r.returncode}): {' '.join(cmd)}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--verify-sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--bench-runs", type=int, default=2)
+    ap.add_argument("--cpus", default="32")
+    ap.add_argument("--oracle-dir", default=None,
+                    help="existing Verify dump (skips the Verify stage); "
+                         "must contain oracle_sql.json")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_ORACLE.json"))
+    ap.add_argument("--raw-dir", default=os.path.join(REPO, "tools", "sweeps"))
+    ap.add_argument("--allow-dirty", action="store_true",
+                    help="escape hatch for debugging ONLY; a ratio taken "
+                         "with this flag is not a governing number")
+    args = ap.parse_args()
+
+    hits = busy_processes()
+    if hits and not args.allow_dirty:
+        for pid, cmd in hits:
+            print(f"[pair_sweep] busy: pid {pid}: {cmd}")
+        sys.exit("[pair_sweep] REFUSING to pair on a dirty host -- a "
+                 "concurrent sbt/Spark/duckdb process contaminates both "
+                 "columns (documented: 152 s polluted vs 42 s clean). "
+                 "Wait for it or kill it, then re-run.")
+
+    stamp = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
+    os.makedirs(args.raw_dir, exist_ok=True)
+
+    oracle_dir = args.oracle_dir
+    if oracle_dir is None:
+        oracle_dir = tempfile.mkdtemp(prefix=f"pair_verify_{stamp}_")
+        run(["sbt", "-batch",
+             f"runMain graft.Verify {args.verify_sf_dir} {oracle_dir}"],
+            env={"SPARK_GRAFT_CPUS": args.cpus},
+            desc=f"Verify -> {oracle_dir}")
+    if not os.path.exists(os.path.join(oracle_dir, "oracle_sql.json")):
+        sys.exit(f"[pair_sweep] no oracle_sql.json under {oracle_dir}")
+
+    fulls = []
+    for i in range(args.bench_runs):
+        full = os.path.join(args.raw_dir, f"bench_{stamp}_run{i + 1}.json")
+        run(["sbt", "-batch", "runMain graft.Bench"],
+            env={"SPARK_GRAFT_SF_DIR": args.sf_dir,
+                 "SPARK_GRAFT_CPUS": args.cpus,
+                 "SPARK_GRAFT_FULL_OUT": full},
+            desc=f"Bench run {i + 1}/{args.bench_runs} -> {full}")
+        fulls.append(full)
+
+    # DuckDB column + merge, written to a tmp file first
+    tmp_out = os.path.join(os.path.dirname(os.path.abspath(args.out)),
+                           f".pair_sweep_{stamp}.tmp")
+    run([sys.executable, os.path.join(REPO, "tools", "bench_oracle.py"),
+         args.sf_dir, oracle_dir, ",".join(fulls), tmp_out],
+        desc="DuckDB column (min-of-3) + merge")
+
+    merged = json.load(open(tmp_out))
+    merged["pairing"] = {
+        "tool": "tools/pair_sweep.py",
+        "stamp": stamp,
+        "order": "verify, then spark x%d, then duckdb" % args.bench_runs,
+        "host_checked_quiet": not args.allow_dirty,
+        "raw_bench_files": fulls,
+    }
+    with open(tmp_out, "w") as f:
+        json.dump(merged, f, indent=1)
+    os.replace(tmp_out, args.out)  # atomic within the same filesystem
+    print(f"[pair_sweep] wrote {args.out} "
+          f"(overall_ratio={merged.get('overall_ratio')})")
+
+
+if __name__ == "__main__":
+    main()
