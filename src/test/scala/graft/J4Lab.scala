@@ -26,19 +26,47 @@ object J4Lab {
     // — the write-once-shuffle layout whose zero-exchange join
     // BucketingSpec pins at spec scale. Subsequent runs time
     // `j4_bucketed` against them.
+    // Bucket count scales with the data (env SPARK_GRAFT_BUCKETS): at
+    // x1000 the 32-bucket write put a 19M-row sort in every task and the
+    // driver GC-froze past the 10 s heartbeat RPC timeout (observed:
+    // heartbeater timeouts at 13:20, then TASK_WRITE_FAILED across the
+    // stage). Pre-repartitioning by the key with count == bucket count
+    // aligns the exchange's pmod(murmur3) with the bucket-id hash, so
+    // each task owns exactly one bucket (one file) and sorts a bounded
+    // slice — 128 buckets ≈ 4.7M rows/task at x1000.
     if (args.headOption.contains("write_bucketed")) {
+      val nb = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
       val t0 = System.nanoTime()
       operators.Bucketing.writeBucketed(
-        li.select(col("l_orderkey"), col("l_suppkey")), "j4_li_b",
-        "l_orderkey", 32)
+        li.select(col("l_orderkey"), col("l_suppkey"))
+          .repartition(nb, col("l_orderkey")), "j4_li_b",
+        "l_orderkey", nb)
       operators.Bucketing.writeBucketed(
-        ord.select(col("o_orderkey"), col("o_custkey")), "j4_ord_b",
-        "o_orderkey", 32)
-      println(f"WROTE bucketed j4 tables from $d in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        ord.select(col("o_orderkey"), col("o_custkey"))
+          .repartition(nb, col("o_orderkey")), "j4_ord_b",
+        "o_orderkey", nb)
+      println(f"WROTE bucketed j4 tables ($nb buckets) from $d in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-
     def li = Tables.lineitem(spark, d)
     def ord = Tables.orders(spark, d)
+    // The default session catalog is in-memory: tables written by a
+    // previous JVM survive only as files. Re-register them as EXTERNAL
+    // bucketed tables over the warehouse dirs (bucket ids ride the
+    // part-file names), so the timed read can run in a fresh session
+    // without re-paying the write.
+    locally {
+      val wh = sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse")
+      val nbReg = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
+      for ((t, k, cols) <- Seq(
+          ("j4_li_b", "l_orderkey", "l_orderkey BIGINT, l_suppkey BIGINT"),
+          ("j4_ord_b", "o_orderkey", "o_orderkey BIGINT, o_custkey BIGINT"))) {
+        if (new java.io.File(s"$wh/$t/_SUCCESS").exists() &&
+            !spark.catalog.tableExists(t)) {
+          spark.sql(s"CREATE TABLE $t ($cols) USING parquet CLUSTERED BY ($k) " +
+            s"SORTED BY ($k) INTO $nbReg BUCKETS LOCATION '$wh/$t'")
+        }
+      }
+    }
     def joinParts: Int = {
       val bStat = operators.AdaptiveGate.statBytes(
         ord.select(col("o_orderkey"), col("o_custkey")))
@@ -110,6 +138,32 @@ object J4Lab {
             col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("c_nationkey"))
         lp.join(op, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_nationkey").as("cnk"), col("s_nationkey").as("snk"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(nat.as("cn")), col("cnk") === col("cn.n_nationkey"))
+          .join(broadcast(nat.as("sn")), col("snk") === col("sn.n_nationkey"))
+          .select(col("cn.n_name").as("cust_nation"),
+            col("sn.n_name").as("supp_nation"), col("n"))
+      },
+      // bucketed layout + shuffle_hash: the co-partitioned bucket reads
+      // satisfy the join's distribution requirement (no exchange) and the
+      // hash build skips the two 600M/150M-row sorts the SMJ spelling
+      // pays (the scan's sortedness is not propagated through the
+      // dim-probe BHJ). Build = the orders side, bounded per task by the
+      // bucket count (150M/128 ≈ 1.2M rows ≈ 30 MB real build).
+      "j4_bucketed_shj" -> { () =>
+        val nat = Tables.nation(spark, d)
+        val lp = spark.table("j4_li_b")
+          .join(broadcast(Tables.supplier(spark, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_orderkey"), col("s_nationkey"))
+        val op = spark.table("j4_ord_b")
+          .join(broadcast(Tables.customer(spark, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        lp.join(op.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("c_nationkey").as("cnk"), col("s_nationkey").as("snk"))
           .agg(count(lit(1)).as("n"))
           .join(broadcast(nat.as("cn")), col("cnk") === col("cn.n_nationkey"))
@@ -295,6 +349,15 @@ object J4Lab {
       }
       spark.stop(); return
     }
+    // SPARK_GRAFT_EXPLAIN=1: print the formatted physical plan of each
+    // named variant instead of timing it (no evaluation runs)
+    if (sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "0") == "1") {
+      for (name <- args.filterNot(_ == "write_bucketed")) {
+        println(s"==== $name ====")
+        variants(name)().explain("formatted")
+      }
+      spark.stop(); return
+    }
     val names = (if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted)
       .filterNot(_ == "write_bucketed")
     for (name <- names) {
@@ -306,11 +369,14 @@ object J4Lab {
         Bench.evaluate(mk())
         (System.nanoTime() - t0) / 1e9
       }
-      val extra = if (name == "j4_bucketed") {
+      val extra = if (name.startsWith("j4_bucketed")) {
         val df = mk(); df.collect()
-        val ex = "Exchange hashpartitioning".r
-          .findAllIn(df.queryExecution.executedPlan.toString).size
-        s"  [hash exchanges in executed plan: $ex — expect 1, the 625-group agg]"
+        // AdaptiveSparkPlan.toString prints Final AND Initial plans —
+        // count only the final section or every exchange doubles
+        val planStr = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val ex = "Exchange hashpartitioning".r.findAllIn(planStr).size
+        s"  [hash exchanges in final plan: $ex — expect 1, the 625-group agg]"
       } else ""
       println(f"LAB $name%-14s ${ts.min}%.3f s (min-of-2)$extra")
     }
