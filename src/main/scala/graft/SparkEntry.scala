@@ -370,6 +370,18 @@ object SparkEntry {
     *    co-located/bucketed layout removes entirely (BucketingSpec pins
     *    exactly this fact⋈fact-on-orderkey join running with ZERO
     *    shuffle exchanges over bucketed tables).
+    *    AUDIT (r11, x1000): the bucketed layout MEASURED at scale —
+    *    128-bucket orderkey tables (written once: 613 s, the amortized
+    *    shuffle), join planned with ZERO exchanges before the 625-group
+    *    agg; fresh-JVM min-of-2 39.7 s vs same-day DuckDB 22.2 s =
+    *    1.78x, under the 2x bar the exchange-bound plan cannot reach
+    *    (same-day: 109.9 s solo — that day's disk-throttled host
+    *    penalizes the ~10 GB on-disk exchange 3.7x over the r10 host
+    *    while DuckDB's scan-only pipeline slowed only 2.1x; the ratio
+    *    spread IS the exchange sensitivity). The SMJ spelling beat the
+    *    co-partitioned shuffle-hash spelling 30.2 s vs 46.3 s in-session
+    *    — the two bounded sorts cost less than 128-slot hash builds.
+    *    J4Lab `write_bucketed`/`j4_bucketed` reproduces both columns.
     */
   private[graft] def j4Roleplay(s: SparkSession, d: String,
                                 packedBytes: Long = j4PackedBytes): DataFrame = {
@@ -912,6 +924,17 @@ object SparkEntry {
     // single-node win. An earlier 3.69-vs-4.17 same-session reading was
     // in-session order bias (second variant runs 15-30% warmer, even
     // between identical plans) and is retracted.
+    // AUDIT (r11, x1000): the FOURTH re-plan — per-order pre-aggregation
+    // of lineitem revenue BEFORE the c⋈o probe (J4Lab q3_preagg_shj:
+    // semi-filtered c⋈o, map-side combine into ~140M orderkey groups,
+    // 1:1 shuffle-hash attach of o_orderdate) — measured 158.0 s vs
+    // 11.96 s for this plan in the SAME session (candidate held the
+    // disadvantaged first position; a 13x blowout is beyond any order
+    // bias). The filter keeps ~93% of orderkeys, so "pre-aggregate to
+    // shrink the join input" exchanges nearly every orderkey group where
+    // this plan broadcasts 15M packed longs and aggregates once. With
+    // all four rejected re-plans measured, q3 is floor-accepted: the
+    // same-day r11 pair is 6.28 s vs DuckDB 3.29 s = 1.91x (≤2x).
     "q3_shipping_priority" -> ((s, d) => {
       val ord = Tables.orders(s, d)
       // 14-bit date pack is lossless only for epoch days in [0, 16384)
