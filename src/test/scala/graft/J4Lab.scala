@@ -50,20 +50,20 @@ object J4Lab {
     def li = Tables.lineitem(spark, d)
     def ord = Tables.orders(spark, d)
     // The default session catalog is in-memory: tables written by a
-    // previous JVM survive only as files. Re-register them as EXTERNAL
-    // bucketed tables over the warehouse dirs (bucket ids ride the
-    // part-file names), so the timed read can run in a fresh session
-    // without re-paying the write.
+    // previous JVM survive only as files. Re-register them via the
+    // product API, which derives the bucket count from the on-disk
+    // evidence (sidecar metadata, else the bucket ids in the part-file
+    // names) and FAILS FAST if SPARK_GRAFT_BUCKETS disagrees — trusting
+    // the env var here once silently dropped every file with bucket id
+    // >= the declared count (wrong results, no error).
     locally {
       val wh = sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse")
-      val nbReg = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
-      for ((t, k, cols) <- Seq(
-          ("j4_li_b", "l_orderkey", "l_orderkey BIGINT, l_suppkey BIGINT"),
-          ("j4_ord_b", "o_orderkey", "o_orderkey BIGINT, o_custkey BIGINT"))) {
+      val expectBuckets = sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt)
+      for ((t, k) <- Seq("j4_li_b" -> "l_orderkey", "j4_ord_b" -> "o_orderkey")) {
         if (new java.io.File(s"$wh/$t/_SUCCESS").exists() &&
             !spark.catalog.tableExists(t)) {
-          spark.sql(s"CREATE TABLE $t ($cols) USING parquet CLUSTERED BY ($k) " +
-            s"SORTED BY ($k) INTO $nbReg BUCKETS LOCATION '$wh/$t'")
+          operators.Bucketing.registerExternal(
+            spark, t, s"$wh/$t", keyFallback = Some(k), expect = expectBuckets)
         }
       }
     }
@@ -352,9 +352,15 @@ object J4Lab {
     // SPARK_GRAFT_EXPLAIN=1: print the formatted physical plan of each
     // named variant instead of timing it (no evaluation runs)
     if (sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "0") == "1") {
-      for (name <- args.filterNot(_ == "write_bucketed")) {
+      val explainNames = args.filterNot(_ == "write_bucketed") match {
+        case Array() => variants.keys.toSeq.sorted // mirror the timing path
+        case some => some.toSeq
+      }
+      for (name <- explainNames) {
         println(s"==== $name ====")
-        variants(name)().explain("formatted")
+        variants.getOrElse(name, sys.error(
+          s"unknown variant '$name'; known: ${variants.keys.toSeq.sorted.mkString(", ")}"))()
+          .explain("formatted")
       }
       spark.stop(); return
     }

@@ -96,6 +96,20 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
       plain.collect().map(_.toString).sorted
   }
 
+  test("layout_bucketed_join: layout changes the plan, never the answer; join is exchange-free") {
+    val bucketed = SparkEntry.queries("layout_bucketed_join")(spark, sf0001)
+    val shipped = SparkEntry.queries("j4_roleplay_join")(spark, sf0001)
+    bucketed.collect().map(_.toString).sorted shouldBe
+      shipped.collect().map(_.toString).sorted
+    // the fact-fact join consumes the bucket distribution: at most ONE
+    // hash exchange survives in the final plan (the 625-group agg)
+    val df = SparkEntry.queries("layout_bucketed_join")(spark, sf0001)
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    "Exchange hashpartitioning".r.findAllIn(planStr).size should be <= 1
+  }
+
   test("j4Roleplay: packed path fails loudly on a nationkey outside the 5-bit domain") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("j4-guard").toString

@@ -47,4 +47,84 @@ class BucketingSpec extends AnyFunSuite with Matchers with SparkFixture {
     Bucketing.hasShuffle(agg) shouldBe false
     agg.count() should be > 0L
   }
+
+  // a DETACHED external layout: written once, its catalog entry dropped
+  // (external -> the files survive, unlike a managed DROP) — the on-disk
+  // state a FRESH session faces when a previous JVM paid the write
+  private lazy val extLoc: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketing-ext")
+    val loc = dir.resolve("li_ext").toString
+    Bucketing.writeBucketedExternal(
+      graft.Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_quantity"),
+      "li_ext_seed", "l_orderkey", 4, loc)
+    spark.sql("DROP TABLE li_ext_seed")
+    loc
+  }
+
+  test("write records a sidecar; registerExternal re-registers a detached layout from it") {
+    // managed writes record the sidecar at the managed location too
+    Bucketing.readMeta(Bucketing.managedLocation(spark, "ord_bucketed")) shouldBe
+      Some(Bucketing.BucketMeta(4, "o_orderkey"))
+    Bucketing.readMeta(extLoc) shouldBe Some(Bucketing.BucketMeta(4, "l_orderkey"))
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(extLoc, "_SUCCESS")) shouldBe true
+    spark.catalog.tableExists("li_ext_seed") shouldBe false
+    Bucketing.registerExternal(spark, "li_reattached", extLoc)
+    val again = Bucketing.table(spark, "li_reattached")
+      .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+    Bucketing.hasShuffle(again) shouldBe false
+    again.count() should be > 0L
+  }
+
+  test("registerExternal fails fast when the expected bucket count disagrees with disk") {
+    spark.sql("DROP TABLE IF EXISTS li_misdeclared")
+    // registering a 4-bucket layout as 2 buckets would silently drop every
+    // file with bucket id >= 2 (~half the rows) — the API must refuse
+    val ex = intercept[IllegalArgumentException] {
+      Bucketing.registerExternal(spark, "li_misdeclared", extLoc, expect = Some(2))
+    }
+    ex.getMessage should include("refusing to register")
+    spark.catalog.tableExists("li_misdeclared") shouldBe false
+  }
+
+  test("registerExternal derives the count from part-file names when no sidecar exists") {
+    val metaPath = java.nio.file.Paths.get(extLoc, Bucketing.MetaFile)
+    val bytes = java.nio.file.Files.readAllBytes(metaPath)
+    java.nio.file.Files.delete(metaPath) // emulate a pre-sidecar layout
+    try {
+      Bucketing.bucketIdsOnDisk(extLoc) shouldBe Seq(0, 1, 2, 3)
+      spark.sql("DROP TABLE IF EXISTS li_presidecar")
+      // no sidecar and no key → unrecoverable, must say so
+      val ex = intercept[RuntimeException] {
+        Bucketing.registerExternal(spark, "li_presidecar", extLoc)
+      }
+      ex.getMessage should include("keyFallback")
+      Bucketing.registerExternal(spark, "li_presidecar", extLoc,
+        keyFallback = Some("l_orderkey"), expect = Some(4))
+      Bucketing.hasShuffle(Bucketing.table(spark, "li_presidecar")
+        .groupBy($"l_orderkey").agg(count(lit(1)))) shouldBe false
+      spark.sql("DROP TABLE li_presidecar")
+    } finally java.nio.file.Files.write(metaPath, bytes)
+  }
+
+  test("ensureBucketed writes once, re-registers from disk, and matches the plain join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketing-spec")
+    val loc = dir.resolve("ord_b").toString
+    def build = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey")
+    val t1 = Bucketing.ensureBucketed(spark, "ord_ensure", loc, "o_orderkey", 4)(build)
+    val n = t1.count()
+    n shouldBe build.count()
+    // drop only the catalog entry: ensure must recover from the files
+    spark.sql("DROP TABLE ord_ensure")
+    val t2 = Bucketing.ensureBucketed(spark, "ord_ensure", loc, "o_orderkey", 4)(
+      sys.error("ensureBucketed must not rebuild an existing layout"))
+    t2.count() shouldBe n
+    // a wrong expected count on re-register fails instead of dropping rows
+    spark.sql("DROP TABLE ord_ensure")
+    intercept[IllegalArgumentException] {
+      Bucketing.ensureBucketed(spark, "ord_ensure", loc, "o_orderkey", 8)(build)
+    }
+    spark.sql("DROP TABLE IF EXISTS ord_ensure")
+  }
 }

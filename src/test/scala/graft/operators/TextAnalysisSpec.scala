@@ -75,6 +75,25 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
     composed.exceptAll(fused).count() shouldBe 0L
   }
 
+  test("profile: native byte-walk kernel matches composed kernels on adversarial inputs") {
+    // edges the corpus never exercises: empty text, leading/trailing/run
+    // spaces (empty tokens), a token hitting TWO language lists ("la" is
+    // es AND fr), multi-byte UTF-8 (each non-ASCII code point is one
+    // punct char and one regex token), digit/letter run boundaries,
+    // tabs/newlines (punct, NOT token separators)
+    val edge = Seq(
+      (1L, ""), (2L, " "), (3L, "  a  b "), (4L, "la la the"),
+      (5L, "héllo wörld 日本語 test"), (6L, "ab12cd 3.14, x!y"),
+      (7L, "a\tb\nc d"), (8L, "the quick brown fox and the lazy dog is in"),
+      (9L, "el que de la"), (10L, "de5 shi4 le5 zai4 der die und das"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val fused = TextAnalysis.profile(edge)
+    val composed = TextAnalysis.profileComposed(edge)
+    fused.exceptAll(composed).count() shouldBe 0L
+    composed.exceptAll(fused).count() shouldBe 0L
+  }
+
   test("qualityModelScore: hand-computed hashed-linear sigmoid; deterministic") {
     // replicate the derivation outside Spark: distinct token hashes →
     // bucket → integer weight → mean/1000 → sigmoid, rounded to 6
