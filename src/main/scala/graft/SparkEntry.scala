@@ -249,11 +249,28 @@ object SparkEntry {
   private[graft] def a2CountDistinct(s: SparkSession, d: String,
                                      smallBytes: Long = rawAggBytes): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-    if (operators.AdaptiveGate.isSmall(li, smallBytes))
-      li.agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
+    if (operators.AdaptiveGate.isSmall(li, smallBytes)) {
+      // pack the pair into ONE long (suppkey rides the low 11 bits): the
+      // three countDistincts force an Expand that triples the rows feeding
+      // the distinct shuffle, and pairs are ~98% unique at sf0.1 so the
+      // map-side dedup removes almost nothing — halving the bytes per
+      // expanded row is the remaining lever. All three counts are
+      // projections of the packed value (hi bits = partkey, low = supp,
+      // whole = pair). Domain guarded per row, codegen'd (the j4 packed
+      // convention): out-of-range keys fail LOUDLY, never corrupt counts.
+      val pk = when(col("l_suppkey") >= 0 && col("l_suppkey") < 2048 &&
+          col("l_partkey") >= 0,
+          shiftleft(col("l_partkey").cast("long"), 11)
+            .bitwiseOR(col("l_suppkey").cast("long")))
+        .otherwise(raise_error(concat(
+          lit("a2 packed plan: (partkey, suppkey) outside [0,∞)×[0,2048): "),
+          col("l_partkey").cast("string"), lit(","),
+          col("l_suppkey").cast("string"))))
+      li.select(pk.as("__pk")).agg(
+        countDistinct(shiftright(col("__pk"), 11)).as("n_parts"),
+        countDistinct(col("__pk").bitwiseAND(lit(2047L))).as("n_supps"),
+        countDistinct(col("__pk")).as("n_pairs"))
+    }
     else {
       val byPart = li.repartition(col("l_partkey"))
       val pairs = byPart.distinct()
@@ -427,6 +444,59 @@ object SparkEntry {
       .join(broadcast(nat.as("sn")), col("snk") === col("sn.n_nationkey"))
       .select(col("cn.n_name").as("cust_nation"),
         col("sn.n_name").as("supp_nation"), col("n"))
+  }
+
+  /** `a11_percentiles` body, size-adaptive. Exact interpolated
+    * percentiles per group, same interpolation as DuckDB's quantile_cont
+    * (`lower + (higher - lower) * (pos - floor(pos))`, pos = p·(n−1)
+    * 0-based over the sorted values).
+    *
+    *  - small (≤ [[rawAggBytes]] of 2-col stats — the sf0.1 regime):
+    *    `sort_array(collect_list(price))` per group, percentiles read by
+    *    position with codegen'd arithmetic. `Percentile`'s
+    *    TypedImperativeAggregate update maintains a boxed
+    *    OpenHashMap[value→count] per partial and serializes the whole map
+    *    across the shuffle — at sf0.1 prices are ~97% distinct (583k/600k)
+    *    so the map dedups nothing and the interpreted per-row update IS
+    *    the query (19x DuckDB, the r11 board's worst floor line; a r11
+    *    fan-out attempt measured 1.30 s vs 1.03 s and was rejected —
+    *    the update side was never the bottleneck at this size).
+    *    collect_list's update is a cheap append, merge is array concat,
+    *    and the one sort per group runs once at the end.
+    *  - large: the `percentile` aggregate unchanged — 3 groups ×
+    *    hundreds of millions of buffered doubles must never concentrate
+    *    into 3 collect_list reducers; the map-side value-dedup that is
+    *    useless at sf0.1 is exactly what bounds partial size on
+    *    replicated corpora at x1000.
+    *
+    * Both paths produce bit-identical doubles (same sorted order, same
+    * IEEE interpolation arithmetic) — pinned by the forced-path parity
+    * spec and the DuckDB oracle.
+    */
+  private[graft] def a11Percentiles(s: SparkSession, d: String,
+                                    smallBytes: Long = rawAggBytes): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+    if (operators.AdaptiveGate.isSmall(li, smallBytes)) {
+      def interp(v: Column, p: Double): Column = {
+        val pos = lit(p) * (size(v) - 1).cast("double")
+        val lo = floor(pos).cast("int")
+        val loV = element_at(v, lo + 1)
+        val hiV = element_at(v, ceil(pos).cast("int") + 1)
+        loV + (hiV - loV) * (pos - lo.cast("double"))
+      }
+      li.groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_list(col("l_extendedprice"))).as("__v"))
+        .select(col("l_returnflag"),
+          round(interp(col("__v"), 0.5), 4).as("p50"),
+          round(interp(col("__v"), 0.9), 4).as("p90"),
+          round(interp(col("__v"), 0.99), 4).as("p99"))
+    } else
+      li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("p"), 1), 4).as("p50"),
+          round(element_at(col("p"), 2), 4).as("p90"),
+          round(element_at(col("p"), 3), 4).as("p99"))
   }
 
   /** Content fingerprint of the tables feeding a persisted layout: file
@@ -1306,20 +1376,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
 
     // A11 (beyond reference): exact interpolated percentiles per group —
-    // Spark's sort-based percentile agg, same interpolation as DuckDB's
-    // quantile_cont. A r11 attempt to fan the raw rows to session width
-    // before the groupBy (the a6/a11 interpreted-update argument)
-    // measured 1.30 s vs 1.03 s plain — the cost here is the per-GROUP
-    // final merge+sort (3 groups, ~200k buffered values each), which no
-    // update-side fan-out touches; REJECTED, plain spelling kept.
-    "a11_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("p"))
-        .select(col("l_returnflag"),
-          round(element_at(col("p"), 1), 4).as("p50"),
-          round(element_at(col("p"), 2), 4).as("p90"),
-          round(element_at(col("p"), 3), 4).as("p99"))),
+    // size-adaptive, see [[a11Percentiles]]
+    "a11_percentiles" -> ((s, d) => a11Percentiles(s, d)),
 
     // A9 (beyond reference): UNPIVOT/melt — wide measures to long form
     // AUDIT (r8, x1000): the executed plan is the optimum this query

@@ -121,6 +121,23 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Kernel of [[TokenCount]]: `size(split(text, " ", -1))` = the number
+    * of 0x20 bytes + 1 (single-space convention; a space byte never
+    * occurs inside a multi-byte UTF-8 sequence). The composed spelling
+    * runs the regex engine AND materializes the token array just to take
+    * its size.
+    */
+  def tokenCount(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var n = 1L
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Kernel of [[ProfileTallies]]: ONE byte-traversal over `text`
     * producing every token- and char-level tally `TextAnalysis.profile`
     * needs, as a struct row
@@ -746,6 +763,26 @@ case class ProbeTermStats(child: Expression, terms: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Whitespace token count — see [[TextOps.tokenCount]]. */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_count"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.tokenCount(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.tokenCount($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused per-document profile tallies — see [[TextOps.profileTallies]].
   * `stopwords` and `markers` are plan literals (tiny fixed lexicons),
   * pre-encoded to UTF-8 byte arrays and shared through a codegen
@@ -958,6 +995,7 @@ object TextFunctions {
   def profile_tallies(text: Column, stopwords: Seq[String],
                       markers: Seq[(String, Seq[String])]): Column =
     column(ProfileTallies(expression(text), stopwords, markers))
+  def token_count(text: Column): Column = column(TokenCount(expression(text)))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
   def normalize_text(text: Column): Column = column(NormalizeText(expression(text)))
 }

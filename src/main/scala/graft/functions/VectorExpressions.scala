@@ -128,6 +128,56 @@ object VectorOps {
     val d = math.sqrt(nx) * math.sqrt(ny)
     if (d == 0.0) 0.0 else dot / d
   }
+
+  /** Kernel of [[SemanticKeepArray]]: given one cell's
+    * `array<struct<vec_id, embedding>>`, mark each vector kept unless SOME
+    * vector with a strictly smaller vec_id in the same cell scores
+    * `round(cosine, 6) >= threshold` against it — the exact semantics of
+    * the join spelling `removed = b WHERE EXISTS a (a.vec_id < b.vec_id
+    * AND round(cos,6) >= t)` (a's own removal never exempts it, matching
+    * the SQL). Scoring goes through [[IvfKernel.cos6]], the ONE
+    * rounded-cosine kernel every ANN stage shares, so values stay
+    * bit-identical to the in-plan `round(CosineSimilarity, 6)` and the
+    * DuckDB oracle. Output rows in input order; O(k²) bounded by the
+    * caller's maxCellRows guard.
+    */
+  def semanticKeep(vs: ArrayData, threshold: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = vs.numElements()
+    val ids = new Array[Long](k)
+    val embs = new Array[Array[Float]](k)
+    var i = 0
+    while (i < k) {
+      val row = vs.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      embs(i) = IvfKernel.toFloats(row.getArray(1))
+      i += 1
+    }
+    // scan in ascending-vec_id order (collect_list order is partition-
+    // dependent; the semantics are not)
+    val idx = Array.range(0, k).sortBy(ids(_))
+    val kept = new Array[Boolean](k)
+    i = 0
+    while (i < k) {
+      val ii = idx(i)
+      var keep = true
+      var j = 0
+      while (keep && j < i) {
+        val jj = idx(j)
+        if (ids(jj) != ids(ii) &&
+            IvfKernel.cos6(embs(jj), embs(ii)) >= threshold) keep = false
+        j += 1
+      }
+      kept(ii) = keep
+      i += 1
+    }
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(ids(i), kept(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** THE one centroid-scoring kernel: `round(cosine, 6)` of an embedding
@@ -287,6 +337,48 @@ case class IvfTopCells(child: Expression, cids: IndexedSeq[Long],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** SemDeDup's within-cell earliest-survivor pass as ONE bounded kernel —
+  * see [[VectorOps.semanticKeep]]. The SQL self-join spelling
+  * (`a.cell = b.cell AND a.vec_id < b.vec_id AND round(cos, 6) >=
+  * threshold` → anti-probe) re-ran the scan+argmax subtree once per join
+  * input (column pruning + inferred not-null filters make the three
+  * references canonicalize differently, so exchange reuse never fires —
+  * plan-audited, r12); with the cell's vectors collected into one row the
+  * quadratic scan runs in-task, bounded by the SAME maxCellRows guard
+  * that already protects the join spelling.
+  */
+case class SemanticKeepArray(child: Expression, threshold: Double)
+    extends UnaryExpression {
+  override def prettyName: String = "semantic_keep"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("kept",
+        org.apache.spark.sql.types.BooleanType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+          if fields.length == 2 &&
+            fields(0).dataType == org.apache.spark.sql.types.LongType &&
+            (fields(1).dataType match {
+              case ArrayType(FloatType, _) => true; case _ => false }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct<long, array<float>>>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.semanticKeep(a.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.semanticKeep($c, ${threshold}D)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftShims.{column, expression}
   def vec_dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
@@ -300,4 +392,6 @@ object VectorFunctions {
                     nprobe: Int): Column =
     column(IvfTopCells(expression(emb), cids.toIndexedSeq,
       cents.map(_.toIndexedSeq).toIndexedSeq, nprobe))
+  def semantic_keep(vs: Column, threshold: Double): Column =
+    column(SemanticKeepArray(expression(vs), threshold))
 }

@@ -985,13 +985,28 @@ object Dedup {
         s"maxCellRows=$maxCellRows — the per-cell comparison is quadratic in " +
         "cell size; raise nlist so cells shrink (production SemDeDup uses " +
         "tens of thousands of clusters), or raise maxCellRows deliberately")
-    val removed = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
-        >= threshold)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-    assigned.join(removed.withColumn("__graft_rm", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("__graft_rm").isNull.as("kept"))
+    // One cell-grouped pass replaces the self-join spelling (r12): the
+    // join re-ran the scan+argmax subtree once per join input — column
+    // pruning and inferred not-null filters make the three references
+    // canonicalize differently, so exchange reuse never fires
+    // (plan-audited) — and exchanged the embedding column twice. Here the
+    // cell's vectors are collected into ONE row (bounded by the SAME
+    // maxCellRows guard that already protects the quadratic join) and the
+    // earliest-survivor scan runs in-task through the codegen'd
+    // [[graft.functions.SemanticKeepArray]] kernel, whose rounded cosine
+    // is IvfKernel.cos6 — the one scoring kernel every ANN stage shares,
+    // bit-identical to the join spelling's round(CosineSimilarity, 6) and
+    // the DuckDB oracle. Full evaluation: 2 argmax passes (guard + this),
+    // down from 4, and one embedding exchange, down from 3 (two join
+    // inputs + the vec_id probe).
+    assigned
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("__vs"))
+      .select(col("cell"),
+        explode(graft.functions.VectorFunctions.semantic_keep(
+          col("__vs"), threshold)).as("__k"))
+      .select(col("__k.vec_id").as("vec_id"), col("cell"),
+        col("__k.kept").as("kept"))
   }
 
   /** Cross-corpus fuzzy decontamination: exact n-gram Jaccard near-dup

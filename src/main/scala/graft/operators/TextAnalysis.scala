@@ -17,13 +17,36 @@ object TextAnalysis {
   /** Whitespace tokenization (single-space convention of the corpus). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+  /** The shared native tally struct behind the scalar kernels below —
+    * ALWAYS instantiated with the canonical lexicons so every kernel
+    * column over the same text canonicalizes to the SAME expression and
+    * whole-stage codegen's subexpression elimination runs the byte-walk
+    * once per row however many kernels a projection composes.
+    */
+  private def tallies(text: Column): Column =
+    graft.functions.TextFunctions.profile_tallies(text, Stopwords, LangMarkers)
+
+  /** Whitespace token count. Native ([[graft.functions.TokenCount]]):
+    * the composed `size(split(text, " "))` runs the regex engine and
+    * materializes the token array just to take its length.
+    */
+  def tokenCount(text: Column): Column =
+    graft.functions.TextFunctions.token_count(text)
+
+  /** Reference composed formulation of [[tokenCount]] (parity specs). */
+  private[operators] def tokenCountComposed(text: Column): Column =
+    size(words(text)).cast("long")
 
   /** BPE-ish regex token count: runs of letters, runs of digits, or a single
-    * non-alphanumeric non-space char each count as one token.
+    * non-alphanumeric non-space char each count as one token. Native — the
+    * `regexp_extract_all` spelling materializes every match into an array;
+    * the tally kernel counts run boundaries in the same byte-walk that
+    * serves the other kernels.
     */
-  def regexTokenCount(text: Column): Column =
+  def regexTokenCount(text: Column): Column = tallies(text)("rtok")
+
+  /** Reference composed formulation of [[regexTokenCount]] (parity specs). */
+  private[operators] def regexTokenCountComposed(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
 
   /** Distinct k-word shingles (n-grams) of a document, as an array column.
@@ -54,6 +77,13 @@ object TextAnalysis {
     */
   def punctRatio(text: Column): Column = {
     val n = length(text)
+    when(n > 0, tallies(text)("punct").cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Reference composed formulation of [[punctRatio]] (parity specs). */
+  private[operators] def punctRatioComposed(text: Column): Column = {
+    val n = length(text)
     val punct = n - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
     when(n > 0, punct.cast("double") / n.cast("double")).otherwise(lit(0.0))
   }
@@ -62,6 +92,13 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
 
   def stopwordRatio(text: Column): Column = {
+    val t = tallies(text)
+    when(t("nw") > 0, t("stop").cast("double") / t("nw").cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Reference composed formulation of [[stopwordRatio]] (parity specs). */
+  private[operators] def stopwordRatioComposed(text: Column): Column = {
     val w = words(text)
     val stop = filter(w, t => t.isin(Stopwords.map(lit): _*))
     when(size(w) > 0, size(stop).cast("double") / size(w).cast("double"))
@@ -70,6 +107,13 @@ object TextAnalysis {
 
   /** Mean word length in characters. */
   def meanWordLen(text: Column): Column = {
+    val t = tallies(text)
+    when(t("nw") > 0, t("chars").cast("double") / t("nw").cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Reference composed formulation of [[meanWordLen]] (parity specs). */
+  private[operators] def meanWordLenComposed(text: Column): Column = {
     val w = words(text)
     when(size(w) > 0,
       aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double")
@@ -84,6 +128,14 @@ object TextAnalysis {
     val lenOk = when(length(text).between(20, 100000), lit(0.4)).otherwise(lit(0.0))
     val punctOk = when(punctRatio(text) < 0.1, lit(0.3)).otherwise(lit(0.0))
     val stopOk = when(stopwordRatio(text).between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0))
+    lenOk + punctOk + stopOk
+  }
+
+  /** Reference composed formulation of [[qualityScore]] (parity specs). */
+  private[operators] def qualityScoreComposed(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 100000), lit(0.4)).otherwise(lit(0.0))
+    val punctOk = when(punctRatioComposed(text) < 0.1, lit(0.3)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatioComposed(text).between(0.01, 0.6), lit(0.3)).otherwise(lit(0.0))
     lenOk + punctOk + stopOk
   }
 
@@ -575,12 +627,12 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       col("n_chars"),
-      tokenCount(col("text")).as("n_tokens"),
-      regexTokenCount(col("text")).as("n_regex_tokens"),
-      punctRatio(col("text")).as("punct_ratio"),
-      stopwordRatio(col("text")).as("stopword_ratio"),
-      meanWordLen(col("text")).as("mean_word_len"),
-      qualityScore(col("text")).as("quality_score"),
+      tokenCountComposed(col("text")).as("n_tokens"),
+      regexTokenCountComposed(col("text")).as("n_regex_tokens"),
+      punctRatioComposed(col("text")).as("punct_ratio"),
+      stopwordRatioComposed(col("text")).as("stopword_ratio"),
+      meanWordLenComposed(col("text")).as("mean_word_len"),
+      qualityScoreComposed(col("text")).as("quality_score"),
       langId(col("text")).as("lang_pred"),
       fingerprint(col("text")).as("fingerprint"))
 }

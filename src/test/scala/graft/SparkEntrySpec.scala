@@ -79,6 +79,15 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     onePass.exceptAll(dedup).count() shouldBe 0L
   }
 
+  test("a11Percentiles: collect-sort small path (forced) agrees with the percentile aggregate") {
+    // bit-identical doubles required (the oracle hashes values): same
+    // sorted order, same IEEE interpolation arithmetic on both paths
+    val collectSort = SparkEntry.a11Percentiles(spark, sf0001, smallBytes = Long.MaxValue)
+    val percentileAgg = SparkEntry.a11Percentiles(spark, sf0001, smallBytes = 0L)
+    collectSort.exceptAll(percentileAgg).count() shouldBe 0L
+    percentileAgg.exceptAll(collectSort).count() shouldBe 0L
+  }
+
   test("a6SketchAgg: large decomposition (forced) agrees with the small path") {
     // exact columns and tolerance bools must agree; the sketch VALUES (ap,
     // ao, am) are internal and partitioning-sensitive, which is exactly why
