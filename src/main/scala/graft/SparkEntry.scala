@@ -250,14 +250,22 @@ object SparkEntry {
                                      smallBytes: Long = rawAggBytes): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
     if (operators.AdaptiveGate.isSmall(li, smallBytes)) {
-      // pack the pair into ONE long (suppkey rides the low 11 bits): the
-      // three countDistincts force an Expand that triples the rows feeding
-      // the distinct shuffle, and pairs are ~98% unique at sf0.1 so the
-      // map-side dedup removes almost nothing — halving the bytes per
-      // expanded row is the remaining lever. All three counts are
-      // projections of the packed value (hi bits = partkey, low = supp,
-      // whole = pair). Domain guarded per row, codegen'd (the j4 packed
+      // r12 re-audit (A2Lab, min-of-3 BOTH orders): the packed-long
+      // Expand spelling measured 0.91/1.06 s — halving expanded-row bytes
+      // bought nothing because the PAIR branch (~98% unique at sf0.1, so
+      // map-side dedup removes nothing) dominates the distinct shuffle.
+      // Adopted: the pair count becomes a BITMAP aggregate over the
+      // packed domain — bitmap_construct_agg's fixed-width byte-array
+      // buffer replaces the 591k-row hash dedup entirely (set-bit ORs,
+      // map-side combine, the shuffle carries (bucket → 4KB blob) rows);
+      // n_parts/n_supps keep the plain countDistinct pass, whose Expand
+      // partials crush to 21k rows. Measured 0.63/0.65 s vs plain
+      // 0.80/0.79 s, full-bitmap-×3 1.26 s (explode overhead), dedup-
+      // derive 0.80 s. Domain guarded per row, codegen'd (the j4 packed
       // convention): out-of-range keys fail LOUDLY, never corrupt counts.
+      // Bucket count scales with the packed domain (partkey_max << 11) /
+      // 32768 — bounded here by the small gate itself; the large path
+      // below never packs.
       val pk = when(col("l_suppkey") >= 0 && col("l_suppkey") < 2048 &&
           col("l_partkey") >= 0,
           shiftleft(col("l_partkey").cast("long"), 11)
@@ -266,10 +274,14 @@ object SparkEntry {
           lit("a2 packed plan: (partkey, suppkey) outside [0,∞)×[0,2048): "),
           col("l_partkey").cast("string"), lit(","),
           col("l_suppkey").cast("string"))))
-      li.select(pk.as("__pk")).agg(
-        countDistinct(shiftright(col("__pk"), 11)).as("n_parts"),
-        countDistinct(col("__pk").bitwiseAND(lit(2047L))).as("n_supps"),
-        countDistinct(col("__pk")).as("n_pairs"))
+      val pairsBm = li.select(pk.as("__pk"))
+        .groupBy(expr("bitmap_bucket_number(__pk)").as("__b"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(__pk))").as("__bm"))
+        .agg(sum(expr("bitmap_count(__bm)")).as("n_pairs"))
+      li.agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .crossJoin(pairsBm)
     }
     else {
       val byPart = li.repartition(col("l_partkey"))
@@ -617,14 +629,36 @@ object SparkEntry {
       // serializes the interpreted updates), r10 shape minus repartition
       // 1.95 s, large path at sf0.1 1.74 s (its vc-freq exact median
       // buys nothing at a sf where 583k of 600k prices are distinct).
+      // AUDIT (r12, sf0.1, A6Lab min-of-3 BOTH orders): the r11 split's
+      // remaining cost was the exact `percentile` itself — its boxed
+      // value->count map dedups nothing at 97% distinct prices (the a11
+      // lesson verbatim). Exact median now reads positionally off
+      // sort_array(collect_list) in the same narrow agg as the approx
+      // sketch (vH isolation: fused exacts + old median 2.12 s, so the
+      // median swap IS the win), and the two exact-distinct jobs fuse
+      // into ONE exploded (k,v)-distinct pass (HLLs still see only
+      // dedup survivors). Measured: adopted vG 0.86/1.10 s
+      // (advantaged/disadvantaged order) vs r11 shape 2.19/2.21 s.
+      // Large path unchanged: collect_list of 600M prices in one
+      // reducer can never happen there (the vc-freq pre-aggregate is
+      // what bounds partials on replicated corpora).
       val sketches =
-        if (small)
+        if (small) {
+          val pos = lit(0.5) * (size(col("__v")) - 1).cast("double")
+          val lo = floor(pos).cast("int")
+          val loV = element_at(col("__v"), lo + 1)
+          val hiV = element_at(col("__v"), ceil(pos).cast("int") + 1)
           src.select(col("l_extendedprice"))
             .repartition(s.sessionState.conf.numShufflePartitions)
             .agg(
               percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-              expr("percentile(l_extendedprice, 0.5)").as("em"))
-        else {
+              sort_array(collect_list(col("l_extendedprice"))).as("__v"))
+            // same interpolation arithmetic as Percentile (pos = p·(n−1),
+            // lo + (hi−lo)·frac) — bit-identical, pinned by the
+            // forced-path parity spec and the DuckDB oracle
+            .select(col("am"),
+              (loV + (hiV - loV) * (pos - lo.cast("double"))).as("em"))
+        } else {
           val apx = src.agg(
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
           val em = src.groupBy(col("l_extendedprice"))
@@ -634,12 +668,23 @@ object SparkEntry {
         }
       val exacts =
         if (small)
-          src.select(col("l_partkey")).distinct()
-            .agg(count(lit(1)).as("exact_parts"),
-              approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
-            .crossJoin(src.select(col("l_orderkey")).distinct()
-              .agg(count(lit(1)).as("exact_orders"),
-                approx_count_distinct(col("l_orderkey"), 0.02).as("ao")))
+          // ONE dedup job for both key sets: explode each row to
+          // (k=0, partkey) and (k=1, orderkey), codegen'd two-phase
+          // distinct (map-side partial dedup before the one shuffle),
+          // per-k count + HLL over the survivors, 2 rows folded to 1
+          src.select(explode(array(
+              struct(lit(0).as("k"), col("l_partkey").as("v")),
+              struct(lit(1).as("k"), col("l_orderkey").as("v")))).as("kv"))
+            .select(col("kv.k").as("k"), col("kv.v").as("v"))
+            .distinct()
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("c"),
+              approx_count_distinct(col("v"), 0.02).as("a"))
+            .agg(
+              max(when(col("k") === 0, col("c"))).as("exact_parts"),
+              max(when(col("k") === 1, col("c"))).as("exact_orders"),
+              max(when(col("k") === 0, col("a"))).as("ap"),
+              max(when(col("k") === 1, col("a"))).as("ao"))
         else
           src.select(col("l_partkey")).repartition(col("l_partkey"))
             .distinct()
@@ -1424,12 +1469,20 @@ object SparkEntry {
     }),
 
     // F14 (beyond reference): JSON path extraction over the props column
+    // One JSON parse per row, not three: `props` is parsed once into a
+    // binary VARIANT and the three paths are codegen'd binary walks
+    // (VariantGet), vs three independent get_json_object text parses.
+    // try_variant_get mirrors the oracle's TRY_CAST (null, never throw,
+    // on a non-numeric k). r12 A/B at sf0.1 (TimeOne min-of-2):
+    // 0.63 s (3× get_json_object) → see BENCH_ORACLE for the paired row.
     "f14_json_ops" -> ((s, d) =>
-      Tables.events(s, d).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
-        get_json_object(col("props"), "$.tag").as("tag"),
-        get_json_object(col("props"), "$.missing").as("missing"))),
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("__v"))
+        .select(
+          col("event_id"),
+          try_variant_get(col("__v"), "$.k", "long").as("k"),
+          try_variant_get(col("__v"), "$.tag", "string").as("tag"),
+          try_variant_get(col("__v"), "$.missing", "string").as("missing"))),
 
     // J6 (beyond reference): semi-join — customers with at least one order
     "j6_semi_join" -> ((s, d) =>

@@ -1169,7 +1169,8 @@ object Dedup {
     * cross-span hash collision merges the same occurrence groups in both
     * engines).
     */
-  def spanCut(docs: DataFrame, l: Int): DataFrame = {
+  def spanCut(docs: DataFrame, l: Int,
+              smallBytes: Long = 64L << 20): DataFrame = {
     require(l >= 1, "spanCut: span length must be >= 1")
     // one explicit null-id filter owns every subtree: the covered-set
     // join below infers IsNotNull(doc_id) on its build side, and without
@@ -1184,22 +1185,45 @@ object Dedup {
         posexplode(TextAnalysis.shinglesAll(col("text"), l)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         shingleHash31(col("s")).as("h"))
-    // stats-derived count, as in pairStatsFromArr: occ is post-explode,
-    // so its stats under-report ~70x and a fixed-width exchange would let
-    // the hinted build below outgrow task memory at scale
-    val occ = occRaw
-      .repartition(AdaptiveGate.postingPartitions(occRaw), col("h"))
-    val stats = occ.groupBy("h")
-      .agg(count(lit(1)).as("__cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("__canon"))
-      .filter(col("__cnt") > 1)
-    // SHUFFLE_HASH pin, as in pairStatsFromArr: an AQE broadcast of stats
-    // would orphan the probe side's exchange from the aggregate's and the
-    // md5-heavy occurrence subtree would execute twice
-    val dup = AdaptiveGate.hashHinted(occ)
-      .join(AdaptiveGate.hashHinted(stats.select(col("h"), col("__canon"))), Seq("h"))
-      .filter(col("doc_id") =!= col("__canon").getField("doc_id") ||
-        col("pos") =!= col("__canon").getField("pos"))
+    // r12 small path (SpanLab min-of-3, BOTH orders: 1.38/1.47 s vs the
+    // join shape's 1.84/2.46 s at sf0.1): ONE groupBy(h) owns
+    // count+canon+the occurrence LIST, so duplicates explode out of the
+    // aggregate — no second occ branch, no hinted join, 2 exchanges
+    // end-to-end instead of 4. Small-ONLY: collect_list buffers every
+    // occurrence of a span in one aggregate row, so a hot span at corpus
+    // scale would concentrate unboundedly — the join shape below streams
+    // its probe side and lets AQE split skewed partitions instead.
+    val dup =
+      if (AdaptiveGate.isSmall(base, smallBytes))
+        occRaw
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("__cnt"),
+            min(struct(col("doc_id"), col("pos"))).as("__canon"),
+            collect_list(struct(col("doc_id"), col("pos"))).as("__occs"))
+          .filter(col("__cnt") > 1)
+          .select(col("__canon"), explode(col("__occs")).as("o"))
+          .filter(col("o") =!= col("__canon"))
+          .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+      else {
+        // stats-derived count, as in pairStatsFromArr: occ is post-explode,
+        // so its stats under-report ~70x and a fixed-width exchange would
+        // let the hinted build below outgrow task memory at scale
+        val occ = occRaw
+          .repartition(AdaptiveGate.postingPartitions(occRaw), col("h"))
+        val stats = occ.groupBy("h")
+          .agg(count(lit(1)).as("__cnt"),
+            min(struct(col("doc_id"), col("pos"))).as("__canon"))
+          .filter(col("__cnt") > 1)
+        // SHUFFLE_HASH pin, as in pairStatsFromArr: an AQE broadcast of
+        // stats would orphan the probe side's exchange from the
+        // aggregate's and the md5-heavy occurrence subtree would execute
+        // twice
+        AdaptiveGate.hashHinted(occ)
+          .join(AdaptiveGate.hashHinted(stats.select(col("h"), col("__canon"))),
+            Seq("h"))
+          .filter(col("doc_id") =!= col("__canon").getField("doc_id") ||
+            col("pos") =!= col("__canon").getField("pos"))
+      }
     // rebuild via per-doc covered-POSITION SETS and an array-kernel
     // reconstruction, not a corpus-wide word anti-join. The r10 shape
     // (posexplode every word -> anti-join covered -> collect_list -> sort

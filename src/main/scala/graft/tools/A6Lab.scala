@@ -71,8 +71,58 @@ object A6Lab {
           .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
             expr("percentile(l_extendedprice, 0.5)").as("em"))
         finish(parts.crossJoin(orders).crossJoin(med))
+      }),
+      // r12: exact median via sort_array(collect_list) positional pick (the
+      // a11 small-path lesson — Percentile's boxed value->count map dedups
+      // nothing at 97% distinct prices); approx sketch unchanged
+      "vF_collectmed" -> (() => {
+        val parts = raw.select(col("l_partkey")).distinct()
+          .agg(count(lit(1)).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+        val orders = raw.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        finish(parts.crossJoin(orders).crossJoin(collectMed(s, price)))
+      }),
+      // r12: ONE dedup job for both key sets (exploded (k,v) distinct),
+      // HLLs over the survivors per k, 2 rows folded to 1 — halves the
+      // exacts-branch scan+shuffle count; median as in vF
+      "vG_fused" -> (() => {
+        finish(fusedExacts(raw).crossJoin(collectMed(s, price)))
+      }),
+      // r12: vG exacts with the r10-shape median (isolates the two changes)
+      "vH_fused_oldmed" -> (() => {
+        val med = price.repartition(s.sessionState.conf.numShufflePartitions)
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+            expr("percentile(l_extendedprice, 0.5)").as("em"))
+        finish(fusedExacts(raw).crossJoin(med))
       }))
   }
+
+  private def collectMed(s: SparkSession, price: DataFrame): DataFrame = {
+    val pos = lit(0.5) * (size(col("__v")) - 1).cast("double")
+    val lo = floor(pos).cast("int")
+    val loV = element_at(col("__v"), lo + 1)
+    val hiV = element_at(col("__v"), ceil(pos).cast("int") + 1)
+    price.repartition(s.sessionState.conf.numShufflePartitions)
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+        sort_array(collect_list(col("l_extendedprice"))).as("__v"))
+      .select(col("am"), (loV + (hiV - loV) * (pos - lo.cast("double"))).as("em"))
+  }
+
+  private def fusedExacts(raw: DataFrame): DataFrame =
+    raw.select(explode(array(
+        struct(lit(0).as("k"), col("l_partkey").as("v")),
+        struct(lit(1).as("k"), col("l_orderkey").as("v")))).as("kv"))
+      .select(col("kv.k").as("k"), col("kv.v").as("v"))
+      .distinct()
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("c"), approx_count_distinct(col("v"), 0.02).as("a"))
+      .agg(
+        max(when(col("k") === 0, col("c"))).as("exact_parts"),
+        max(when(col("k") === 1, col("c"))).as("exact_orders"),
+        max(when(col("k") === 0, col("a"))).as("ap"),
+        max(when(col("k") === 1, col("a"))).as("ao"))
 
   private def finish(joined: DataFrame): DataFrame =
     joined.select(

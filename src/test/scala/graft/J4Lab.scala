@@ -215,6 +215,29 @@ object J4Lab {
         packedBytes = Long.MaxValue)),
       "j4_forcepacked" -> (() => SparkEntry.j4Roleplay(spark, d,
         packedBytes = 0L)),
+      // r12 sf0.1 candidate: broadcast the WHOLE orders side (orderkey +
+      // c_nationkey after the dim probe) so the lineitem fact never
+      // shuffles — legal only while |orders| fits a broadcast
+      "j4_broadcast_op" -> { () =>
+        val op = ord.select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(Tables.customer(spark, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        li.select(col("l_orderkey"), col("l_suppkey"))
+          .join(broadcast(op), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(spark, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("cnk"), col("s_nationkey").as("snk"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(Tables.nation(spark, d).as("cn")),
+            col("cnk") === col("cn.n_nationkey"))
+          .join(broadcast(Tables.nation(spark, d).as("sn")),
+            col("snk") === col("sn.n_nationkey"))
+          .select(col("cn.n_name").as("cust_nation"),
+            col("sn.n_name").as("supp_nation"), col("n"))
+      },
       "j1a1_cur" -> (() => SparkEntry.queries("j1_a1_star_rollup")(spark, d)),
 
       // j1_star materialization-floor probe: the shipped 8-col plan (all

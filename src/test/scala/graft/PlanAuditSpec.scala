@@ -406,20 +406,40 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     // the r10 rebuild word-exploded the whole corpus, anti-joined covered
     // positions and collect_list-regrouped it; the r11 shape aggregates
     // covered positions into per-doc SETS and rebuilds per row — the plan
-    // must carry the collect_set aggregate and neither of the old markers
-    val p = plan("dedup_span_cut")
+    // must carry the collect_set aggregate and neither of the old markers.
+    // (the r12 SMALL path legitimately collect_lists per-SPAN occurrence
+    // groups out of the one stats aggregate; the banned shape is the
+    // all-WORDS regroup, whose marker here is the LeftAnti + a collect_list
+    // keyed by doc — assert the large path, where neither may appear)
+    val df = operators.Dedup.spanCut(
+      Tables.documents(spark, sf0001), l = 5, smallBytes = 0L)
+    val p = df.queryExecution.executedPlan.toString
     p should include("collect_set")
     (p should not).include("collect_list")
     (p should not).include("LeftAnti")
   }
 
-  test("spanCut executed: the md5 occurrence subtree exchanges once (ReuseExchange)") {
+  test("spanCut executed (large path): the md5 occurrence subtree exchanges once (ReuseExchange)") {
     // stats aggregate and duplicate-join probe share the pinned hash
     // repartition — without the reuse the per-occurrence hashing runs twice
-    val df = operators.Dedup.spanCut(Tables.documents(spark, sf0001), l = 5)
+    val df = operators.Dedup.spanCut(
+      Tables.documents(spark, sf0001), l = 5, smallBytes = 0L)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     p should include("ReusedExchange")
+  }
+
+  test("spanCut small path: one stats aggregate owns the dup set — no join, no second occ branch") {
+    // 2 exchanges end-to-end: groupBy(h) and the per-doc covered-set agg;
+    // the md5 occurrence subtree appears ONCE (no hinted self-join)
+    val df = operators.Dedup.spanCut(
+      Tables.documents(spark, sf0001), l = 5, smallBytes = Long.MaxValue)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only join left is the per-doc rebuild against base (broadcast at
+    // this size); the hinted occ⋈stats SHJ must be gone
+    (p should not).include("ShuffledHashJoin")
+    p should include("collect_list")
   }
 
   test("snapshot_diff: both sides reduce to fingerprints before the outer join") {

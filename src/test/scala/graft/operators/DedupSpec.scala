@@ -465,6 +465,18 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     got(1) shouldBe ((2L, "", 0L))
   }
 
+  test("spanCut forced-path parity: small (list) and large (join) paths agree row-for-row") {
+    val c = Seq(
+      (1L, "a b c d"), (2L, "x a b y"), (3L, "p q"), (4L, "c d"),
+      (5L, "m n m n m"), (6L, "z"), (7L, "a a a"), (8L, "c d c d")
+    ).toDF("doc_id", "text")
+    val small = Dedup.spanCut(c, l = 2, smallBytes = Long.MaxValue)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val large = Dedup.spanCut(c, l = 2, smallBytes = 0L)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    small shouldBe large
+  }
+
   test("spanCut keeps exactly one copy of a corpus-wide duplicated span") {
     // the keep-one contract: a span duplicated across many docs survives in
     // exactly one place (its earliest occurrence), not zero and not several
