@@ -1768,7 +1768,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Dedup.semanticDedup(emb, threshold = 0.4,
-        nlist = operators.Similarity.suggestNlist(emb.count()))
+        nlist = operators.Similarity.suggestNlist(Tables.rowCount(s, d, "embeddings")))
     }),
 
     // fuzzy decontamination: Jaccard near-dups BETWEEN the corpus and a
@@ -1852,7 +1852,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10,
-        nlist = Similarity.suggestNlist(emb.count()), refineSteps = 0)
+        nlist = Similarity.suggestNlist(Tables.rowCount(s, d, "embeddings")), refineSteps = 0)
     }),
 
     // one k-means refinement step: assignment through the same rounded
@@ -1863,7 +1863,7 @@ object SparkEntry {
     "ann_ivf_refined" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10,
-        nlist = Similarity.suggestNlist(emb.count()), refineSteps = 1)
+        nlist = Similarity.suggestNlist(Tables.rowCount(s, d, "embeddings")), refineSteps = 1)
     }),
 
     // IVF cell assignment with unrefined (deterministic first-nlist)
@@ -1963,16 +1963,23 @@ object SparkEntry {
           col("g.ok_symbol_ratio"), col("g.ok_alpha_fraction"), col("g.keep"))),
 
     // repetition detection: top 2-gram share per document (Gopher-style
-    // duplicate-n-gram fraction)
-    "text_repetition" -> ((s, d) => {
-      val grams = fannedDocs(s, d)
-        .select(col("doc_id"), explode(TextAnalysis.shinglesAll(col("text"), 2)).as("g"))
-      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_2gram_count"))
-        .withColumn("rep_ratio",
-          col("top_2gram_count").cast("double") / col("n_2grams").cast("double"))
-    }),
+    // duplicate-n-gram fraction). The question never crosses documents,
+    // so it is ONE per-row kernel (sorted gram array, longest equal run
+    // — TextAnalysis.repetitionStats), not the r11 corpus-wide
+    // (doc_id, gram) groupBy that shuffled every 2-gram string twice.
+    // Zero exchanges at ANY scale; r12 sf0.1: 0.82 s paired -> see
+    // BENCH_ORACLE. Docs with <2 words drop on n_grams >= 1, exactly as
+    // the old explode() dropped their empty arrays (oracle: len(w)>=2).
+    "text_repetition" -> ((s, d) =>
+      fannedDocs(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.repetitionStats(col("text"), 2).as("r"))
+        .filter(col("r.n_grams") >= 1)
+        .select(col("doc_id"),
+          col("r.n_grams").as("n_2grams"),
+          col("r.top_count").as("top_2gram_count"),
+          (col("r.top_count").cast("double") /
+            col("r.n_grams").cast("double")).as("rep_ratio"))),
 
     // PII-ish pattern counts (emails / urls / long digit runs)
     "text_pii_flags" -> ((s, d) =>

@@ -51,6 +51,24 @@ object Tables {
       })
   }
 
+  // memoized row COUNTS per (session, path) — same snapshot semantics as
+  // the relation memo above. Exists for the operators whose PLAN is a
+  // function of corpus size (IVF's nlist follows |embeddings|): without
+  // it every DataFrame construction re-runs the count job, a fixed
+  // ~0.1 s tax per evaluation that at 100 TB would instead be answered
+  // once per (immutable) snapshot. Dropped by [[invalidate]].
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  /** Row count of `dir/name.parquet`, counted once per session+path and
+    * memoized until [[invalidate]] (the relation memo's REFRESH analogue).
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    countCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
+    countCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      _ => read(spark, dir, name).count())
+  }
+
   /** Drop memoized relations (all of them, or those under `dir`) so the
     * next read re-lists files — REFRESH TABLE for this memo. Also drops
     * the matching [[graft.plans.UniqueKeys]] declarations: overwriting a
@@ -60,8 +78,12 @@ object Tables {
     */
   def invalidate(dir: Option[String] = None): Unit = {
     dir match {
-      case Some(d) => cache.keySet.removeIf { case (_, p) => p.startsWith(d) }
-      case None => cache.clear()
+      case Some(d) =>
+        cache.keySet.removeIf { case (_, p) => p.startsWith(d) }
+        countCache.keySet.removeIf { case (_, p) => p.startsWith(d) }
+      case None =>
+        cache.clear()
+        countCache.clear()
     }
     graft.plans.UniqueKeys.undeclare(dir)
   }

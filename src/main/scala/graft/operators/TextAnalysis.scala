@@ -62,6 +62,33 @@ object TextAnalysis {
   def shinglesAll(text: Column, k: Int): Column =
     graft.functions.TextFunctions.shingle_array_all(text, k)
 
+  /** Per-document k-gram repetition stats as ONE per-row kernel:
+    * struct(n_grams, top_count) where top_count is the highest
+    * occurrence count of any single k-gram within the document.
+    * Computed by sorting the doc's k-gram array and taking the longest
+    * equal-adjacent run — zero exchanges, embarrassingly parallel (the
+    * r12 rewrite of text_repetition's corpus-wide (doc_id, gram)
+    * shuffle, which carried every 2-gram STRING through two exchanges
+    * to answer a question that never crosses documents). Per-task state
+    * is one document's gram array — the same bound as every other
+    * per-doc kernel here. Docs with fewer than k words yield n_grams 0
+    * (null text: null), which callers filter exactly like the old
+    * explode() dropped them.
+    */
+  def repetitionStats(text: Column, k: Int): Column = {
+    val sorted = sort_array(shinglesAll(text, k))
+    val st = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("run") > 0L && acc.getField("prev") === x,
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    struct(size(sorted).cast("long").as("n_grams"),
+      st.getField("best").as("top_count"))
+  }
+
   /** Reference formulation of [[shingles]] via composed built-ins. */
   def shinglesComposed(text: Column, k: Int): Column = {
     val w = words(text)
