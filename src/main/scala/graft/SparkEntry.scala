@@ -1469,20 +1469,27 @@ object SparkEntry {
     }),
 
     // F14 (beyond reference): JSON path extraction over the props column
-    // One JSON parse per row, not three: `props` is parsed once into a
-    // binary VARIANT and the three paths are codegen'd binary walks
-    // (VariantGet), vs three independent get_json_object text parses.
-    // try_variant_get mirrors the oracle's TRY_CAST (null, never throw,
-    // on a non-numeric k). r12 A/B at sf0.1 (TimeOne min-of-2):
-    // 0.63 s (3× get_json_object) → see BENCH_ORACLE for the paired row.
+    // One byte-walk per row for all three paths (TextOps.jsonTopScalars,
+    // scalar-only contract pinned by JsonKernelSpec incl. a randomized
+    // parity run against get_json_object). AUDIT (r12, x1000 min-of-2):
+    // 3× get_json_object 29.3 s → one parse_json + 3 codegen'd
+    // try_variant_get 10.99 s → kernel 1.98 s, against a 0.69 s bare-scan
+    // floor and DuckDB's 1.30 s (duck evaluates the extraction once per
+    // parquet-DICTIONARY value — ~100 distinct props — which Spark's
+    // per-row expression evaluation cannot; the dictionary-factored
+    // groupBy+broadcast re-join was measured 10.8 s and REJECTED: the
+    // second 100M-row string pass costs what the parse cost). try_cast
+    // mirrors the oracle's TRY_CAST (null, never throw, on non-numeric k).
     "f14_json_ops" -> ((s, d) =>
       Tables.events(s, d)
-        .select(col("event_id"), parse_json(col("props")).as("__v"))
+        .select(col("event_id"),
+          graft.functions.TextFunctions.json_top_scalars(
+            col("props"), Seq("k", "tag", "missing")).as("__j"))
         .select(
           col("event_id"),
-          try_variant_get(col("__v"), "$.k", "long").as("k"),
-          try_variant_get(col("__v"), "$.tag", "string").as("tag"),
-          try_variant_get(col("__v"), "$.missing", "string").as("missing"))),
+          expr("try_cast(element_at(__j, 1) AS BIGINT)").as("k"),
+          element_at(col("__j"), 2).as("tag"),
+          element_at(col("__j"), 3).as("missing"))),
 
     // J6 (beyond reference): semi-join — customers with at least one order
     "j6_semi_join" -> ((s, d) =>

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -119,6 +120,211 @@ object TextOps {
     var idx = 0
     while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Kernel of [[RepetitionStatsExpr]]: per-document k-gram repetition —
+    * `(n_grams, top_count)` where `top_count` is the highest occurrence
+    * count of any single k-gram WITHIN the document. Exact string
+    * counting via a per-row hash map keyed by the gram text (bounded by
+    * the doc's own gram count — the same per-doc bound as every kernel
+    * here); one compiled call per ROW where the HOF spelling ran an
+    * interpreted Catalyst lambda per GRAM (r12 x1000: 57.2 s HOF vs
+    * DuckDB 25.7 s — the per-element dispatch was the query).
+    * Fewer than k tokens → (0, 0); callers filter on n_grams >= 1
+    * exactly like the old explode() dropped empty gram arrays.
+    */
+  def repetitionStats(text: UTF8String, k: Int): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return InternalRow(0L, 0L)
+    val counts = new java.util.HashMap[String, Integer](
+      math.min(n * 2, 2048))
+    val sb = new java.lang.StringBuilder(64)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val key = sb.toString
+      val prev = counts.get(key)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(key, Integer.valueOf(c))
+      if (c > best) best = c
+      i += 1
+    }
+    InternalRow(n.toLong, best.toLong)
+  }
+
+  /** Kernel of [[JsonTopScalars]]: extract the values of the requested
+    * TOP-LEVEL keys from a JSON object in ONE forward pass, no tree/
+    * variant materialization. Contract (deliberately narrower than
+    * get_json_object, pinned by JsonKernelSpec):
+    *
+    *   - string values → unescaped text (full JSON escapes incl.
+    *     \uXXXX surrogate pairs) — same as get_json_object;
+    *   - number/boolean values → their literal source text (numbers are
+    *     NOT re-rendered: "1.50" stays "1.50");
+    *   - JSON null, missing key, or a NON-SCALAR value (object/array) →
+    *     SQL NULL (get_json_object would return the re-serialized
+    *     subtree for the latter — this kernel is a typed SCALAR
+    *     extractor, callers wanting subtrees use parse_json/variant);
+    *   - first occurrence of a duplicate key wins;
+    *   - malformed JSON or a non-object root → every output NULL.
+    *
+    * Scale rationale (r12 x1000 audit): parse_json cost ~80 ns/row on
+    * 100M tiny objects (8.4 s for ONE field, scan floor 0.69 s) and
+    * DuckDB evaluates the extraction once per parquet-dictionary value;
+    * this walk reads each byte once for all requested keys at once.
+    */
+  def jsonTopScalars(text: UTF8String, keys: Array[String]): ArrayData = {
+    val out = new Array[Any](keys.length)
+    val s = text.toString
+    val n = s.length
+    var i = 0
+    def ws(): Unit = { while (i < n && { val c = s.charAt(i)
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' }) i += 1 }
+    def fail(): ArrayData = { java.util.Arrays.fill(out, null)
+      new GenericArrayData(out) }
+    // parse a JSON string starting at the opening quote; returns the
+    // unescaped value and leaves i past the closing quote, or null on
+    // malformed (caller propagates)
+    def str(): String = {
+      if (i >= n || s.charAt(i) != '"') return null
+      i += 1
+      val sb = new java.lang.StringBuilder(16)
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '"') { i += 1; return sb.toString }
+        else if (c == '\\') {
+          if (i + 1 >= n) return null
+          i += 1
+          s.charAt(i) match {
+            case '"' => sb.append('"'); case '\\' => sb.append('\\')
+            case '/' => sb.append('/'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r'); case 't' => sb.append('\t')
+            case 'u' =>
+              if (i + 4 >= n) return null
+              var h = 0
+              var cp = 0
+              while (h < 4) {
+                val d = Character.digit(s.charAt(i + 1 + h), 16)
+                if (d < 0) return null
+                cp = (cp << 4) | d
+                h += 1
+              }
+              sb.append(cp.toChar); i += 4
+            case _ => return null
+          }
+          i += 1
+        } else { sb.append(c); i += 1 }
+      }
+      null // unterminated
+    }
+    // true/false/null or a syntactically valid JSON number
+    def validScalar(raw: String): Boolean =
+      raw == "true" || raw == "false" || raw == "null" || {
+        var j = 0
+        val m = raw.length
+        if (m == 0) return false
+        if (raw.charAt(j) == '-') j += 1
+        val intStart = j
+        if (j < m && raw.charAt(j) == '0') j += 1
+        else { while (j < m && raw.charAt(j).isDigit) j += 1 }
+        if (j == intStart) return false
+        if (j < m && raw.charAt(j) == '.') {
+          j += 1; val fs = j
+          while (j < m && raw.charAt(j).isDigit) j += 1
+          if (j == fs) return false
+        }
+        if (j < m && (raw.charAt(j) == 'e' || raw.charAt(j) == 'E')) {
+          j += 1
+          if (j < m && (raw.charAt(j) == '+' || raw.charAt(j) == '-')) j += 1
+          val es = j
+          while (j < m && raw.charAt(j).isDigit) j += 1
+          if (j == es) return false
+        }
+        j == m
+      }
+    // skip one JSON value of any shape; returns false on malformed.
+    // depth-bounded only by the input length (no recursion)
+    def skipValue(): Boolean = {
+      var depth = 0
+      do {
+        ws()
+        if (i >= n) return false
+        s.charAt(i) match {
+          case '{' | '[' => depth += 1; i += 1
+          case '}' | ']' => depth -= 1; i += 1; if (depth < 0) return false
+          case '"' => if (str() == null) return false
+          case ',' | ':' if depth > 0 => i += 1
+          case _ => // scalar token: scan to its end and validate syntax
+            val st = i
+            while (i < n && { val c = s.charAt(i)
+              c != ',' && c != '}' && c != ']' && c != ':' && c != ' ' &&
+                c != '\t' && c != '\n' && c != '\r' }) i += 1
+            if (i == st || !validScalar(s.substring(st, i))) return false
+        }
+        // inside a structure, keep consuming until it closes
+      } while (depth > 0)
+      true
+    }
+    ws()
+    if (i >= n || s.charAt(i) != '{') return fail()
+    i += 1
+    var remaining = keys.length
+    var first = true
+    while (true) {
+      ws()
+      if (i >= n) return fail()
+      if (s.charAt(i) == '}') {
+        i += 1; ws()
+        return if (i == n) new GenericArrayData(out) else fail()
+      }
+      if (!first) {
+        if (s.charAt(i) != ',') return fail()
+        i += 1; ws()
+      }
+      first = false
+      val key = str()
+      if (key == null) return fail()
+      ws()
+      if (i >= n || s.charAt(i) != ':') return fail()
+      i += 1; ws()
+      // does this key match an unfilled output slot?
+      var slot = -1
+      var kIdx = 0
+      while (kIdx < keys.length && slot < 0) {
+        if (keys(kIdx) == key && out(kIdx) == null) slot = kIdx
+        kIdx += 1
+      }
+      if (slot < 0 || remaining == 0) {
+        if (!skipValue()) return fail()
+      } else {
+        if (i >= n) return fail()
+        s.charAt(i) match {
+          case '"' =>
+            val v = str()
+            if (v == null) return fail()
+            out(slot) = UTF8String.fromString(v); remaining -= 1
+          case '{' | '[' =>
+            if (!skipValue()) return fail() // non-scalar → NULL by contract
+          case _ =>
+            val st = i
+            if (!skipValue()) return fail()
+            val raw = s.substring(st, i).trim
+            if (raw != "null") { // JSON null → SQL NULL
+              out(slot) = UTF8String.fromString(raw); remaining -= 1
+            }
+        }
+      }
+    }
+    fail() // unreachable
   }
 
   /** Kernel of [[TokenCount]]: `size(split(text, " ", -1))` = the number
@@ -823,6 +1029,63 @@ case class ProfileTallies(child: Expression, stopwords: Seq[String],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-level scalar JSON extraction — see [[TextOps.jsonTopScalars]] for
+  * the exact (deliberately scalar-only) contract. One byte-walk per row
+  * for ALL requested keys; no Jackson tree / variant materialization.
+  */
+case class JsonTopScalars(child: Expression, keys: Seq[String])
+    extends UnaryExpression {
+  require(keys.nonEmpty, "jsonTopScalars: at least one key")
+  override def prettyName: String = "json_top_scalars"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  @transient private lazy val keyArr: Array[String] = keys.toArray
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.jsonTopScalars(t.asInstanceOf[UTF8String], keyArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("keys", keyArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.jsonTopScalars($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-document k-gram repetition stats — see [[TextOps.repetitionStats]].
+  * One compiled kernel call per row; the composed spelling
+  * ([[graft.operators.TextAnalysis.repetitionStatsComposed]]: sorted gram
+  * array + HOF run-length fold) is kept as its parity twin.
+  */
+case class RepetitionStatsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "k-gram size must be >= 1")
+  override def prettyName: String = "repetition_stats"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_count", LongType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.repetitionStats(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.repetitionStats($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ArrayPairs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "array_pairs"
   override def dataType: DataType = ArrayType(
@@ -996,6 +1259,10 @@ object TextFunctions {
                       markers: Seq[(String, Seq[String])]): Column =
     column(ProfileTallies(expression(text), stopwords, markers))
   def token_count(text: Column): Column = column(TokenCount(expression(text)))
+  def repetition_stats(text: Column, k: Int): Column =
+    column(RepetitionStatsExpr(expression(text), k))
+  def json_top_scalars(text: Column, keys: Seq[String]): Column =
+    column(JsonTopScalars(expression(text), keys))
   def rolling_hash(text: Column): Column = column(RollingHash(expression(text)))
   def normalize_text(text: Column): Column = column(NormalizeText(expression(text)))
 }

@@ -64,18 +64,27 @@ object TextAnalysis {
 
   /** Per-document k-gram repetition stats as ONE per-row kernel:
     * struct(n_grams, top_count) where top_count is the highest
-    * occurrence count of any single k-gram within the document.
-    * Computed by sorting the doc's k-gram array and taking the longest
-    * equal-adjacent run — zero exchanges, embarrassingly parallel (the
-    * r12 rewrite of text_repetition's corpus-wide (doc_id, gram)
-    * shuffle, which carried every 2-gram STRING through two exchanges
-    * to answer a question that never crosses documents). Per-task state
-    * is one document's gram array — the same bound as every other
-    * per-doc kernel here. Docs with fewer than k words yield n_grams 0
-    * (null text: null), which callers filter exactly like the old
-    * explode() dropped them.
+    * occurrence count of any single k-gram within the document —
+    * zero exchanges, embarrassingly parallel (the r12 rewrite of
+    * text_repetition's corpus-wide (doc_id, gram) shuffle, which carried
+    * every 2-gram STRING through two exchanges to answer a question that
+    * never crosses documents). Native codegen'd kernel
+    * ([[graft.functions.TextOps.repetitionStats]]): one compiled call
+    * per row; the HOF spelling below ran an interpreted Catalyst lambda
+    * per GRAM and measured 57.2 s at x1000 vs the kernel's number (see
+    * BENCH_SCALE_X1000) — the per-element dispatch was the query.
+    * Per-task state is one document's gram map — the same bound as every
+    * other per-doc kernel here. Docs with fewer than k words yield
+    * n_grams 0 (null text: null), which callers filter exactly like the
+    * old explode() dropped them.
     */
-  def repetitionStats(text: Column, k: Int): Column = {
+  def repetitionStats(text: Column, k: Int): Column =
+    graft.functions.TextFunctions.repetition_stats(text, k)
+
+  /** Composed parity twin of [[repetitionStats]] (sorted gram array +
+    * HOF run-length fold) — kept for the native-vs-composed spec.
+    */
+  def repetitionStatsComposed(text: Column, k: Int): Column = {
     val sorted = sort_array(shinglesAll(text, k))
     val st = aggregate(sorted,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),

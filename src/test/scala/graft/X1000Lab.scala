@@ -81,6 +81,56 @@ object X1000Lab {
           .groupBy(col("r_name"), col("n_name"))
           .agg(round(sum(col("__rev")), 2).as("revenue"),
             sum(col("__n")).as("n_items"))
+      }),
+      // ---- f14 candidates (r12): DuckDB evaluates the json over the
+      // parquet DICTIONARY (~100 distinct props → ~100 parses per row
+      // group) where Spark parses all 100M rows. Candidates trade parse
+      // count against join/shuffle work.
+      "f14_cur" -> (() => SparkEntry.queries("f14_json_ops")(spark, d)),
+      // decomposition floors: the bare 2-col scan, and scan + one parse
+      "f14_scanfloor" -> (() =>
+        Tables.events(spark, d).select(col("event_id"), col("props"))),
+      "f14_parseonly" -> (() =>
+        Tables.events(spark, d).select(col("event_id"),
+          try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))),
+      "f14_from_json" -> (() => {
+        val sch = "k LONG, tag STRING, missing STRING"
+        Tables.events(spark, d)
+          .select(col("event_id"), from_json(col("props"), sch, Map.empty[String, String]).as("j"))
+          .select(col("event_id"), col("j.k").as("k"), col("j.tag").as("tag"),
+            col("j.missing").as("missing"))
+      }),
+      "f14_get3" -> (() =>
+        Tables.events(spark, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          get_json_object(col("props"), "$.tag").as("tag"),
+          get_json_object(col("props"), "$.missing").as("missing"))),
+      // native one-byte-walk kernel (TextOps.jsonTopScalars)
+      "f14_kernel" -> (() => {
+        val v = graft.functions.TextFunctions.json_top_scalars(
+          col("props"), Seq("k", "tag", "missing"))
+        Tables.events(spark, d)
+          .select(col("event_id"), v.as("__j"))
+          .select(col("event_id"),
+            expr("try_cast(element_at(__j, 1) AS BIGINT)").as("k"),
+            element_at(col("__j"), 2).as("tag"),
+            element_at(col("__j"), 3).as("missing"))
+      }),
+      // dictionary-factored: parse once per DISTINCT props value, hash
+      // partial agg collapses the dup mass map-side, broadcast back
+      "f14_dict" -> (() => {
+        val dict = Tables.events(spark, d).select(col("props"))
+          .groupBy(col("props")).agg(count(lit(1)).as("__c"))
+          .select(col("props").as("__p"),
+            parse_json(col("props")).as("__v"))
+          .select(col("__p"),
+            try_variant_get(col("__v"), "$.k", "long").as("k"),
+            try_variant_get(col("__v"), "$.tag", "string").as("tag"),
+            try_variant_get(col("__v"), "$.missing", "string").as("missing"))
+        Tables.events(spark, d).select(col("event_id"), col("props"))
+          .join(broadcast(dict), col("props") === col("__p"))
+          .select(col("event_id"), col("k"), col("tag"), col("missing"))
       }))
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt

@@ -151,6 +151,26 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkFixture {
       TextAnalysis.tokenEncode(docs, vocabSize = 0)
   }
 
+  test("repetitionStats: native kernel matches the composed HOF twin, incl. edges") {
+    // edges: empty text, single word (< k), exact self-repeat ("a a a"
+    // has "a a" twice), all-distinct grams, empty tokens from space runs,
+    // and a doc whose top gram ties (either is fine — count, not gram,
+    // is the output)
+    val edge = Seq(
+      (1L, ""), (2L, "solo"), (3L, "a a a"), (4L, "w x y z"),
+      (5L, "  a  b "), (6L, "p q p q p q"), (7L, "m n m n o m n"))
+      .toDF("doc_id", "text")
+    val native = edge.select($"doc_id",
+      TextAnalysis.repetitionStats($"text", 2).as("r")).orderBy($"doc_id")
+    val composed = edge.select($"doc_id",
+      TextAnalysis.repetitionStatsComposed($"text", 2).as("r")).orderBy($"doc_id")
+    native.collect().map(_.toString) shouldBe composed.collect().map(_.toString)
+    // hand-check one: "p q p q p q" has 5 2-grams, "p q" x3
+    val r6 = native.filter($"doc_id" === 6L).select($"r.n_grams", $"r.top_count")
+      .as[(Long, Long)].collect().head
+    r6 shouldBe ((5L, 3L))
+  }
+
   test("contamination: eval member fully contaminated, disjoint doc untouched") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),            // = eval doc
