@@ -543,9 +543,26 @@ object SparkEntry {
     * SPARK_GRAFT_BUCKETS (default 32; 128 at x1000 so each write task
     * sorts a bounded ~4.7M-row slice).
     */
+  // memoized per (session, slug, buckets): rebuilding this DataFrame costs
+  // ~0.4 s of pure driver work per call (two catalog lookups + external-
+  // table re-analysis + the slug file-walk) — measured by Scratch r12:
+  // 1.145 s total vs ~0.6 s of job wall. Same snapshot semantics as
+  // Tables.read: the slug is a content fingerprint of the INPUT tables, so
+  // regenerated testdata changes the key and the stale entry is simply
+  // never hit again; stopped sessions are pruned on each miss.
+  private val bucketedJoinCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private[graft] def layoutBucketedJoin(s: SparkSession, d: String): DataFrame = {
     val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
-    val slug = layoutSlug(d, "lineitem.parquet", "orders.parquet")
+    val slug0 = layoutSlug(d, "lineitem.parquet", "orders.parquet")
+    bucketedJoinCache.keySet.removeIf { case (ss, _) => ss.sparkContext.isStopped }
+    bucketedJoinCache.computeIfAbsent((s, s"$slug0/$buckets"),
+      _ => layoutBucketedJoinUncached(s, d, slug0, buckets))
+  }
+
+  private def layoutBucketedJoinUncached(s: SparkSession, d: String,
+                                         slug: String, buckets: Int): DataFrame = {
     val root = s"/tmp/graft-bucketed/$slug"
     val li = operators.Bucketing.ensureBucketed(
       s, s"graft_li_ok_$slug", s"$root/li_ok", "l_orderkey", buckets)(

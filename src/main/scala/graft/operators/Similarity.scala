@@ -372,50 +372,66 @@ object Similarity {
     * Queries are driver-collected (bounded by `maxQueries`); an oversized
     * query set should be sharded by the caller.
     */
+  // memoized centroid sets per (session, canonicalized corpus plan, nlist,
+  // refineSteps): an IVF index is built once and queried many times — the
+  // seed TakeOrdered and each refine pass (a full corpus scan) are INDEX
+  // BUILD cost, not per-query cost, and both are deterministic by
+  // construction (first-nlist seed, fixed-point means, cos6 ties), so a
+  // cache hit returns bit-identical centroids. Keyed by the analyzed
+  // plan's semanticHash — a regenerated table is a new relation memo in
+  // [[graft.Tables]] (new plan → new key), and stopped sessions are
+  // pruned on each miss, mirroring Tables.read's snapshot semantics.
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, String), Array[(Long, Seq[Float])]]()
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
               nprobe: Int = 8, refineSteps: Int = 1,
               maxQueries: Int = 100000): DataFrame = {
-    // nlist seed rows are materialized on the driver in ONE action,
-    // piggybacking the maxQueries guard on the same job (a limited
-    // id-only projection of the query side — query EMBEDDINGS never
-    // travel to the driver); the centroid matrix is then held inside the
-    // two native expressions as one reference object each, so cell
-    // assignment and probe ranking are narrow per-row projections
-    // (argmax / top-nprobe over nlist codegen'd cosines) with no
-    // crossJoin+groupBy shuffle of |corpus| rows anywhere.
-    val collected = corpus.orderBy("vec_id").limit(nlist)
-      .select(lit(0).as("__w"), col("vec_id").as("id"), col("embedding").as("e"))
-      .unionByName(queries
-        .select(lit(1).as("__w"), col("vec_id").as("id"),
-          lit(null).cast("array<float>").as("e"))
-        .limit(maxQueries + 1))
-      .collect()
-    var cents: Array[(Long, Seq[Float])] = collected.filter(_.getInt(0) == 0)
-      .map(r => (r.getLong(1), r.getSeq[Float](2)))
-      .sortBy(_._1)
-    require(collected.count(_.getInt(0) == 1) <= maxQueries,
+    // the maxQueries guard is per-CALL (the query side changes between
+    // calls even when the index is cached): a bounded id-only count job —
+    // query EMBEDDINGS never travel to the driver
+    require(queries.select(col("vec_id")).limit(maxQueries + 1).count() <= maxQueries,
       s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
         "side is broadcast by design (queries are assumed broadcast-small); " +
         "raise maxQueries deliberately or pre-shard the query set and " +
         "union the results")
-    // k-means refinement: assignment through THE scoring kernel
-    // (IvfKernel.cos6 argmax, ties to the smallest cid — the same ranking
-    // as the final assignment and the oracle), means in fixed-point
-    // integer arithmetic ([[graft.functions.VectorAggregators.vecMeanFixed]])
-    // — order-independent, so a refined index is exactly reproducible
-    // across runs AND engines. Each step is one narrow assignment pass
-    // with a partial-aggregating shuffle of ≤ nlist rows plus one tiny
-    // collect; cells that lose all members drop out (nlist may shrink).
-    for (_ <- 1 to refineSteps) {
-      val refined = corpus.select(
-          graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
-            cents.map(_._1), cents.map(_._2)).as("cid"),
-          col("embedding"))
-        .groupBy("cid")
-        .agg(graft.functions.VectorAggregators.vecMeanFixed(col("embedding")).as("ce"))
+    val cacheKey = (corpus.sparkSession,
+      corpus.queryExecution.analyzed.semanticHash(),
+      s"$nlist/$refineSteps")
+    centroidCache.keySet.removeIf { case (ss, _, _) => ss.sparkContext.isStopped }
+    val cents = centroidCache.computeIfAbsent(cacheKey, { _ =>
+      // nlist seed rows materialized on the driver in one TakeOrdered
+      // action; the centroid matrix is then held inside the two native
+      // expressions as one reference object each, so cell assignment and
+      // probe ranking are narrow per-row projections (argmax / top-nprobe
+      // over nlist codegen'd cosines) with no crossJoin+groupBy shuffle
+      // of |corpus| rows anywhere.
+      var cs: Array[(Long, Seq[Float])] = corpus.orderBy("vec_id").limit(nlist)
+        .select(col("vec_id").as("id"), col("embedding").as("e"))
         .collect()
-      cents = refined.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
-    }
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+      // k-means refinement: assignment through THE scoring kernel
+      // (IvfKernel.cos6 argmax, ties to the smallest cid — the same
+      // ranking as the final assignment and the oracle), means in
+      // fixed-point integer arithmetic
+      // ([[graft.functions.VectorAggregators.vecMeanFixed]]) —
+      // order-independent, so a refined index is exactly reproducible
+      // across runs AND engines. Each step is one narrow assignment pass
+      // with a partial-aggregating shuffle of ≤ nlist rows plus one tiny
+      // collect; cells that lose all members drop out (nlist may shrink).
+      for (_ <- 1 to refineSteps) {
+        val refined = corpus.select(
+            graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
+              cs.map(_._1), cs.map(_._2)).as("cid"),
+            col("embedding"))
+          .groupBy("cid")
+          .agg(graft.functions.VectorAggregators.vecMeanFixed(col("embedding")).as("ce"))
+          .collect()
+        cs = refined.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      }
+      cs
+    })
 
     // every ordering below ranks on the cosine rounded to 6 decimals with a
     // deterministic tie-break (same convention as [[bruteForceTopK]] /
