@@ -1779,9 +1779,13 @@ object SparkEntry {
 
     // the matching REMOVAL pass: duplicated 5-word spans cut everywhere
     // except their earliest corpus occurrence, texts rebuilt (positional
-    // shingles, so it hashes fresh rather than riding the distinct-set hub)
+    // shingles, so it hashes fresh rather than riding the distinct-set
+    // hub). fannedDocs: the md5-per-occurrence pass otherwise runs inside
+    // the 1-file scan stage at bench sf (r12b SpanLab, both orders:
+    // 1.11/1.41 s fanned vs 1.44/1.53 s raw); past fanDocsBytes the scan
+    // is already multi-split and no repartition is added.
     "dedup_span_cut" -> ((s, d) =>
-      Dedup.spanCut(Tables.documents(s, d), l = 5)),
+      Dedup.spanCut(fannedDocs(s, d), l = 5)),
 
     // SemDeDup (Abbas et al. 2023): same deterministic first-nlist-centroid
     // / argmax-cell convention as ann_ivf, near-identical vectors pruned

@@ -90,6 +90,13 @@ object A6Lab {
       "vG_fused" -> (() => {
         finish(fusedExacts(raw).crossJoin(collectMed(s, price)))
       }),
+      // r12b: vG with the exacts branch repartitioned BEFORE the explode —
+      // sf0.1 lineitem is few parquet files, so the explode+partial-dedup
+      // otherwise runs inside a 1-3-task scan stage (Scratch: ~500 ms/task)
+      "vJ_fanned" -> (() => {
+        finish(fusedExacts(raw.repartition(s.sessionState.conf.numShufflePartitions))
+          .crossJoin(collectMed(s, price)))
+      }),
       // r12: vG exacts with the r10-shape median (isolates the two changes)
       "vH_fused_oldmed" -> (() => {
         val med = price.repartition(s.sessionState.conf.numShufflePartitions)

@@ -75,7 +75,13 @@ object SpanLab {
       "covered" -> (() => covered),
       "full" -> (() => Dedup.spanCut(Tables.documents(spark, sfDir), l)),
       "covered_list" -> (() => coveredList),
-      "full_list" -> (() => fullList))
+      "full_list" -> (() => fullList),
+      // r12b: the md5-per-occurrence pass runs inside documents.parquet's
+      // 1-file scan stage; fanning the docs first parallelizes it at the
+      // cost of one tiny (5k-row) exchange
+      "full_fanned" -> (() => Dedup.spanCut(
+        Tables.documents(spark, sfDir)
+          .repartition(spark.sessionState.conf.numShufflePartitions), l)))
     val names = if (args.nonEmpty) args.toSeq else probes.map(_._1)
     val m = probes.toMap
     Bench.evaluate(m(names.head)())

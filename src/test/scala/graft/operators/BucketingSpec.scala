@@ -33,6 +33,12 @@ class BucketingSpec extends AnyFunSuite with Matchers with SparkFixture {
       // sanity: the unbucketed plan shuffles, the bucketed one must not
       Bucketing.hasShuffle(plainJoin) shouldBe true
       Bucketing.hasShuffle(bucketedJoin) shouldBe false
+      // and the bucketed SMJ trusts the 1-file-per-bucket sorted layout
+      // (GraftSession sets the legacy outputOrdering conf; the aligned
+      // write guarantees the precondition): no per-query re-sort of the
+      // fact sides — at x1000 this is the 25.8 -> 18.2 s difference
+      (bucketedJoin.queryExecution.executedPlan.toString
+        should not).include("Sort [")
 
       bucketedJoin.count() shouldBe plainJoin.count()
       val a = bucketedJoin.agg(sum($"l_extendedprice" * $"o_totalprice")).head.getDouble(0)
