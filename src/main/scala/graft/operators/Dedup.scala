@@ -88,6 +88,13 @@ object Dedup {
     */
   val DefaultMaxCellRows: Long = 10000L
 
+  /** [[spanCut]]'s small-path gate (GATES.md): under this many bytes of
+    * documents-scan stats the dup set comes from ONE collect_list
+    * aggregate; at or above it, the streaming hinted-join shape whose
+    * per-task state a hot span cannot grow.
+    */
+  val SpanCutSmallBytes: Long = 64L << 20
+
   /** Deterministic (multiplier, offset) pairs for h_i = (a*h + b) mod p —
     * shared by the Spark operator and the DuckDB oracle so both engines
     * realize the identical permutation family.
@@ -1170,7 +1177,7 @@ object Dedup {
     * engines).
     */
   def spanCut(docs: DataFrame, l: Int,
-              smallBytes: Long = 64L << 20): DataFrame = {
+              smallBytes: Long = SpanCutSmallBytes): DataFrame = {
     require(l >= 1, "spanCut: span length must be >= 1")
     // one explicit null-id filter owns every subtree: the covered-set
     // join below infers IsNotNull(doc_id) on its build side, and without

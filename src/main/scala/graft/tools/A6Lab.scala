@@ -97,6 +97,27 @@ object A6Lab {
         finish(fusedExacts(raw.repartition(s.sessionState.conf.numShufflePartitions))
           .crossJoin(collectMed(s, price)))
       }),
+      // r12b: vG with the (k,v) dedup exchange PINNED at session width —
+      // AQE coalesces the distinct's exchange to ~3 partitions at the 1m
+      // advisory, serializing the post-shuffle HLL updates (Scratch:
+      // 3 tasks x ~500 ms); a user repartition is not coalescible
+      "vK_pinned" -> (() => {
+        val exacts = raw.select(explode(array(
+            struct(lit(0).as("k"), col("l_partkey").as("v")),
+            struct(lit(1).as("k"), col("l_orderkey").as("v")))).as("kv"))
+          .select(col("kv.k").as("k"), col("kv.v").as("v"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("k"), col("v"))
+          .distinct()
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("c"), approx_count_distinct(col("v"), 0.02).as("a"))
+          .agg(
+            max(when(col("k") === 0, col("c"))).as("exact_parts"),
+            max(when(col("k") === 1, col("c"))).as("exact_orders"),
+            max(when(col("k") === 0, col("a"))).as("ap"),
+            max(when(col("k") === 1, col("a"))).as("ao"))
+        finish(exacts.crossJoin(collectMed(s, price)))
+      }),
       // r12: vG exacts with the r10-shape median (isolates the two changes)
       "vH_fused_oldmed" -> (() => {
         val med = price.repartition(s.sessionState.conf.numShufflePartitions)

@@ -33,6 +33,9 @@ class GateInvariantsSpec extends AnyFunSuite with Matchers {
     doc should include("`Dedup.DefaultMaxPostings` | **1,000,000**")
 
     operators.Dedup.DefaultMaxCellRows shouldBe 10000L
+    // spanCut small path: one collect_list stats aggregate owns the dup
+    // set under the gate; the streaming hinted-join shape above it
+    operators.Dedup.SpanCutSmallBytes shouldBe (64L << 20)
     doc should include("`semanticDedup.maxCellRows` | **10,000**")
   }
 
