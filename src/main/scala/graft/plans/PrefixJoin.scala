@@ -160,6 +160,19 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
         litInt(args(2), "graft_bounded_levenshtein", "maxDist"))
     }),
     ("graft_term_counts", "(text)", 1, { args: Seq[Expression] => TermCountArray(args.head) }),
+    ("graft_repetition_stats", "(text, k)", 2, { args: Seq[Expression] =>
+      RepetitionStatsExpr(args.head, litInt(args(1), "graft_repetition_stats", "k"))
+    }),
+    ("graft_json_top_scalars", "(json, keysCsv)", 2, { args: Seq[Expression] =>
+      val keys = args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) =>
+          s.toString.split(",").toSeq
+        case other => throw new IllegalArgumentException(
+          "graft_json_top_scalars: keysCsv must be a string literal " +
+            s"(comma-separated top-level keys), got $other")
+      }
+      JsonTopScalars(args.head, keys)
+    }),
     ("graft_vec_dot", "(vec, vec)", 2, { args: Seq[Expression] => DotProduct(args.head, args(1)) }),
     ("graft_vec_cosine", "(vec, vec)", 2, { args: Seq[Expression] => CosineSimilarity(args.head, args(1)) }),
     ("graft_vec_norm", "(vec)", 1, { args: Seq[Expression] => VectorNorm(args.head) }))

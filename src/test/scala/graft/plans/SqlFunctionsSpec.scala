@@ -70,6 +70,26 @@ class SqlFunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     r.getDouble(2) shouldBe 1.0
   }
 
+  test("r12 kernels via SQL: repetition stats and json top-scalar extraction") {
+    docs
+    import graft.functions.TextFunctions._
+    val api = docs.select($"doc_id",
+      repetition_stats($"text", 2).as("r"),
+      json_top_scalars(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("{\"a\": \""),
+          $"doc_id".cast("string"),
+          org.apache.spark.sql.functions.lit("\", \"b\": 7}")),
+        Seq("a", "b")).as("j")).collect()
+    val sql = spark.sql(
+      """SELECT doc_id, graft_repetition_stats(text, 2) AS r,
+        | graft_json_top_scalars(
+        |   concat('{"a": "', CAST(doc_id AS STRING), '", "b": 7}'),
+        |   'a,b') AS j
+        |FROM sqlfn_docs""".stripMargin).collect()
+    sql.map(_.toSeq) shouldBe api.map(_.toSeq)
+  }
+
   test("non-literal scalar parameter fails with a clear message") {
     docs
     val e = intercept[Exception] {
