@@ -296,12 +296,21 @@ object TextOps {
       ws()
       if (i >= n || s.charAt(i) != ':') return fail()
       i += 1; ws()
-      // does this key match an unfilled output slot?
+      // does this key match any unfilled output slot? (a key requested
+      // twice fills BOTH slots from the one parse — first-occurrence-wins
+      // applies to duplicate keys in the DOCUMENT, not in the request)
       var slot = -1
       var kIdx = 0
       while (kIdx < keys.length && slot < 0) {
         if (keys(kIdx) == key && out(kIdx) == null) slot = kIdx
         kIdx += 1
+      }
+      def fill(v: UTF8String): Unit = {
+        var j = slot
+        while (j < keys.length) {
+          if (keys(j) == key && out(j) == null) { out(j) = v; remaining -= 1 }
+          j += 1
+        }
       }
       if (slot < 0 || remaining == 0) {
         if (!skipValue()) return fail()
@@ -311,7 +320,7 @@ object TextOps {
           case '"' =>
             val v = str()
             if (v == null) return fail()
-            out(slot) = UTF8String.fromString(v); remaining -= 1
+            fill(UTF8String.fromString(v))
           case '{' | '[' =>
             if (!skipValue()) return fail() // non-scalar → NULL by contract
           case _ =>
@@ -319,7 +328,7 @@ object TextOps {
             if (!skipValue()) return fail()
             val raw = s.substring(st, i).trim
             if (raw != "null") { // JSON null → SQL NULL
-              out(slot) = UTF8String.fromString(raw); remaining -= 1
+              fill(UTF8String.fromString(raw))
             }
         }
       }

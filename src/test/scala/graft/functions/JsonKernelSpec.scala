@@ -96,6 +96,15 @@ class JsonKernelSpec extends AnyFunSuite with Matchers with SparkFixture {
     got(2)._2 shouldBe Some("9")
   }
 
+  test("contract: a key requested twice fills both slots from one parse") {
+    val df = Seq((1L, """{"k": 5, "tag": "t"}""")).toDF("id", "js")
+    val got = df.select(
+        TextFunctions.json_top_scalars($"js", Seq("k", "tag", "k")).as("j"))
+      .select(element_at($"j", 1), element_at($"j", 2), element_at($"j", 3))
+      .as[(String, String, String)].collect().head
+    got shouldBe (("5", "t", "5"))
+  }
+
   test("contract: null input row and the surrogate-pair escape") {
     val df = Seq((1L, null: String),
       (2L, "{\"k\": \"\\ud83d\\ude00\"}")).toDF("id", "js")
