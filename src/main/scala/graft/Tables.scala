@@ -86,6 +86,11 @@ object Tables {
         countCache.clear()
     }
     graft.plans.UniqueKeys.undeclare(dir)
+    // derived-state memos built FROM these relations must not outlive a
+    // refresh either; clearing outright (rather than path-matching — a
+    // centroid memo is keyed by plan, not path) is always safe for a
+    // pure perf memo
+    graft.operators.Similarity.invalidateCentroids()
   }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")

@@ -173,8 +173,15 @@ object TextOps {
     *     SQL NULL (get_json_object would return the re-serialized
     *     subtree for the latter — this kernel is a typed SCALAR
     *     extractor, callers wanting subtrees use parse_json/variant);
-    *   - first occurrence of a duplicate key wins;
+    *   - first occurrence of a duplicate key wins — INCLUDING when that
+    *     occurrence maps to SQL NULL (JSON null / non-scalar): later
+    *     duplicates never overwrite the first occurrence's verdict;
     *   - malformed JSON or a non-object root → every output NULL.
+    *     Detection note: bracket kinds are validated everywhere (a '['
+    *     closed by '}' fails), but ','/':' PLACEMENT inside values the
+    *     caller did not request is not fully validated — a document
+    *     malformed only in that narrow way inside a skipped region may
+    *     still yield the requested scalars.
     *
     * Scale rationale (r12 x1000 audit): parse_json cost ~80 ns/row on
     * 100M tiny objects (8.4 s for ONE field, scan floor 0.69 s) and
@@ -252,15 +259,47 @@ object TextOps {
         j == m
       }
     // skip one JSON value of any shape; returns false on malformed.
-    // depth-bounded only by the input length (no recursion)
+    // Bracket KINDS are tracked on a bit-stack (bit=1 → '{', bit=0 → '[')
+    // so a '[' closed by '}' is rejected, not silently accepted; depth is
+    // bounded only by the input length (the bit-stack grows by chunks of
+    // 64 levels, no recursion). Deliberately lax: stray ','/':' placement
+    // INSIDE a skipped structure is not fully validated (that would need
+    // a per-level element/key state machine for values the caller threw
+    // away) — pinned by JsonKernelSpec's malformed-input cases.
     def skipValue(): Boolean = {
       var depth = 0
+      var stack = 0L            // bracket kinds for levels 0..63
+      var deepStack: Array[Long] = null // lazily grown past 64 levels
+      def push(curly: Boolean): Unit = {
+        if (depth < 64) {
+          stack = if (curly) stack | (1L << depth) else stack & ~(1L << depth)
+        } else {
+          val w = depth / 64 - 1
+          if (deepStack == null || w >= deepStack.length) {
+            val grown = new Array[Long](if (deepStack == null) 4 else deepStack.length * 2)
+            if (deepStack != null) System.arraycopy(deepStack, 0, grown, 0, deepStack.length)
+            deepStack = grown
+          }
+          val b = depth % 64
+          deepStack(w) = if (curly) deepStack(w) | (1L << b) else deepStack(w) & ~(1L << b)
+        }
+        depth += 1
+      }
+      def popIsCurly(): Boolean = {
+        depth -= 1
+        if (depth < 64) (stack & (1L << depth)) != 0
+        else (deepStack(depth / 64 - 1) & (1L << (depth % 64))) != 0
+      }
       do {
         ws()
         if (i >= n) return false
         s.charAt(i) match {
-          case '{' | '[' => depth += 1; i += 1
-          case '}' | ']' => depth -= 1; i += 1; if (depth < 0) return false
+          case '{' => push(curly = true); i += 1
+          case '[' => push(curly = false); i += 1
+          case c @ ('}' | ']') =>
+            if (depth == 0) return false
+            if (popIsCurly() != (c == '}')) return false // kind mismatch
+            i += 1
           case '"' => if (str() == null) return false
           case ',' | ':' if depth > 0 => i += 1
           case _ => // scalar token: scan to its end and validate syntax
@@ -277,6 +316,12 @@ object TextOps {
     ws()
     if (i >= n || s.charAt(i) != '{') return fail()
     i += 1
+    // a slot is CONSUMED by the first occurrence of its key in the
+    // document even when that occurrence maps to SQL NULL (JSON null or a
+    // non-scalar) — first-occurrence-wins is about which occurrence
+    // decides, not about which produces a non-null value (r12 ADVICE: a
+    // later duplicate must not fill a slot the first occurrence nulled)
+    val consumed = new Array[Boolean](keys.length)
     var remaining = keys.length
     var first = true
     while (true) {
@@ -302,13 +347,16 @@ object TextOps {
       var slot = -1
       var kIdx = 0
       while (kIdx < keys.length && slot < 0) {
-        if (keys(kIdx) == key && out(kIdx) == null) slot = kIdx
+        if (keys(kIdx) == key && !consumed(kIdx)) slot = kIdx
         kIdx += 1
       }
+      // v == null consumes the slot(s) and leaves them SQL NULL
       def fill(v: UTF8String): Unit = {
         var j = slot
         while (j < keys.length) {
-          if (keys(j) == key && out(j) == null) { out(j) = v; remaining -= 1 }
+          if (keys(j) == key && !consumed(j)) {
+            consumed(j) = true; out(j) = v; remaining -= 1
+          }
           j += 1
         }
       }
@@ -322,14 +370,14 @@ object TextOps {
             if (v == null) return fail()
             fill(UTF8String.fromString(v))
           case '{' | '[' =>
-            if (!skipValue()) return fail() // non-scalar → NULL by contract
+            if (!skipValue()) return fail()
+            fill(null) // non-scalar → NULL by contract, slot consumed
           case _ =>
             val st = i
             if (!skipValue()) return fail()
             val raw = s.substring(st, i).trim
-            if (raw != "null") { // JSON null → SQL NULL
-              fill(UTF8String.fromString(raw))
-            }
+            // JSON null → SQL NULL; either way this occurrence decides
+            fill(if (raw == "null") null else UTF8String.fromString(raw))
         }
       }
     }

@@ -378,11 +378,23 @@ object Similarity {
   // BUILD cost, not per-query cost, and both are deterministic by
   // construction (first-nlist seed, fixed-point means, cos6 ties), so a
   // cache hit returns bit-identical centroids. Keyed by the analyzed
-  // plan's semanticHash — a regenerated table is a new relation memo in
-  // [[graft.Tables]] (new plan → new key), and stopped sessions are
-  // pruned on each miss, mirroring Tables.read's snapshot semantics.
+  // plan's CANONICALIZED string — lookup is by plan equality, so two
+  // different corpus plans can never collide into each other's centroids
+  // (the r12 semanticHash key was an Int hash: a collision would have
+  // silently returned the wrong index). A regenerated table is a new
+  // relation memo in [[graft.Tables]] (new FileIndex → new canonical
+  // string → new key); [[graft.Tables.invalidate]] additionally clears
+  // this memo outright via [[invalidateCentroids]] so a refreshed path
+  // can never serve pre-refresh centroids; stopped sessions are pruned
+  // on each miss, mirroring Tables.read's snapshot semantics.
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, String), Array[(Long, Seq[Float])]]()
+    (org.apache.spark.sql.SparkSession, String, String), Array[(Long, Seq[Float])]]()
+
+  /** Drop every memoized IVF centroid set — called by
+    * [[graft.Tables.invalidate]] (the REFRESH TABLE analogue): a memo
+    * derived from refreshed inputs must not outlive them.
+    */
+  def invalidateCentroids(): Unit = centroidCache.clear()
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
               nprobe: Int = 8, refineSteps: Int = 1,
@@ -396,7 +408,7 @@ object Similarity {
         "raise maxQueries deliberately or pre-shard the query set and " +
         "union the results")
     val cacheKey = (corpus.sparkSession,
-      corpus.queryExecution.analyzed.semanticHash(),
+      corpus.queryExecution.analyzed.canonicalized.toString,
       s"$nlist/$refineSteps")
     centroidCache.keySet.removeIf { case (ss, _, _) => ss.sparkContext.isStopped }
     val cents = centroidCache.computeIfAbsent(cacheKey, { _ =>

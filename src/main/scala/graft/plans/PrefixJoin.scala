@@ -163,14 +163,24 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     ("graft_repetition_stats", "(text, k)", 2, { args: Seq[Expression] =>
       RepetitionStatsExpr(args.head, litInt(args(1), "graft_repetition_stats", "k"))
     }),
+    // keysCsv is comma-separated with surrounding whitespace trimmed per
+    // segment ('a, b' requests the key "b", not " b"); empty segments are
+    // rejected loudly. A key whose NAME contains a comma cannot be
+    // requested on this SQL surface — use the Scala API
+    // (TextFunctions.json_top_scalars takes a Seq and is unaffected).
     ("graft_json_top_scalars", "(json, keysCsv)", 2, { args: Seq[Expression] =>
       val keys = args(1) match {
         case Literal(s: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) =>
-          s.toString.split(",").toSeq
+          s.toString.split(",", -1).toSeq.map(_.trim)
         case other => throw new IllegalArgumentException(
           "graft_json_top_scalars: keysCsv must be a string literal " +
             s"(comma-separated top-level keys), got $other")
       }
+      require(keys.nonEmpty && keys.forall(_.nonEmpty),
+        "graft_json_top_scalars: keysCsv holds an empty key " +
+          s"(got '${keys.mkString(",")}') — every comma-separated segment " +
+          "must name a top-level key; keys containing a comma are not " +
+          "expressible here, use the Scala API")
       JsonTopScalars(args.head, keys)
     }),
     ("graft_vec_dot", "(vec, vec)", 2, { args: Seq[Expression] => DotProduct(args.head, args(1)) }),

@@ -99,10 +99,36 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("j4Roleplay: packed-exchange path (forced) agrees with the plain-join path") {
-    val packed = SparkEntry.j4Roleplay(spark, sf0001, packedBytes = 0L)
-    val plain = SparkEntry.j4Roleplay(spark, sf0001, packedBytes = Long.MaxValue)
+    // layout = Some(false) pins the EXCHANGE plans: with a bucketed
+    // layout on disk (another test may have written one) packedBytes = 0
+    // would otherwise route to the layout instead of the packed plan
+    val packed = SparkEntry.j4Roleplay(spark, sf0001,
+      packedBytes = 0L, layout = Some(false))
+    val plain = SparkEntry.j4Roleplay(spark, sf0001,
+      packedBytes = Long.MaxValue, layout = Some(false))
     packed.collect().map(_.toString).sorted shouldBe
       plain.collect().map(_.toString).sorted
+  }
+
+  test("j4Roleplay: bucketed-layout routing (forced both ways) changes the plan, never the answer") {
+    // Some(true) builds/registers the layout and routes through it;
+    // Some(false) pins the exchange plans — identical rows either way
+    val viaLayout = SparkEntry.j4Roleplay(spark, sf0001, layout = Some(true))
+    val exchange = SparkEntry.j4Roleplay(spark, sf0001,
+      packedBytes = 0L, layout = Some(false))
+    viaLayout.collect().map(_.toString).sorted shouldBe
+      exchange.collect().map(_.toString).sorted
+    // the routed plan really consumes the on-disk layout
+    viaLayout.queryExecution.executedPlan.toString should include("graft-bucketed")
+    // and the DEFAULT probe takes it once the layout exists and the
+    // stats sit past the gate (packedBytes = 0 ⇒ never "small")
+    SparkEntry.probeBucketedLayout(sf0001) should not be empty
+    val routed = SparkEntry.j4Roleplay(spark, sf0001, packedBytes = 0L)
+    routed.queryExecution.executedPlan.toString should include("graft-bucketed")
+    // while under the gate (everything is "small" at MaxValue) the probe
+    // stands down and the small exchange plan keeps the query
+    val small = SparkEntry.j4Roleplay(spark, sf0001, packedBytes = Long.MaxValue)
+    small.queryExecution.executedPlan.toString should not include "graft-bucketed"
   }
 
   test("layout_bucketed_join: layout changes the plan, never the answer; join is exchange-free") {
@@ -117,6 +143,23 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     val planStr = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     "Exchange hashpartitioning".r.findAllIn(planStr).size should be <= 1
+  }
+
+  test("a6SketchAgg: an EMPTY relation yields one row, no error, on both forced paths (r12 ADVICE)") {
+    // pre-fix the small path's positional median read raised
+    // "SQL array indices start at 1" (lo = floor(-0.5) = -1 on zero rows)
+    val dir = java.nio.file.Files.createTempDirectory("a6-empty").toString
+    val s = spark
+    import s.implicits._
+    Seq.empty[(Long, Long, Double)]
+      .toDF("l_partkey", "l_orderkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val small = SparkEntry.a6SketchAgg(spark, dir, smallBytes = Long.MaxValue).collect()
+    val large = SparkEntry.a6SketchAgg(spark, dir, smallBytes = 0L).collect()
+    small.map(_.toString) shouldBe large.map(_.toString)
+    small.length shouldBe 1
+    small.head.getLong(0) shouldBe 0L // exact_parts: 0, not NULL
+    small.head.isNullAt(2) shouldBe true // exact_median_price: NULL like percentile()
   }
 
   test("j4Roleplay: packed path fails loudly on a nationkey outside the 5-bit domain") {

@@ -45,7 +45,13 @@ class JsonKernelSpec extends AnyFunSuite with Matchers with SparkFixture {
     val keyGen: Gen[String] = Gen.oneOf("k", "tag", "missing", "other", "zz")
     val docGen: Gen[String] = for {
       n <- Gen.choose(0, 6)
-      kvs <- Gen.listOfN(n, Gen.zip(keyGen, scalarGen))
+      kvs0 <- Gen.listOfN(n, Gen.zip(keyGen, scalarGen))
+      // DISTINCT keys only: on duplicate keys the kernel's contract is
+      // strict first-occurrence-wins (even when that occurrence is JSON
+      // null), which deliberately diverges from get_json_object's
+      // continue-past-null scan — duplicate semantics are pinned by the
+      // named contract tests below, not by this parity property
+      kvs = kvs0.distinctBy(_._1)
       spacey <- Gen.oneOf(true, false)
     } yield {
       val sep = if (spacey) " , " else ","
@@ -94,6 +100,57 @@ class JsonKernelSpec extends AnyFunSuite with Matchers with SparkFixture {
     // the nested "k" inside other must NOT match; the brace/quote inside
     // the nested string must not derail the skip
     got(2)._2 shouldBe Some("9")
+  }
+
+  test("contract: first occurrence wins even when it maps to SQL NULL (r12 ADVICE)") {
+    // the first occurrence CONSUMES the slot: a later duplicate never
+    // overwrites a null/non-scalar verdict (get_json_object would scan
+    // past the null — that divergence is deliberate and documented)
+    val df = Seq(
+      (1L, """{"k": {"a": 1}, "k": "v"}"""), // non-scalar first → NULL stays
+      (2L, """{"k": null, "k": 7}"""),       // JSON null first → NULL stays
+      (3L, """{"k": [0], "k": null, "k": 3}"""),
+      (4L, """{"tag": null, "k": 1, "tag": "t"}""") // independent per key
+    ).toDF("id", "js")
+    val got = kernel3(df).as[(Long, Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1)
+    got(0)._2 shouldBe None
+    got(1)._2 shouldBe None
+    got(2)._2 shouldBe None
+    got(3) shouldBe ((4L, Some("1"), None, None))
+  }
+
+  test("contract: a duplicate-requested key consumed by a NULL first occurrence nulls every slot") {
+    val df = Seq((1L, """{"k": null, "k": 5, "tag": "t"}""")).toDF("id", "js")
+    val got = df.select(
+        TextFunctions.json_top_scalars($"js", Seq("k", "tag", "k")).as("j"))
+      .select(element_at($"j", 1), element_at($"j", 2), element_at($"j", 3))
+      .as[(Option[String], Option[String], Option[String])].collect().head
+    got shouldBe ((None, Some("t"), None))
+  }
+
+  test("contract: bracket-kind mismatches in skipped regions are malformed (r12 ADVICE)") {
+    val df = Seq(
+      (1L, """{"b": 1, "a": [1}}"""),          // '[' closed by '}' → all null
+      (2L, """{"b": {"x": 1], "k": 2}"""),     // '{' closed by ']' → all null
+      (3L, """{"b": [[{"x": []}]], "k": 2}""") // deep but well-formed → k kept
+    ).toDF("id", "js")
+    val got = kernel3(df).as[(Long, Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1)
+    got(0) shouldBe ((1L, None, None, None))
+    got(1) shouldBe ((2L, None, None, None))
+    got(2)._2 shouldBe Some("2")
+  }
+
+  test("contract: structures deeper than the 64-level bit-stack still skip correctly") {
+    val deep = "[" * 80 + "1" + "]" * 80
+    val okDoc = s"""{"skip": $deep, "k": 4}"""
+    val badDoc = s"""{"skip": ${"[" * 80 + "1" + "]" * 79}}, "k": 4}"""
+    val df = Seq((1L, okDoc), (2L, badDoc)).toDF("id", "js")
+    val got = kernel3(df).as[(Long, Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1)
+    got(0)._2 shouldBe Some("4")
+    got(1) shouldBe ((2L, None, None, None))
   }
 
   test("contract: a key requested twice fills both slots from one parse") {

@@ -90,6 +90,23 @@ class SqlFunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     sql.map(_.toSeq) shouldBe api.map(_.toSeq)
   }
 
+  test("json_top_scalars keysCsv trims segments and rejects empty keys (r12 ADVICE)") {
+    // 'a, b' must request the key "b" — the untrimmed ' b' would silently
+    // never match any document key
+    val r = spark.sql(
+      """SELECT graft_json_top_scalars('{"a": 1, "b": "x"}', 'a, b') AS j""")
+      .collect()(0).getSeq[String](0)
+    r shouldBe Seq("1", "x")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_json_top_scalars('{}', 'a,,b')").collect()
+    }
+    e.getMessage should include("empty key")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_json_top_scalars('{}', '')").collect()
+    }
+    e2.getMessage should include("empty key")
+  }
+
   test("non-literal scalar parameter fails with a clear message") {
     docs
     val e = intercept[Exception] {
