@@ -122,6 +122,42 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL (non-distinct) variant of [[shingleHashes31]]: one hash
+    * per k-shingle occurrence, in position order — `transform(
+    * shinglesAll(text, k), s -> shingleHash31(s))` fused into one loop.
+    * Exists for the occurrence-level operators ([[graft.operators.Dedup
+    * .spanCut]]): `posexplode` over this array yields (pos, hash) pairs
+    * directly, so the exchange-bound subtree never materializes the span
+    * STRINGS the composed spelling pushed through the explode (r13;
+    * parity with the composed spelling pinned in TextExpressionsSpec).
+    * Same md5-prefix arithmetic as [[shingleHashes31]] — the DuckDB
+    * oracle's hash CTE re-derives it verbatim.
+    */
+  def shingleHashes31All(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val prefix = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = prefix % 2147483647L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Kernel of [[RepetitionStatsExpr]]: per-document k-gram repetition —
     * `(n_grams, top_count)` where `top_count` is the highest occurrence
     * count of any single k-gram WITHIN the document. Exact string
@@ -894,6 +930,29 @@ case class ShingleHash31Array(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positional (non-distinct) k-shingle md5-prefix hashes — see
+  * [[TextOps.shingleHashes31All]].
+  */
+case class ShingleHash31AllArray(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def prettyName: String = "shingle_hash31_all_array"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.shingleHashes31All(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingleHashes31All($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All strictly-ordered pairs (a < b) of a long array, as
   * array<struct<a,b>> — the bucket-local pair expansion of LSH candidate
   * generation. Input ids are sorted and deduped first, so the output is
@@ -1301,6 +1360,8 @@ object TextFunctions {
     column(ShingleArray(expression(text), k, distinct = false))
   def shingle_hash31_array(text: Column, k: Int): Column =
     column(ShingleHash31Array(expression(text), k))
+  def shingle_hash31_all_array(text: Column, k: Int): Column =
+    column(ShingleHash31AllArray(expression(text), k))
   def minhash_sig_array(hs: Column, numPerm: Int): Column =
     column(MinhashSigArray(expression(hs), numPerm))
   def array_pairs(ids: Column): Column = column(ArrayPairs(expression(ids)))

@@ -1187,11 +1187,18 @@ object Dedup {
     // the pair family anyway; every sibling operator requires them
     // non-null.)
     val base = docs.filter(col("doc_id").isNotNull)
+    // r13: the positional-hash KERNEL (shingle_hash31_all_array) fuses
+    // shinglesAll + per-occurrence md5 into one loop per document, so the
+    // posexplode carries (pos, long) pairs — the composed spelling pushed
+    // every span STRING through the explode and hashed it afterwards
+    // (SpanLab min-of-3 BOTH orders at sf0.1: kernel 1.234/1.229 s vs
+    // composed 1.292/1.413 s — kernel wins from both positions; identical
+    // hashes by construction, parity pinned in TextExpressionsSpec)
     val occRaw = base
       .select(col("doc_id"),
-        posexplode(TextAnalysis.shinglesAll(col("text"), l)).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        shingleHash31(col("s")).as("h"))
+        posexplode(graft.functions.TextFunctions
+          .shingle_hash31_all_array(col("text"), l)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
     // r12 small path (SpanLab min-of-3, BOTH orders: 1.38/1.47 s vs the
     // join shape's 1.84/2.46 s at sf0.1): ONE groupBy(h) owns
     // count+canon+the occurrence LIST, so duplicates explode out of the

@@ -149,6 +149,10 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     ("graft_shingle_hash31", "(text, k)", 2, { args: Seq[Expression] =>
       ShingleHash31Array(args.head, litInt(args(1), "graft_shingle_hash31", "k"))
     }),
+    ("graft_shingle_hash31_all", "(text, k)", 2, { args: Seq[Expression] =>
+      ShingleHash31AllArray(args.head,
+        litInt(args(1), "graft_shingle_hash31_all", "k"))
+    }),
     ("graft_minhash_sig", "(hashes, numPerm)", 2, { args: Seq[Expression] =>
       MinhashSigArray(args.head, litInt(args(1), "graft_minhash_sig", "numPerm"))
     }),

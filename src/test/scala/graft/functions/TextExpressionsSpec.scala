@@ -103,6 +103,36 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .sorted shouldBe Array(3L, 4L)
   }
 
+  test("shingle_hash31_all_array: positional kernel equals transform(shinglesAll, hash31) on real docs") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    def composed(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+      org.apache.spark.sql.functions.transform(
+        graft.operators.TextAnalysis.shinglesAll($"text", 5),
+        s => Dedup.shingleHash31(s)).as("hs_c"))
+    val diff = docs.select($"doc_id",
+        TextFunctions.shingle_hash31_all_array($"text", 5).as("hs"))
+      .join(composed(docs), "doc_id")
+      .filter($"hs" =!= $"hs_c")
+    diff.count() shouldBe 0L
+    // positional: duplicate shingles KEEP their occurrences in order
+    val edge = Seq((1L, ""), (2L, "a b c d"),
+      (3L, "a b a b a b")).toDF("doc_id", "text")
+    val got = edge.select($"doc_id",
+        TextFunctions.shingle_hash31_all_array($"text", 2).as("hs"))
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect()
+    got(0)._2.length shouldBe 0 // "" -> 1 token -> no 2-shingle
+    got(1)._2.length shouldBe 3
+    got(2)._2.length shouldBe 5
+    got(2)._2(0) shouldBe got(2)._2(2) // "a b" repeats positionally
+    got(2)._2(1) shouldBe got(2)._2(3)
+    // SQL registry surface agrees with the Column API
+    edge.createOrReplaceTempView("sh31_edge")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_shingle_hash31_all(text, 2) AS hs FROM sh31_edge")
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect()
+    viaSql.map(_._2) shouldBe got.map(_._2)
+  }
+
   test("simhash16 native matches composed bit-for-bit on real docs") {
     val docs = graft.Tables.documents(spark, sf0001)
     val diff = docs.select(
