@@ -593,6 +593,57 @@ object SparkEntry {
       _ => layoutBucketedJoinUncached(s, d, slug0, buckets))
   }
 
+  /** `q18_large_orders` body, LAYOUT-AWARE (r13, Q18Lab order-controlled
+    * adopt): when an orderkey-bucketed lineitem(l_orderkey, l_quantity)
+    * layout exists on disk, the per-order sum consumes the bucket
+    * distribution — zero exchanges before the tiny HAVING survivor set
+    * broadcast-joins into the orders scan (x1000 BOTH orders: 11.18/
+    * 12.52 s bucketed vs 39.87/33.73 s for the gated exchange plan).
+    * Without a layout, the r8 gated plan: [[preShuffled]] raw 2-col
+    * repartition past [[rawAggBytes]], direct groupBy under it. `layout`
+    * forces the routing for the parity spec (Some(true) builds the
+    * layout if missing — the write-once cost the probe path never pays).
+    */
+  private[graft] def q18LargeOrders(s: SparkSession, d: String,
+                                    layout: Option[Boolean] = None): DataFrame = {
+    val onDisk = probeLiOqLayout(d)
+    val useLayout = layout.getOrElse(onDisk.isDefined)
+    val big =
+      if (useLayout) {
+        val buckets = onDisk.getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt)
+        val slug = layoutSlug(d, "lineitem.parquet")
+        val li = operators.Bucketing.ensureBucketed(
+          s, s"graft_li_oq_$slug", s"/tmp/graft-bucketed/$slug/li_oq",
+          "l_orderkey", buckets)(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")))
+        li.groupBy(col("l_orderkey").as("bk"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+      } else
+        preShuffled(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
+          .groupBy(col("l_orderkey").as("bk"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+    Tables.orders(s, d).join(big, col("o_orderkey") === col("bk"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("total_qty"))
+  }
+
+  /** Bucket count of a COMPLETE on-disk q18 lineitem projection layout
+    * (`li_oq`: l_orderkey, l_quantity — the j4 `li_ok` layout does NOT
+    * carry l_quantity, so q18 keeps its own) — or None. Probe only.
+    */
+  private[graft] def probeLiOqLayout(d: String): Option[Int] = {
+    import java.nio.file.{Files, Paths}
+    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "lineitem.parquet")}/li_oq"
+    if (Files.exists(Paths.get(root, "_SUCCESS")))
+      operators.Bucketing.readMeta(root)
+        .filter(_.key.equalsIgnoreCase("l_orderkey")).map(_.buckets)
+    else None
+  }
+
   /** Bucket count of a COMPLETE on-disk bucketed layout for the two j4
     * fact projections of `d` (both `_SUCCESS`-stamped, sidecar-described,
     * orderkey-keyed, equal width) — or None. A probe only: never writes,
@@ -1261,16 +1312,16 @@ object SparkEntry {
     // tiny, so AQE broadcast-joins it into the orders scan. Gate
     // validated at x100 (2.2 GB): 3.49 s gated vs 5.01 s direct-groupBy
     // spelling, min-of-3 same session — the x30 trend holds.
-    "q18_large_orders" -> ((s, d) => {
-      val big = preShuffled(Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
-        .groupBy(col("l_orderkey").as("bk"))
-        .agg(sum(col("l_quantity")).as("total_qty"))
-        .filter(col("total_qty") > 250)
-      Tables.orders(s, d).join(big, col("o_orderkey") === col("bk"))
-        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
-          col("total_qty"))
-    }),
+    // AUDIT (r13, x1000, Q18Lab order-controlled ADOPT): an orderkey-
+    // bucketed lineitem(l_orderkey, l_quantity) layout removes the one
+    // fact-scale exchange — the per-order sum aggregates per bucket with
+    // ZERO exchanges before the broadcast join. Measured BOTH orders at
+    // x1000 (min-of-2 each): bucketed 11.18/12.52 s vs the gated
+    // exchange plan's 39.87/33.73 s — a >2.9x win from the disadvantaged
+    // position too, so the probe routes through the layout when one
+    // exists on disk (tools/sweeps/q18_ab_x1000_r13.log). See
+    // [[q18LargeOrders]].
+    "q18_large_orders" -> ((s, d) => q18LargeOrders(s, d)),
 
     // U3 (beyond reference): INTERSECT / EXCEPT set operations
     "u3_intersect_except" -> ((s, d) => {

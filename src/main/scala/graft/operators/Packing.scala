@@ -52,11 +52,11 @@ object Packing {
     // size-adaptive (same gate as Sampling.stratified): when Catalyst
     // stats bound the NARROW (id, count) projection under `smallBytes`,
     // the exact cumsum is one in-plan global window — zero driver
-    // actions, one exchange — instead of the two-phase scan's two
-    // actions (min/max, bucket totals). The single sort task moves
-    // < smallBytes by construction; the null contract is enforced
-    // in-plan (raise_error) instead of by the fused min/max action.
-    // Unknown stats (negative) or big inputs take the two-phase path.
+    // actions, one exchange — instead of the two-phase path's id-range
+    // probe action. The single sort task moves < smallBytes by
+    // construction; the null contract is enforced in-plan (raise_error)
+    // on both paths (r13). Unknown stats (negative) or big inputs take
+    // the two-phase path.
     val proj = docs.select(col(idCol), col(tokenCol).cast(LongType).as(tokenCol))
     if (AdaptiveGate.isSmall(proj, smallBytes)) {
       val guarded = proj.withColumn(tokenCol,
@@ -74,14 +74,19 @@ object Packing {
     }
     // id range → monotone bucket width (ceil so the max id still lands in
     // the last bucket). Empty input short-circuits: no range to bucket.
-    // The null-contract check rides the SAME action (zero extra jobs):
-    // min/max skip nulls, so they are counted explicitly.
+    // r13: the range probe scans the ID COLUMN ONLY — null ids are counted
+    // on the same narrow action (min/max skip nulls), while the tokenCol
+    // contract moved IN-PLAN (raise_error at the action, like the small
+    // path), so this probe never evaluates the token expression — for the
+    // common docs.select(id, tokenCount(text)) input that means the probe
+    // reads ids, not the corpus text.
     val r = docs.agg(min(col(idCol)).cast(LongType).as("lo"),
       max(col(idCol)).cast(LongType).as("hi"),
-      count(when(col(idCol).isNull || col(tokenCol).isNull, 1)).as("bad")).collect()(0)
+      count(when(col(idCol).isNull, 1)).as("bad")).collect()(0)
     require(r.getLong(2) == 0L,
-      s"packSequences: ${r.getLong(2)} row(s) with null '$idCol' or '$tokenCol' — " +
-        "both must be non-null (unique id, token count) for an exact global prefix sum")
+      s"packSequences: ${r.getLong(2)} row(s) with null '$idCol' — " +
+        "both id and token count must be non-null (unique id, token count) " +
+        "for an exact global prefix sum")
     if (r.isNullAt(0))
       return docs.select(col(idCol), col(tokenCol).cast(LongType).as(tokenCol),
         lit(0L).as("start_offset"), lit(0L).as("seq_id"), lit(0L).as("seq_offset"))
@@ -91,28 +96,31 @@ object Packing {
     // integer DIV, not `/`: Spark's `/` on longs is double division, which
     // silently loses exactness past 2^53 — ids and token offsets are longs
     val bucket = expr(s"(CAST($idCol AS BIGINT) - ${lo}L) DIV ${width}L")
+    val guardedTok = when(col(tokenCol).isNull, raise_error(lit(
+        s"packSequences: null '$tokenCol' — both id and token count must be " +
+          "non-null (unique id, token count) for an exact global prefix sum")))
+      .otherwise(col(tokenCol).cast(LongType))
 
-    val keyed = docs.select(col(idCol), col(tokenCol).cast(LongType).as(tokenCol))
+    val base = docs.select(col(idCol), guardedTok.as(tokenCol))
       .withColumn("__graft_b", bucket)
-      .repartition(col("__graft_b"))
     val wIn = Window.partitionBy(col("__graft_b")).orderBy(col(idCol))
-    val local = keyed.withColumn("__graft_cum", sum(col(tokenCol)).over(wIn))
 
-    // per-bucket totals: its own (map-side-combining) pass — a two-phase
-    // scan is inherently two passes over the input; what stays bounded is
-    // the DRIVER state, ≤ `buckets` longs, prefix-summed into "tokens
-    // before this bucket"
-    val totals = keyed.groupBy(col("__graft_b")).agg(sum(col(tokenCol)).as("__graft_t"))
-      .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsetRows = totals.map { case (bId, t) =>
-      val row = org.apache.spark.sql.Row(bId, acc); acc += t; row
-    }
-    val offsets = spark.createDataFrame(
-      java.util.Arrays.asList(offsetRows: _*),
-      StructType(Seq(StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
+    // r13: bucket offsets IN-PLAN (the tokenBudgetHead redesign) — a
+    // map-side-combining totals aggregate (tiny partial-row exchange)
+    // plus a ≤`buckets`-row running-sum window replace the r12 driver
+    // collect, so constructing the plan runs ZERO jobs and the null
+    // contract is uniformly lazy. The stats pass stays a second scan of
+    // the input — structural for an exact two-phase prefix sum.
+    val wOff = Window.orderBy(col("__graft_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__graft_b"))
+      .agg(sum(col(tokenCol)).as("__graft_bt"))
+      .select(col("__graft_b"),
+        coalesce(sum(col("__graft_bt")).over(wOff), lit(0L)).as("__graft_off"))
 
-    local.join(broadcast(offsets), Seq("__graft_b"))
+    base.repartition(col("__graft_b"))
+      .withColumn("__graft_cum", sum(col(tokenCol)).over(wIn))
+      .join(broadcast(offsets), Seq("__graft_b"))
       .withColumn("start_offset", col("__graft_off") + col("__graft_cum") - col(tokenCol))
       .select(col(idCol), col(tokenCol),
         col("start_offset"),

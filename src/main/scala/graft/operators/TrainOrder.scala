@@ -166,15 +166,25 @@ object TrainOrder {
     * every column of `docs` plus `cum_tokens` (the running total
     * including the row itself).
     *
-    * The prefix sum reuses the epoch shuffle's fixed-width hash buckets,
-    * with one extra scale lever the full enumeration can't use: the
-    * per-bucket totals (collected anyway for the offsets) locate the
-    * boundary bucket, and the rank/cumsum window runs ONLY on buckets at
-    * or before it — for a 1% budget over a 100 TB corpus, 99% of the data
-    * is dropped by a scan-stage bucket filter and never sorted or
-    * shuffled. `tokenCol` must be non-null and `idCol` unique non-null
-    * (fails fast, same contract as [[Packing.packSequences]]); `docs`
-    * must not already contain the injected `__graft_*` working columns.
+    * The prefix sum reuses the epoch shuffle's fixed-width hash buckets.
+    * r13 REDESIGN — offsets are derived IN-PLAN, not collected: the r12
+    * shape ran an EAGER driver collect of the per-bucket totals at
+    * CONSTRUCTION (a full stats job before the caller ever acted — the
+    * q13/IVF driver-side-construction lesson) to find the live-bucket
+    * boundary. Now the totals are a map-side-combining aggregate (tiny
+    * partial-row exchange), the offsets a ≤`buckets`-row running-sum
+    * window, and the live set an inner BROADCAST join that drops dead
+    * buckets (offset already > budget: cum ≥ offset > budget for every
+    * row in them) in the scan stage, BEFORE the corpus exchange — the
+    * same 99%-never-shuffles prune as before, now lazy, zero driver
+    * actions. The stats pass remains a second scan of the wide input —
+    * structural for an exact two-phase prefix sum without materializing
+    * an intermediate (both engines pay it; the audit pins one corpus
+    * exchange and the broadcast prune). `tokenCol` must be non-null and
+    * `idCol` unique non-null — enforced IN-PLAN on both paths
+    * (`raise_error`, surfacing at the first ACTION; match on the
+    * message, not the exception class); `docs` must not already contain
+    * the injected `__graft_*` working columns.
     */
   def tokenBudgetHead(docs: DataFrame, idCol: String, tokenCol: String,
                       seed: Long, budget: Long, buckets: Int = 1024,
@@ -182,59 +192,49 @@ object TrainOrder {
     require(buckets > 0, "tokenBudgetHead: buckets must be positive")
     require(budget >= 0, "tokenBudgetHead: budget must be non-negative")
     val hkey = seededHashKey(idCol, seed)
+    // null contract in-plan on the summed value (see epochShuffle)
+    val guardedTok = when(col(idCol).isNull || col(tokenCol).isNull,
+        raise_error(lit(
+          s"tokenBudgetHead: null '$idCol' or '$tokenCol' row(s) — both must " +
+            "be non-null (unique id, token count) for an exact budgeted prefix sum")))
+      .otherwise(col(tokenCol).cast(LongType))
     // size-adaptive: the single running-sum window IS the definition (see
-    // epochShuffle); the scan-stage bucket prune only matters when the
-    // budget cuts data too big for one sort task anyway
+    // epochShuffle); the bucket machinery only matters when the data is
+    // too big for one sort task anyway
     if (AdaptiveGate.isSmall(docs, smallBytes)) {
-      // null contract in-plan on the summed value (see epochShuffle)
-      val guardedTok = when(col(idCol).isNull || col(tokenCol).isNull,
-          raise_error(lit(
-            s"tokenBudgetHead: null '$idCol' or '$tokenCol' row(s) — both must " +
-              "be non-null (unique id, token count) for an exact budgeted prefix sum")))
-        .otherwise(col(tokenCol).cast(LongType))
       val w = Window.orderBy(hkey, col(idCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       return docs.withColumn("cum_tokens", sum(guardedTok).over(w))
         .filter(col("cum_tokens") <= budget)
     }
     val width = bucketWidth(buckets)
-    val keyed = docs
+    val base = docs
+      .withColumn("__graft_t", guardedTok)
       .withColumn("__graft_hk", hkey)
       .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
-
-    // per-bucket token totals + the null-contract check on the same action
-    val totals = keyed.groupBy(col("__graft_b"))
-      .agg(sum(col(tokenCol).cast(LongType)).as("__graft_t"),
-        count(when(col(idCol).isNull || col(tokenCol).isNull, 1)).as("__graft_bad"))
-      .collect()
-    require(totals.forall(r => !r.isNullAt(0) && r.getLong(2) == 0L),
-      s"tokenBudgetHead: null '$idCol' or '$tokenCol' row(s) — both must be " +
-        "non-null (unique id, token count) for an exact budgeted prefix sum")
-    val sorted = totals.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsetRows = sorted.map { case (b, t) =>
-      val row = org.apache.spark.sql.Row(b, acc); acc += t; row
-    }
-    // boundary: a bucket whose offset already EXCEEDS the budget cannot
-    // contribute a kept row (cum ≥ offset > budget for every row in it) —
-    // prune it before the sort/window. `>` not `≥`: a zero-token doc at
-    // offset == budget still qualifies.
-    val lastLive = offsetRows.collectFirst {
-      case r if r.getLong(1) > budget => r.getLong(0) - 1
-    }.getOrElse(Long.MaxValue)
-    val offsets = docs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(offsetRows.filter(_.getLong(0) <= lastLive): _*),
-      StructType(Seq(StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
-
+    // bucket offsets: map-side-combining totals aggregate (≤ buckets ×
+    // tasks partial rows exchange — tiny), running-sum window over
+    // ≤ `buckets` rows (single tiny task by construction), LIVE buckets
+    // only. `>` not `≥` on the prune: a zero-token doc at offset ==
+    // budget still qualifies.
+    val wOff = Window.orderBy(col("__graft_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__graft_b"))
+      .agg(sum(col("__graft_t")).as("__graft_bt"))
+      .select(col("__graft_b"),
+        coalesce(sum(col("__graft_bt")).over(wOff), lit(0L)).as("__graft_off"))
+      .filter(col("__graft_off") <= budget)
     val wIn = Window.partitionBy(col("__graft_b"))
       .orderBy(col("__graft_hk"), col(idCol))
-    keyed.filter(col("__graft_b") <= lastLive)
+    // the inner broadcast join IS the scan-stage prune: dead buckets drop
+    // BEFORE the corpus exchange, so for a tight budget over a 100 TB
+    // corpus the bulk of the data never shuffles or sorts
+    base.join(broadcast(offsets), Seq("__graft_b"))
       .repartition(col("__graft_b"))
-      .withColumn("__graft_cum", sum(col(tokenCol).cast(LongType)).over(wIn))
-      .join(broadcast(offsets), Seq("__graft_b"))
-      .withColumn("cum_tokens", col("__graft_off") + col("__graft_cum"))
+      .withColumn("cum_tokens",
+        col("__graft_off") + sum(col("__graft_t")).over(wIn))
       .filter(col("cum_tokens") <= budget)
-      .drop("__graft_hk", "__graft_b", "__graft_cum", "__graft_off")
+      .drop("__graft_hk", "__graft_b", "__graft_t", "__graft_off")
   }
 
   /** Per-SOURCE token budget — the domain-cap curation step (no single
@@ -244,16 +244,19 @@ object TrainOrder {
     * applied per source. Returns every column of `docs` plus `cum_tokens`
     * (the within-source running total including the row itself).
     *
-    * Scale shape: the within-source prefix sums run per (source, bucket)
-    * window — no per-source single-task sort however skewed the domains.
-    * Per-source bucket offsets are prefix-summed on the driver (one row
-    * per OCCUPIED (source, bucket) pair, guarded by `maxGroups` — the
-    * [[sourceInterleave]] contract) and only LIVE pairs (offset ≤ budget)
-    * are broadcast back, so the inner join prunes every dead bucket in
-    * the scan stage: for tight budgets over a 100 TB corpus, the bulk of
-    * the data is dropped before the one exchange the cumsum needs.
-    * `idCol` unique non-null, `tokenCol` non-null, `sourceCol` non-null
-    * (fails fast); `docs` must not already contain `__graft_*` columns.
+    * Scale shape (r13 in-plan redesign — see [[tokenBudgetHead]]): the
+    * within-source prefix sums run per (source, bucket) window — no
+    * per-source single-task sort however skewed the domains. Per-source
+    * bucket offsets are a running-sum window over the (source × bucket)
+    * totals aggregate (map-side-combined, lazy — the r12 eager
+    * construction collect is gone); only LIVE pairs (offset ≤ budget)
+    * broadcast back, so the inner join prunes every dead bucket in the
+    * scan stage, before the one corpus exchange the cumsum needs.
+    * `maxGroups` bounds the offsets broadcast IN-PLAN (raise_error, at
+    * the action). `idCol` unique non-null, `tokenCol` non-null,
+    * `sourceCol` non-null — enforced in-plan on both paths (match on the
+    * message, not the exception class); `docs` must not already contain
+    * `__graft_*` columns.
     */
   def tokenBudgetPerSource(docs: DataFrame, idCol: String, tokenCol: String,
                            sourceCol: String, seed: Long, budget: Long,
@@ -279,50 +282,49 @@ object TrainOrder {
       return docs.withColumn("cum_tokens", sum(guardedTok).over(w))
         .filter(col("cum_tokens") <= budget)
     }
+    // r13 REDESIGN (same as [[tokenBudgetHead]]): offsets IN-PLAN instead
+    // of the eager construction-time stats collect. The per-source bucket
+    // offsets are a running-sum window over the ≤ (source × bucket)
+    // totals rows (map-side-combined — tiny exchange), partitioned by
+    // source (distributed however skewed the domains); dead buckets
+    // (offset > budget) are dropped by the inner BROADCAST join in the
+    // scan stage, BEFORE the corpus exchange. The maxGroups guard moved
+    // in-plan too: it bounds the offsets BROADCAST (the only
+    // driver-adjacent state left), firing lazily at the action.
+    val guardedTokL = when(col(idCol).isNull || col(tokenCol).isNull ||
+        col(sourceCol).isNull, raise_error(lit(
+          s"tokenBudgetPerSource: null '$sourceCol', '$idCol' or '$tokenCol' " +
+            "row(s) — all must be non-null for an exact per-source budget")))
+      .otherwise(col(tokenCol).cast(LongType))
     val width = bucketWidth(buckets)
-    val keyed = docs
+    val base = docs
+      .withColumn("__graft_t", guardedTokL)
       .withColumn("__graft_hk", hkey)
       .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
-
-    val totals = keyed.groupBy(col(sourceCol).cast("string").as("__graft_s"),
-        col("__graft_b"))
-      .agg(sum(col(tokenCol).cast(LongType)).as("__graft_t"),
-        count(when(col(idCol).isNull || col(tokenCol).isNull, 1)).as("__graft_bad"))
-      .collect()
-    require(totals.length <= maxGroups,
-      s"tokenBudgetPerSource: ${totals.length} (source × bucket) groups " +
-        s"exceed maxGroups=$maxGroups — lower `buckets` or raise the guard")
-    require(totals.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(3) == 0L),
-      s"tokenBudgetPerSource: null '$sourceCol', '$idCol' or '$tokenCol' " +
-        "row(s) — all must be non-null for an exact per-source budget")
-    val offsetRows = totals.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
-        var acc = 0L
-        rows.sortBy(_._2).flatMap { case (_, b, t) =>
-          // a bucket whose offset already exceeds the budget cannot
-          // contribute a kept row (cum ≥ offset > budget) — dead, pruned
-          val row = if (acc > budget) None
-                    else Some(org.apache.spark.sql.Row(s, b, acc))
-          acc += t; row
-        }
-      }
-    val offsets = docs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(offsetRows: _*),
-      StructType(Seq(StructField("__graft_s", org.apache.spark.sql.types.StringType),
-        StructField("__graft_b", LongType), StructField("__graft_off", LongType))))
-
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__graft_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val offsets = base.groupBy(col(sourceCol), col("__graft_b"))
+      .agg(sum(col("__graft_t")).as("__graft_bt"))
+      .select(col(sourceCol), col("__graft_b"),
+        coalesce(sum(col("__graft_bt")).over(wOff), lit(0L)).as("__graft_off"),
+        count(lit(1)).over(wAll).as("__graft_ng"))
+      .select(col(sourceCol), col("__graft_b"),
+        when(col("__graft_ng") > maxGroups, raise_error(concat(
+          lit("tokenBudgetPerSource: "), col("__graft_ng").cast("string"),
+          lit(s" (source × bucket) groups exceed maxGroups=$maxGroups — " +
+            "lower `buckets` or raise the guard"))))
+          .otherwise(col("__graft_off")).as("__graft_off"))
+      .filter(col("__graft_off") <= budget)
     val wIn = Window.partitionBy(col(sourceCol), col("__graft_b"))
       .orderBy(col("__graft_hk"), col(idCol))
-    keyed
-      .join(broadcast(offsets), // scan-stage prune: dead buckets never shuffle
-        col(sourceCol).cast("string") === col("__graft_s") &&
-          keyed("__graft_b") === offsets("__graft_b"))
-      .drop(offsets("__graft_b")).drop("__graft_s")
+    base.join(broadcast(offsets), Seq(sourceCol, "__graft_b")) // scan-stage prune
       .repartition(col(sourceCol), col("__graft_b"))
-      .withColumn("__graft_cum", sum(col(tokenCol).cast(LongType)).over(wIn))
-      .withColumn("cum_tokens", col("__graft_off") + col("__graft_cum"))
+      .withColumn("cum_tokens",
+        col("__graft_off") + sum(col("__graft_t")).over(wIn))
       .filter(col("cum_tokens") <= budget)
-      .drop("__graft_hk", "__graft_b", "__graft_cum", "__graft_off")
+      .drop("__graft_hk", "__graft_b", "__graft_t", "__graft_off")
   }
 
   /** Deterministic source-interleaved training order: every document gets

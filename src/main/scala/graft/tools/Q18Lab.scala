@@ -58,8 +58,11 @@ object Q18Lab {
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
           col("total_qty"))
     }
+    // q18_cur pins the gated EXCHANGE plan (the shipped query now probes
+    // the layout itself — r13 adopt — so the default would route and the
+    // A/B would compare the layout against itself)
     val variants: Map[String, () => DataFrame] = Map(
-      "q18_cur" -> (() => SparkEntry.queries("q18_large_orders")(spark, d)),
+      "q18_cur" -> (() => SparkEntry.q18LargeOrders(spark, d, layout = Some(false))),
       "q18_bucketed" -> (() => q18Of(liOq())))
 
     def time(name: String): Double = {

@@ -189,14 +189,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("order_budget_per_source: one corpus exchange; offsets broadcast (two-phase pinned)") {
     // smallBytes = 0 pins the scale path: at sf0.001 the size-adaptive
-    // default would emit the single-window plan and audit nothing
+    // default would emit the single-window plan and audit nothing.
+    // r13 in-plan offsets: ONE corpus exchange on (source, bucket) feeds
+    // both the cumsum window and the totals aggregate; the offsets
+    // subtree re-shuffles only the TINY totals (per-source running sum +
+    // the maxGroups guard window) before broadcasting back — so the
+    // corpus-scale audit is "exactly one exchange CARRYING doc ids",
+    // textually: every extra hash exchange partitions the totals rows,
+    // never the corpus columns
     val p = operators.TrainOrder.tokenBudgetPerSource(
         Tables.documents(spark, sf0001).select(col("doc_id"), col("source"),
           operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", "source", seed = 5L, budget = 800L,
         smallBytes = 0L)
       .queryExecution.executedPlan.toString
-    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    // exactly ONE corpus exchange (the explicit REPARTITION_BY_COL on
+    // (source, bucket)); the offsets subtree's exchanges move only
+    // map-side-combined totals rows (ENSURE_REQUIREMENTS, tiny)
+    "REPARTITION_BY_COL".r.findAllIn(p).length shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 2
+    // the prune join sits UNDER the corpus exchange — dead buckets never
+    // shuffle (tree print: exchange is the join's ancestor line)
+    p.indexOf("REPARTITION_BY_COL") should be < p.indexOf("BroadcastHashJoin")
     p should include("BroadcastExchange")
     p should not include "Exchange rangepartitioning"
   }
@@ -226,21 +240,32 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
-  test("tokenBudgetHead two-phase: dead buckets filtered BEFORE the one exchange") {
-    // the budget head's scale lever: buckets whose driver-side offset
-    // already exceeds the budget never shuffle — the <= lastLive cut must
-    // sit under the exchange, in the scan stage
-    val p = operators.TrainOrder.tokenBudgetHead(
+  test("tokenBudgetHead two-phase: one corpus scan, dead buckets dropped by the offsets join") {
+    // r13 in-plan redesign: the r12 shape pruned dead buckets in the scan
+    // stage but paid a SEPARATE full stats scan to learn the boundary —
+    // two wide scans per evaluation. Now ONE scan feeds one exchange,
+    // totals aggregate + cumsum window both read it (ReuseExchange), and
+    // dead buckets (offset > budget) are dropped by the INNER broadcast
+    // join right after the exchange read, before the sort.
+    val df = operators.TrainOrder.tokenBudgetHead(
         Tables.documents(spark, sf0001).select(col("doc_id"),
           operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", seed = 3L, budget = 500L, smallBytes = 0L)
-      .queryExecution.executedPlan.toString
-    // the optimizer collapses the __graft_b alias and sinks the cut into
-    // the scan stage as the raw (hash div width) <= lastLive predicate —
-    // directly above the FileScan, under the one exchange
-    "div \\d+\\) <= \\d+".r.findFirstIn(p) shouldBe defined
-    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
-    p should include("BroadcastExchange") // offsets re-enter broadcast, never shuffled
+    val p = df.queryExecution.executedPlan.toString
+    // exactly ONE corpus exchange (the explicit REPARTITION_BY_COL on the
+    // bucket); the offsets subtree moves only map-side-combined totals
+    "REPARTITION_BY_COL".r.findAllIn(p).length shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 2
+    // the prune join sits UNDER the corpus exchange: dead buckets are
+    // dropped in the scan stage and never shuffle
+    p.indexOf("REPARTITION_BY_COL") should be < p.indexOf("BroadcastHashJoin")
+    p should include("BroadcastExchange")
+    // the stats pass is a second scan — structural for an exact
+    // two-phase prefix sum without a materialized intermediate
+    "Scan parquet".r.findAllIn(p).length shouldBe 2
+    // and the prune is real: with this budget only live buckets' rows
+    // survive, exactly the rows the old scan-stage cut kept
+    df.filter(col("cum_tokens") > 500L).count() shouldBe 0L
   }
 
   test("order_* small-path plans: no broadcast offset join, no extra exchange") {
@@ -293,15 +318,27 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("packSequences scale path: no global-sort window — cumsum partitions by bucket") {
     // smallBytes = -1 forces the 100 TB formulation: bucketed parallel
-    // windows + driver-bounded offsets, never a single-task global sort
+    // windows + IN-PLAN offsets (r13), never a single-task sort of the
+    // CORPUS. The offsets subtree's running-sum window IS single-
+    // partition — over the ≤`buckets`-row totals aggregate, bounded by
+    // construction — so the audit pins where each shape is allowed:
+    // exactly ONE corpus hash exchange (totals reuse it), the corpus
+    // cumsum window partitioned by bucket, offsets re-entering as a
+    // broadcast.
     val df = Tables.documents(spark, sf0001).select(col("doc_id"),
       operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     val p = operators.Packing.packSequences(df, "doc_id", "n_tokens",
         capacity = 512L, smallBytes = -1L)
       .queryExecution.executedPlan.toString
-    p should include("Window")
-    (p should not).include("Exchange SinglePartition")
-    p should include("_graft_b")
+    p should include("windowspecdefinition(__graft_b") // corpus cumsum per bucket
+    // one corpus exchange (REPARTITION_BY_COL) + one tiny totals exchange
+    "REPARTITION_BY_COL".r.findAllIn(p).length shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 2
+    p should include("BroadcastExchange")
+    // the only single-partition exchange allowed is the tiny offsets one,
+    // directly above the per-bucket totals aggregate
+    "Exchange SinglePartition".r.findAllIn(p).length should be <= 1
+    p should include("__graft_bt")
   }
 
   test("text_edit_distance: triangle-blocked self-join — pinned width, no global sort") {

@@ -145,6 +145,22 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     "Exchange hashpartitioning".r.findAllIn(planStr).size should be <= 1
   }
 
+  test("q18LargeOrders: bucketed-layout routing (forced both ways) changes the plan, never the answer") {
+    val viaLayout = SparkEntry.q18LargeOrders(spark, sf0001, layout = Some(true))
+    val exchange = SparkEntry.q18LargeOrders(spark, sf0001, layout = Some(false))
+    viaLayout.collect().map(_.toString).sorted shouldBe
+      exchange.collect().map(_.toString).sorted
+    // the routed per-order sum consumes the bucket distribution: the
+    // layout scan is there and no hash exchange precedes the aggregate
+    val p = viaLayout.queryExecution.executedPlan.toString
+    p should include("graft-bucketed")
+    p should not include "Exchange hashpartitioning"
+    // the layout now exists, so the default probe takes it
+    SparkEntry.probeLiOqLayout(sf0001) should not be empty
+    SparkEntry.q18LargeOrders(spark, sf0001).queryExecution
+      .executedPlan.toString should include("graft-bucketed")
+  }
+
   test("a6SketchAgg: an EMPTY relation yields one row, no error, on both forced paths (r12 ADVICE)") {
     // pre-fix the small path's positional median read raised
     // "SQL array indices start at 1" (lo = floor(-0.5) = -1 on zero rows)

@@ -119,23 +119,29 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkFixture {
     offs.head shouldBe 0L
   }
 
-  test("packSequences null contract fails fast on BOTH paths with a named error") {
+  test("packSequences null contract fails on BOTH paths with a named error") {
     val withNull = Seq((Some(1L), Some(4L)), (Some(2L), None))
       .toDF("doc_id", "n_tokens")
-    // two-phase: the fused min/max action counts nulls -> require at build
+    // r13: the tokenCol contract is in-plan (raise_error) on both paths —
+    // it surfaces at the action with the operator-named message (the
+    // two-phase path's probe now scans the id column only, so a null
+    // TOKEN can no longer be detected eagerly there). A null ID still
+    // fails eagerly on the two-phase path (counted on the range probe).
+    for (smallBytes <- Seq(-1L, Long.MaxValue)) {
+      val e = intercept[Exception] {
+        Packing.packSequences(withNull, "doc_id", "n_tokens", 8L,
+          smallBytes = smallBytes).collect()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      chain should include("packSequences")
+    }
+    val nullId = Seq((Some(1L), 4L), (None, 2L)).toDF("doc_id", "n_tokens")
     val e1 = intercept[IllegalArgumentException] {
-      Packing.packSequences(withNull, "doc_id", "n_tokens", 8L, smallBytes = -1L)
+      Packing.packSequences(nullId, "doc_id", "n_tokens", 8L, smallBytes = -1L)
     }
-    e1.getMessage should include("n_tokens")
-    // small path: in-plan raise_error surfaces at execution (wrapped by
-    // the task failure), same operator-named message somewhere in the chain
-    val e2 = intercept[Exception] {
-      Packing.packSequences(withNull, "doc_id", "n_tokens", 8L).collect()
-    }
-    val chain = Iterator.iterate(e2: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
-      .mkString(" | ")
-    chain should include("packSequences")
+    e1.getMessage should include("doc_id")
   }
 
   test("packSequences on empty input returns an empty frame with the contract schema") {

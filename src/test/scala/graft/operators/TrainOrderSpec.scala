@@ -103,12 +103,23 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     all.agg(max($"cum_tokens")).as[Long].head() shouldBe 1000L
   }
 
-  test("tokenBudgetHead: null token count fails fast with the contract error") {
+  test("tokenBudgetHead: null token count fails with the contract error on BOTH paths") {
+    // r13: the contract is in-plan (raise_error) on both paths — it
+    // surfaces at the ACTION with the operator-named message (match on
+    // the message, not the class; the large path used to throw eagerly
+    // from its stats collect, which the in-plan redesign removed)
     val bad = Seq((1L, Some(3L)), (2L, None)).toDF("doc_id", "n_tokens")
-    val e = intercept[IllegalArgumentException] {
-      TrainOrder.tokenBudgetHead(bad, "doc_id", "n_tokens", seed = 1L, budget = 10L, smallBytes = 0L)
+    for (smallBytes <- Seq(0L, Long.MaxValue)) {
+      val e = intercept[Exception] {
+        TrainOrder.tokenBudgetHead(bad, "doc_id", "n_tokens",
+          seed = 1L, budget = 10L, smallBytes = smallBytes).collect()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      chain should include("tokenBudgetHead")
+      chain should include("non-null")
     }
-    e.getMessage should include("non-null")
   }
 
   test("null id fails fast with the contract error") {
