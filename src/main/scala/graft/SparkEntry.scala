@@ -594,41 +594,71 @@ object SparkEntry {
   }
 
   /** `q18_large_orders` body, LAYOUT-AWARE (r13, Q18Lab order-controlled
-    * adopt): when an orderkey-bucketed lineitem(l_orderkey, l_quantity)
-    * layout exists on disk, the per-order sum consumes the bucket
-    * distribution — zero exchanges before the tiny HAVING survivor set
-    * broadcast-joins into the orders scan (x1000 BOTH orders: 11.18/
-    * 12.52 s bucketed vs 39.87/33.73 s for the gated exchange plan).
-    * Without a layout, the r8 gated plan: [[preShuffled]] raw 2-col
-    * repartition past [[rawAggBytes]], direct groupBy under it. `layout`
-    * forces the routing for the parity spec (Some(true) builds the
-    * layout if missing — the write-once cost the probe path never pays).
+    * adopt): when BOTH orderkey-bucketed projections exist on disk
+    * (lineitem `li_oq` and orders `ord_oq`, equal width), the whole query
+    * is exchange-FREE — the per-order sum aggregates per bucket, and the
+    * HAVING-survivor join meets the bucketed orders projection in a
+    * Sort-free SMJ on the same distribution. The lineitem layout alone
+    * measured 11.18/12.52 s vs 39.87/33.73 s for the gated exchange plan
+    * (x1000, BOTH orders) but still paid a ~150M-row orders exchange with
+    * 12-31 s/run spread under host I/O noise (the survivor set — 2.285M
+    * orders at x1000 — is too big to broadcast and invisible to AQE with
+    * no shuffle boundary on the bucketed side); the orders layout removes
+    * that last exchange. Without layouts, the r8 gated plan:
+    * [[preShuffled]] raw 2-col repartition past [[rawAggBytes]], direct
+    * groupBy under it. `layout` forces the routing for the parity spec
+    * (Some(true) builds missing layouts — the write-once cost the
+    * default probe never pays: it requires both on disk).
     */
   private[graft] def q18LargeOrders(s: SparkSession, d: String,
                                     layout: Option[Boolean] = None): DataFrame = {
-    val onDisk = probeLiOqLayout(d)
+    // the default probe requires BOTH equal-width layouts on disk — a
+    // probe must never pay a write; only the forced spec path
+    // (layout = Some(true)) builds missing layouts
+    val onDisk = for {
+      li <- probeLiOqLayout(d)
+      ord <- probeOrdOqLayout(d)
+      if li == ord
+    } yield li
     val useLayout = layout.getOrElse(onDisk.isDefined)
-    val big =
-      if (useLayout) {
-        val buckets = onDisk.getOrElse(
-          sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt)
-        val slug = layoutSlug(d, "lineitem.parquet")
-        val li = operators.Bucketing.ensureBucketed(
-          s, s"graft_li_oq_$slug", s"/tmp/graft-bucketed/$slug/li_oq",
-          "l_orderkey", buckets)(
-          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")))
-        li.groupBy(col("l_orderkey").as("bk"))
-          .agg(sum(col("l_quantity")).as("total_qty"))
-          .filter(col("total_qty") > 250)
-      } else
-        preShuffled(Tables.lineitem(s, d)
-            .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
-          .groupBy(col("l_orderkey").as("bk"))
-          .agg(sum(col("l_quantity")).as("total_qty"))
-          .filter(col("total_qty") > 250)
-    Tables.orders(s, d).join(big, col("o_orderkey") === col("bk"))
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
-        col("total_qty"))
+    if (useLayout) {
+      val buckets = onDisk.getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt)
+      val liSlug = layoutSlug(d, "lineitem.parquet")
+      val li = operators.Bucketing.ensureBucketed(
+        s, s"graft_li_oq_$liSlug", s"/tmp/graft-bucketed/$liSlug/li_oq",
+        "l_orderkey", buckets)(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")))
+      val big = li.groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      // the survivor set is too big to broadcast at scale (x1000: 2.285M
+      // orders) and too opaque for AQE to measure (no shuffle boundary on
+      // the bucketed side), so the join back to orders would exchange the
+      // 150M-row orders scan — ~20 s of the r13 PlanPeek runs, the last
+      // exchange in the query. An orderkey-bucketed ORDERS projection of
+      // the same width removes it: both SMJ sides consume the bucket
+      // distribution (Sort-free under the trusted sorted layout), zero
+      // exchanges end-to-end.
+      val ord = operators.Bucketing.ensureBucketed(
+        s, s"graft_ord_oq_${layoutSlug(d, "orders.parquet")}",
+        s"/tmp/graft-bucketed/${layoutSlug(d, "orders.parquet")}/ord_oq",
+        "o_orderkey", buckets)(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice")))
+      ord.join(big, col("o_orderkey") === col("bk"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("total_qty"))
+    } else {
+      val big = preShuffled(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
+        .groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.orders(s, d).join(big, col("o_orderkey") === col("bk"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("total_qty"))
+    }
   }
 
   /** Bucket count of a COMPLETE on-disk q18 lineitem projection layout
@@ -641,6 +671,19 @@ object SparkEntry {
     if (Files.exists(Paths.get(root, "_SUCCESS")))
       operators.Bucketing.readMeta(root)
         .filter(_.key.equalsIgnoreCase("l_orderkey")).map(_.buckets)
+    else None
+  }
+
+  /** Bucket count of a COMPLETE on-disk q18 orders projection layout
+    * (`ord_oq`: o_orderkey, o_orderdate, o_totalprice — the j4 `ord_ok`
+    * layout carries o_custkey instead) — or None. Probe only.
+    */
+  private[graft] def probeOrdOqLayout(d: String): Option[Int] = {
+    import java.nio.file.{Files, Paths}
+    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "orders.parquet")}/ord_oq"
+    if (Files.exists(Paths.get(root, "_SUCCESS")))
+      operators.Bucketing.readMeta(root)
+        .filter(_.key.equalsIgnoreCase("o_orderkey")).map(_.buckets)
     else None
   }
 

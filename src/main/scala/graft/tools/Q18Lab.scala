@@ -46,6 +46,14 @@ object Q18Lab {
       val t0 = System.nanoTime()
       liOq().count()
       println(f"Q18LAB write li_oq ($buckets buckets) ${(System.nanoTime() - t0) / 1e9}%.1f s at $root/li_oq")
+      val ordSlug = SparkEntry.layoutSlug(d, "orders.parquet")
+      val t1 = System.nanoTime()
+      Bucketing.ensureBucketed(
+        spark, s"graft_ord_oq_$ordSlug",
+        s"/tmp/graft-bucketed/$ordSlug/ord_oq", "o_orderkey", buckets)(
+        Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))).count()
+      println(f"Q18LAB write ord_oq ($buckets buckets) ${(System.nanoTime() - t1) / 1e9}%.1f s")
       spark.stop(); return
     }
 
@@ -59,11 +67,15 @@ object Q18Lab {
           col("total_qty"))
     }
     // q18_cur pins the gated EXCHANGE plan (the shipped query now probes
-    // the layout itself — r13 adopt — so the default would route and the
-    // A/B would compare the layout against itself)
+    // the layouts itself — r13 adopt — so the default would route and the
+    // A/B would compare the layout against itself); q18_bucketed is the
+    // shipped routed path forced on (li_oq agg + ord_oq Sort-free SMJ,
+    // zero exchanges); q18_li_only is the r13a intermediate (lineitem
+    // layout, orders still exchanging) kept for decomposition
     val variants: Map[String, () => DataFrame] = Map(
       "q18_cur" -> (() => SparkEntry.q18LargeOrders(spark, d, layout = Some(false))),
-      "q18_bucketed" -> (() => q18Of(liOq())))
+      "q18_bucketed" -> (() => SparkEntry.q18LargeOrders(spark, d, layout = Some(true))),
+      "q18_li_only" -> (() => q18Of(liOq())))
 
     def time(name: String): Double = {
       val mk = variants(name)
