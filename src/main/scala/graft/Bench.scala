@@ -28,17 +28,22 @@ object Bench {
       // local mode has no data locality to wait for; the 3s default can
       // stall tiny stages behind a phantom locality preference
       .config("spark.locality.wait", "0ms"))
-    // chess_e2e reads the fixed-size reference sample, not the sf dir —
-    // excluded so bench numbers reflect sf scaling only. Sorted-name
-    // execution order: deterministic run-to-run (a Map's hash order is
-    // not), and it fixes WHICH query pays any shared-subtree build cost
-    // (the dedup family persists one hash-array/pair subtree; in sorted
-    // order dedup_clusters, the family's first, builds it)
+    // the FIXED-INPUT set reads the reference 514-game sample, not the sf
+    // dir — excluded so bench numbers reflect sf scaling only. An
+    // explicit set, not a name-prefix filter: chess_scale_winrate is
+    // chess-SHAPED but reads the sf-scaled orders table and must be
+    // benched/paired like any other query (r13). Sorted-name execution
+    // order: deterministic run-to-run (a Map's hash order is not), and it
+    // fixes WHICH query pays any shared-subtree build cost (the dedup
+    // family persists one hash-array/pair subtree; in sorted order
+    // dedup_clusters, the family's first, builds it).
     // SPARK_GRAFT_ONLY=a,b,c restricts the run to a named subset (the
     // scale harness times just the heavy tail); unset = the full board
+    val fixedInput = Set(
+      "chess_e2e", "chess_silver", "chess_gold", "chess_dim_openings")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val benched = SparkEntry.queries.filterNot(_._1.startsWith("chess_"))
+    val benched = SparkEntry.queries.filterNot(q => fixedInput(q._1))
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1)
     // one untimed pass first: JVM/codegen/JIT, shuffle system, parquet
@@ -68,10 +73,10 @@ object Bench {
     val p2 = timedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // fixed-input queries (chess_*: they read the reference sample, not the
-    // sf dir) timed once, reported on their own line and excluded from the
+    // fixed-input queries (they read the reference sample, not the sf dir)
+    // timed once, reported on their own line and excluded from the
     // sf-scaled total so round-over-round totals stay comparable
-    val fixed = SparkEntry.queries.filter(_._1.startsWith("chess_")).map { case (name, fn) =>
+    val fixed = SparkEntry.queries.filter(q => fixedInput(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failure must NOT masquerade as a fast timing: report -1
       val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }

@@ -13,12 +13,16 @@ semantics on identical data. Run after a bench:
       /tmp/bench.json BENCH_ORACLE.json
 
 Per-query timing is min-of-2 (same convention as graft.Bench). Queries whose
-oracle reads fixed sample files rather than the sf dir (chess_*) are timed
+oracle reads fixed sample files rather than the sf dir (FIXED_INPUT) are timed
 too but flagged `fixed_input` since they don't scale with sf.
 """
 import json, sys, time
 
 import duckdb
+
+# queries reading the fixed reference sample, not the sf dir (r13:
+# chess_scale_winrate is chess-shaped but sf-scaled, so an explicit set)
+FIXED_INPUT = {"chess_e2e", "chess_silver", "chess_gold", "chess_dim_openings"}
 
 sfdir, oracledir = sys.argv[1], sys.argv[2]
 # argv[3] may be a comma-separated list of bench JSONs from REPEATED Bench
@@ -59,7 +63,7 @@ for name, sql in sorted(oracle.items()):
         # rows/totals — an errored oracle must be visible in the output
         rows.append({"query": name, "duckdb_sec": None, "spark_sec":
                      bench.get(name), "ratio": None, "err": err,
-                     "fixed_input": name.startswith("chess_")})
+                     "fixed_input": name in FIXED_INPUT})
         continue
     duck = min(times)
     total_duck += duck
@@ -70,7 +74,7 @@ for name, sql in sorted(oracle.items()):
         "spark_sec": round(spark, 4) if spark is not None else None,
         "ratio": round(spark / duck, 2)
         if spark is not None and duck > 0 else None,
-        "fixed_input": name.startswith("chess_"),
+        "fixed_input": name in FIXED_INPUT,
     })
 
 scaled = [r for r in rows if r["spark_sec"] is not None
