@@ -161,6 +161,47 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
       .executedPlan.toString should include("graft-bucketed")
   }
 
+  test("layout probes: incomplete or foreign layouts are never routed to") {
+    // a probe must answer None — never write, never throw — for every
+    // not-actually-usable state: no directory, no _SUCCESS, wrong key
+    val dir = java.nio.file.Files.createTempDirectory("probe-neg").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, 1L, 300.0)).toDF("l_orderkey", "l_suppkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, java.sql.Date.valueOf("2024-01-01"), 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    // nothing on disk
+    SparkEntry.probeBucketedLayout(dir) shouldBe empty
+    SparkEntry.probeLiOqLayout(dir) shouldBe empty
+    SparkEntry.probeOrdOqLayout(dir) shouldBe empty
+    // a sidecar WITHOUT _SUCCESS (interrupted write) is not a layout
+    val liOq = s"/tmp/graft-bucketed/${SparkEntry.layoutSlug(dir, "lineitem.parquet")}/li_oq"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(liOq))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(liOq, operators.Bucketing.MetaFile),
+      """{"buckets":8,"key":"l_orderkey"}""")
+    SparkEntry.probeLiOqLayout(dir) shouldBe empty
+    // _SUCCESS present but the sidecar names a FOREIGN key → not usable
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(liOq, "_SUCCESS"), "")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(liOq, operators.Bucketing.MetaFile),
+      """{"buckets":8,"key":"l_partkey"}""")
+    SparkEntry.probeLiOqLayout(dir) shouldBe empty
+    // right key + _SUCCESS → the count surfaces; q18's default probe
+    // still stands down because ord_oq is missing (never pays its write)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(liOq, operators.Bucketing.MetaFile),
+      """{"buckets":8,"key":"l_orderkey"}""")
+    SparkEntry.probeLiOqLayout(dir) shouldBe Some(8)
+    SparkEntry.probeOrdOqLayout(dir) shouldBe empty
+    val p = SparkEntry.q18LargeOrders(spark, dir)
+      .queryExecution.executedPlan.toString
+    p should not include "graft-bucketed"
+  }
+
   test("a6SketchAgg: an EMPTY relation yields one row, no error, on both forced paths (r12 ADVICE)") {
     // pre-fix the small path's positional median read raised
     // "SQL array indices start at 1" (lo = floor(-0.5) = -1 on zero rows)
