@@ -29,18 +29,17 @@ object Bench {
       // stall tiny stages behind a phantom locality preference
       .config("spark.locality.wait", "0ms"))
     // the FIXED-INPUT set reads the reference 514-game sample, not the sf
-    // dir — excluded so bench numbers reflect sf scaling only. An
-    // explicit set, not a name-prefix filter: chess_scale_winrate is
-    // chess-SHAPED but reads the sf-scaled orders table and must be
-    // benched/paired like any other query (r13). Sorted-name execution
+    // dir — excluded so bench numbers reflect sf scaling only. ONE
+    // canonical set (SparkEntry.fixedInputQueries, r13 ADVICE) shared
+    // with StageCount and published in the bench JSON for
+    // tools/bench_oracle.py. Sorted-name execution
     // order: deterministic run-to-run (a Map's hash order is not), and it
     // fixes WHICH query pays any shared-subtree build cost (the dedup
     // family persists one hash-array/pair subtree; in sorted order
     // dedup_clusters, the family's first, builds it).
     // SPARK_GRAFT_ONLY=a,b,c restricts the run to a named subset (the
     // scale harness times just the heavy tail); unset = the full board
-    val fixedInput = Set(
-      "chess_e2e", "chess_silver", "chess_gold", "chess_dim_openings")
+    val fixedInput = SparkEntry.fixedInputQueries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benched = SparkEntry.queries.filterNot(q => fixedInput(q._1))
@@ -98,8 +97,12 @@ object Bench {
     // not subtract from the total and make a failing round read faster
     val total = results.values.filter(_ >= 0).sum
     val sfLabel = new java.io.File(sfDir).getName
+    // fixed_input published so downstream tools (bench_oracle.py) read the
+    // canonical set from the bench artifact instead of hardcoding a copy
+    val fixedJson = fixedInput.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","passes":2,"eval":"noop"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"fixed_input":$fixedJson,"sf":"$sfLabel","passes":2,"eval":"noop"}"""
     println(fullLine)
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
     val fullWritten =

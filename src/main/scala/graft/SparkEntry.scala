@@ -622,12 +622,23 @@ object SparkEntry {
     } yield li
     val useLayout = layout.getOrElse(onDisk.isDefined)
     if (useLayout) {
-      val buckets = onDisk.getOrElse(
-        sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt)
+      // per-projection width: on the FORCED path (layout = Some(true),
+      // "build missing layouts") each existing projection keeps the width
+      // its own sidecar declares — ensureBucketed fail-fasts on a width
+      // mismatch, so adopting the on-disk count is the only way a forced
+      // run can reuse a projection written under a different
+      // SPARK_GRAFT_BUCKETS (r13 ADVICE); only a projection that truly
+      // needs WRITING takes the env default. Unequal widths still compute
+      // correctly (the SMJ re-exchanges one side); rewriting both at one
+      // width is what restores the exchange-free plan. The default probe
+      // route requires equal widths (onDisk) and never gets here unequal.
+      val envB = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
+      val liBuckets = onDisk.orElse(probeLiOqLayout(d)).getOrElse(envB)
+      val ordBuckets = onDisk.orElse(probeOrdOqLayout(d)).getOrElse(envB)
       val liSlug = layoutSlug(d, "lineitem.parquet")
       val li = operators.Bucketing.ensureBucketed(
         s, s"graft_li_oq_$liSlug", s"/tmp/graft-bucketed/$liSlug/li_oq",
-        "l_orderkey", buckets)(
+        "l_orderkey", liBuckets)(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")))
       val big = li.groupBy(col("l_orderkey").as("bk"))
         .agg(sum(col("l_quantity")).as("total_qty"))
@@ -643,7 +654,7 @@ object SparkEntry {
       val ord = operators.Bucketing.ensureBucketed(
         s, s"graft_ord_oq_${layoutSlug(d, "orders.parquet")}",
         s"/tmp/graft-bucketed/${layoutSlug(d, "orders.parquet")}/ord_oq",
-        "o_orderkey", buckets)(
+        "o_orderkey", ordBuckets)(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice")))
       ord.join(big, col("o_orderkey") === col("bk"))
@@ -669,7 +680,7 @@ object SparkEntry {
     import java.nio.file.{Files, Paths}
     val root = s"/tmp/graft-bucketed/${layoutSlug(d, "lineitem.parquet")}/li_oq"
     if (Files.exists(Paths.get(root, "_SUCCESS")))
-      operators.Bucketing.readMeta(root)
+      operators.Bucketing.readMetaOpt(root)
         .filter(_.key.equalsIgnoreCase("l_orderkey")).map(_.buckets)
     else None
   }
@@ -682,7 +693,7 @@ object SparkEntry {
     import java.nio.file.{Files, Paths}
     val root = s"/tmp/graft-bucketed/${layoutSlug(d, "orders.parquet")}/ord_oq"
     if (Files.exists(Paths.get(root, "_SUCCESS")))
-      operators.Bucketing.readMeta(root)
+      operators.Bucketing.readMetaOpt(root)
         .filter(_.key.equalsIgnoreCase("o_orderkey")).map(_.buckets)
     else None
   }
@@ -698,7 +709,7 @@ object SparkEntry {
     val root = s"/tmp/graft-bucketed/${layoutSlug(d, "lineitem.parquet", "orders.parquet")}"
     def meta(sub: String): Option[operators.Bucketing.BucketMeta] =
       if (Files.exists(Paths.get(s"$root/$sub", "_SUCCESS")))
-        operators.Bucketing.readMeta(s"$root/$sub")
+        operators.Bucketing.readMetaOpt(s"$root/$sub")
       else None
     for {
       li <- meta("li_ok")
@@ -1071,6 +1082,19 @@ object SparkEntry {
        |FROM sz z LEFT JOIN hits h ON z.doc_id = h.doc_id""".stripMargin
 
   // ---- queries ----------------------------------------------------------
+
+  /** Queries whose inputs are the FIXED reference sample (the 514-game
+    * chess JSON / openings CSV), not the sf-scaled parquet dir — excluded
+    * from sf-scaled bench totals and the floor-model census. THE canonical
+    * set (r13 ADVICE): [[graft.Bench]] and [[graft.tools.StageCount]]
+    * consume it, and Bench publishes it as `"fixed_input"` in the bench
+    * JSON so `tools/bench_oracle.py` reads it from there instead of
+    * hardcoding a copy. An explicit set, not a name-prefix filter:
+    * `chess_scale_winrate` is chess-SHAPED but reads the sf-scaled orders
+    * table and must be benched/paired like any other query.
+    */
+  val fixedInputQueries: Set[String] =
+    Set("chess_e2e", "chess_silver", "chess_gold", "chess_dim_openings")
 
   /** Every entry builds its DataFrame lazily — construction is job-free —
     * with the documented exceptions that run bounded Spark jobs at
@@ -1864,12 +1888,16 @@ object SparkEntry {
     // shape ChessAnalytics.monthlyTrend/winRateByColorAndClass produce,
     // now benchable at any sf (x1000 board row).
     "chess_scale_winrate" -> ((s, d) => {
-      // the 15-row literal seed, indexed by sorted result_code so engine
-      // and oracle agree on code assignment (bounded dim-sized collect)
-      val codes = graft.chess.Dims.results(s)
-        .select(col("result_code"), col("result")).collect()
-        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
-      val dim = s.createDataFrame(codes.zipWithIndex.toSeq
+      // the 15-row seed, indexed by sorted result_code so engine and
+      // oracle agree on code assignment. BOTH sides derive from the ONE
+      // shared constant (Dims.resultSeed, r13 ADVICE) — the oracle's
+      // VALUES literal below is generated from it, so neither a future
+      // seed edit nor a collation difference can silently split them
+      // (codes are ASCII by DimsSpec contract, where JVM and DuckDB
+      // orderings agree). No collect: the constant is already local.
+      val codes = graft.chess.Dims.resultSeed
+        .map { case (c, r, _) => (c, r) }.sortBy(_._1)
+      val dim = s.createDataFrame(codes.zipWithIndex
         .map { case ((c, r), i) => (i.toLong, c, r) })
         .toDF("idx", "result_code", "result")
       val fact = Tables.orders(s, d).select(
@@ -2297,10 +2325,18 @@ object SparkEntry {
         floor(octet_length(bin) / lit(256)).cast("long").as("fake_height"))
     }),
 
-    // mapPartitions-batched decode/feature plumbing (stub codecs; rows-only
-    // check — the kernel bodies aren't SQL-expressible)
+    // metadata decode profile — the COLUMNAR spelling (r14): builtins +
+    // one codegen'd header-meta call in a single WholeStageCodegen span,
+    // one md5 per payload. The r13 typed path (Multimodal.profile via
+    // mapPartitions) paid per-row encoder ser/de and hashed each payload
+    // twice — 4.21x DuckDB at x1000 under a falsified
+    // "parquet-dictionary" annotation (the x1000 text carrier is 99.8%
+    // distinct, so duck amortized nothing; the gap was pure engine tax).
+    // MultimodalSpec pins decodeMetaColumns == decodeMeta on real
+    // PNG/JPEG/WAV/MP4 fixtures and undecodable carriers.
     "mm_decode_profile" -> ((s, d) =>
-      operators.Multimodal.profile(Tables.documents(s, d), "doc_id", "text", "image")
+      operators.Multimodal.decodeMetaColumns(
+          Tables.documents(s, d), "doc_id", "text", "image")
         .select(col("asset_id"), col("n_bytes"), col("content_hash"),
           col("width"), col("height"), col("channels"))),
 
@@ -2441,15 +2477,21 @@ object SparkEntry {
 
     // corpus snapshot diff (the incremental-pipeline delta): old = docs
     // minus the % 11 slice, new = docs minus the % 13 slice with the % 17
-    // slice rewritten — exercises all four statuses
+    // slice rewritten — exercises all four statuses. Both snapshots
+    // derive from ONE base table, so the engine takes the same-base
+    // spelling: one scan, ~one md5 per row (the %17 rewrite is the only
+    // second hash), zero exchanges — where the generic full-outer join
+    // (the oracle's spelling, and HistorySpec's parity twin) scans and
+    // hashes the corpus twice and shuffles both fingerprint sides.
     "snapshot_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      operators.History.snapshotDiff(
-        docs.filter(col("doc_id") % 11 =!= 0),
-        docs.filter(col("doc_id") % 13 =!= 0)
-          .withColumn("text", when(col("doc_id") % 17 === 0,
-            upper(col("text"))).otherwise(col("text"))),
-        "doc_id", Seq("text"))
+      val id = col("doc_id")
+      val h = operators.History.fingerprint(Seq(col("text")))
+      operators.History.snapshotDiffSameBase(docs, "doc_id",
+        oldKeep = id % 11 =!= 0, oldHash = h,
+        newKeep = id % 13 =!= 0,
+        newHash = when(id % 17 === 0,
+          operators.History.fingerprint(Seq(upper(col("text"))))).otherwise(h))
     }),
 
     // per-source/lang corpus rollup: the curation dashboard every
@@ -3051,14 +3093,12 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
+    // the seed VALUES literal is GENERATED from Dims.resultSeed — the one
+    // shared constant the engine entry also reads (r13 ADVICE)
     "chess_scale_winrate" ->
-      """WITH seed(result_code, result) AS (VALUES
-        |  ('win','Win'),('checkmated','Loss'),('agreed','Draw'),
-        |  ('repetition','Draw'),('timeout','Win'),('resigned','Loss'),
-        |  ('stalemate','Draw'),('lose','Loss'),('insufficient','Draw'),
-        |  ('50move','Draw'),('abandoned','Draw'),('kingofthehill','Win'),
-        |  ('threecheck','Win'),('timevsinsufficient','Draw'),
-        |  ('bughousepartnerlose','Loss')),
+      s"""WITH seed(result_code, result) AS (VALUES
+        |  ${graft.chess.Dims.resultSeed
+             .map { case (c, r, _) => s"('$c','$r')" }.mkString(",")}),
         |dim AS (SELECT result,
         |          row_number() OVER (ORDER BY result_code) - 1 AS idx
         |        FROM seed)

@@ -87,24 +87,34 @@ object Dims {
   // ---- dim_results: 16-row static seed ----------------------------------
   // (sql/create_dim_results_table.sql; write-once semantics per quirk 1)
 
+  /** THE seed rows — one shared constant (r13 ADVICE): [[results]] builds
+    * its DataFrame from this, and SparkEntry's `chess_scale_winrate`
+    * derives BOTH its engine-side broadcast dim and its DuckDB oracle's
+    * VALUES literal from it, so an edit here can never silently split
+    * engine and oracle. Codes are ASCII lowercase alphanumerics by
+    * contract (DimsSpec pins it): JVM UTF-16 ordering and DuckDB's
+    * default collation agree on ASCII, so both engines derive the same
+    * sorted-code index.
+    */
+  val resultSeed: Seq[(String, String, String)] = Seq(
+    ("win", "Win", "Win"),
+    ("checkmated", "Loss", "Checkmated"),
+    ("agreed", "Draw", "Draw agreed"),
+    ("repetition", "Draw", "Draw by repetition"),
+    ("timeout", "Win", "Timeout"),
+    ("resigned", "Loss", "Resigned"),
+    ("stalemate", "Draw", "Stalemate"),
+    ("lose", "Loss", "Lose"),
+    ("insufficient", "Draw", "Insufficient material"),
+    ("50move", "Draw", "Draw by 50-move rule"),
+    ("abandoned", "Draw", "Abandoned"),
+    ("kingofthehill", "Win", "Opponent king reached the hill"),
+    ("threecheck", "Win", "Checked for the 3rd time"),
+    ("timevsinsufficient", "Draw", "Draw by timeout vs insufficient material"),
+    ("bughousepartnerlose", "Loss", "Bughouse partner lost"))
+
   def results(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      ("win", "Win", "Win"),
-      ("checkmated", "Loss", "Checkmated"),
-      ("agreed", "Draw", "Draw agreed"),
-      ("repetition", "Draw", "Draw by repetition"),
-      ("timeout", "Win", "Timeout"),
-      ("resigned", "Loss", "Resigned"),
-      ("stalemate", "Draw", "Stalemate"),
-      ("lose", "Loss", "Lose"),
-      ("insufficient", "Draw", "Insufficient material"),
-      ("50move", "Draw", "Draw by 50-move rule"),
-      ("abandoned", "Draw", "Abandoned"),
-      ("kingofthehill", "Win", "Opponent king reached the hill"),
-      ("threecheck", "Win", "Checked for the 3rd time"),
-      ("timevsinsufficient", "Draw", "Draw by timeout vs insufficient material"),
-      ("bughousepartnerlose", "Loss", "Bughouse partner lost")
-    ).toDF("result_code", "result", "description")
+    resultSeed.toDF("result_code", "result", "description")
   }
 }

@@ -101,6 +101,16 @@ object Bucketing {
     }
   }
 
+  /** [[readMeta]] for PROBE call sites (the never-write, never-throw
+    * layout probes in SparkEntry): a corrupt/truncated/unreadable sidecar
+    * degrades to None — the probe routes to the exchange plan instead of
+    * failing the shipped query (r13 ADVICE). [[registerExternal]] keeps
+    * the fail-fast [[readMeta]]: when a caller is about to TRUST a
+    * layout, an unparseable sidecar must be an error, not a guess.
+    */
+  def readMetaOpt(location: String): Option[BucketMeta] =
+    scala.util.Try(readMeta(location)).toOption.flatten
+
   /** The distinct bucket ids present in the part-file names at `location`
     * (Spark encodes the id as the `_NNNNN` suffix before the codec
     * extension: `part-00000-<uuid>_00042.c000.snappy.parquet`).

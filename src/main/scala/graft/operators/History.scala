@@ -71,7 +71,7 @@ object History {
                    payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "snapshotDiff: need at least one payload column")
     def fp(df: DataFrame, name: String) = df.select(col(idCol),
-      md5(concat_ws("", payloadCols.map(c => col(c).cast("string")): _*)).as(name))
+      fingerprint(payloadCols.map(col)).as(name))
     fp(oldSnap, "__h_old").join(fp(newSnap, "__h_new"), Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__h_old").isNull, lit("added"))
@@ -79,4 +79,55 @@ object History {
           .when(col("__h_old") =!= col("__h_new"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** The fingerprint expression [[snapshotDiff]] compares: md5 over the
+    * payload columns' null-skipping `concat_ws` string image, joined on
+    * the UNIT SEPARATOR control char so shifted column boundaries
+    * ("ab","c" vs "a","bc") never fingerprint equal (HistorySpec pins
+    * it). One definition for both diff spellings — the same-base path
+    * must hash EXACTLY what the generic join path hashes.
+    */
+  def fingerprint(payloadCols: Seq[Column]): Column = {
+    require(payloadCols.nonEmpty, "fingerprint: need at least one payload column")
+    md5(concat_ws("\u001f", payloadCols.map(_.cast("string")): _*))
+  }
+
+  /** [[snapshotDiff]] for the common CDC case where BOTH snapshots derive
+    * from ONE current table (a re-crawl diffed against the same corpus
+    * minus a tombstone slice, a candidate batch vs the live set): the
+    * full-outer join of two projections of the same base is just a single
+    * projection with both fingerprint columns, so the whole diff is ONE
+    * scan with ZERO exchanges — the generic spelling scans (and hashes)
+    * the payload twice and shuffles both fingerprint sides. At corpus
+    * scale the payload scan IS the cost; halving it and dropping the
+    * exchange is the difference between a map-only pass and a join
+    * (x1000: the joined spelling measured 2.19 s vs DuckDB 0.99 s; the
+    * fused re-pair is the `snapshot_diff` row in BENCH_SCALE_X1000.json).
+    *
+    * `oldKeep` / `newKeep` are the snapshots' membership predicates over
+    * the base row (a null predicate counts as absent); `oldHash` /
+    * `newHash` are fingerprint expressions ([[fingerprint]]), evaluated
+    * only where the row is a member. The rows-absent-from-both filter
+    * runs on the CHEAP predicates (pushable into the scan), never on the
+    * hashes. Because both hash expressions sit in one projection,
+    * whole-stage codegen's subexpression elimination computes shared
+    * subtrees once per row — spell the unchanged-payload case as the
+    * SAME expression tree in both arguments to get that reuse. Ids must
+    * be non-null: a null id makes both membership predicates null
+    * ("absent from both") where the generic join would emit unmatched
+    * added/removed singletons for it.
+    */
+  def snapshotDiffSameBase(current: DataFrame, idCol: String,
+                           oldKeep: Column, oldHash: Column,
+                           newKeep: Column, newHash: Column): DataFrame =
+    current
+      .filter(coalesce(oldKeep, lit(false)) || coalesce(newKeep, lit(false)))
+      .select(col(idCol),
+        when(oldKeep, oldHash).as("__h_old"),
+        when(newKeep, newHash).as("__h_new"))
+      .select(col(idCol),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
 }

@@ -457,6 +457,37 @@ object Multimodal {
     assets.mapPartitions(_.map(decodeOne))
   }
 
+  /** The COLUMNAR spelling of [[decodeMeta]] over a raw table: identical
+    * rows (MultimodalSpec pins parity on real PNG/JPEG/WAV/MP4 fixtures
+    * and on undecodable carriers), but evaluated as builtins
+    * (`octet_length`, `md5`) plus ONE codegen'd static call
+    * ([[MediaHeaderMeta]]) inside a single WholeStageCodegen span — no
+    * typed-Dataset encoder round-trip, and the payload is hashed once
+    * (decodeOne + the feature stand-in hash twice). This is the scale
+    * path for metadata-only profiling (the ingest census over a 100 TB
+    * mixed corpus); [[decodeMeta]]/[[extractFeaturesWith]] remain the
+    * shape for kernels needing per-partition codec/session state.
+    */
+  def decodeMetaColumns(df: DataFrame, idCol: String, payloadCol: String,
+                        kind: String): DataFrame = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    // decodeOne maps a null payload to the empty byte array — same here,
+    // before hashing, so fingerprints agree
+    val payload = coalesce(col(payloadCol).cast("binary"),
+      lit(Array.emptyByteArray))
+    val h = md5(payload)
+    val meta = column(MediaHeaderMeta(
+      expression(payload), expression(lit(kind)), expression(h)))
+    df.select(col(idCol).cast("long").as("asset_id"),
+      lit(kind).as("kind"),
+      octet_length(payload).cast("long").as("n_bytes"),
+      h.as("content_hash"),
+      meta.getField("width").as("width"),
+      meta.getField("height").as("height"),
+      meta.getField("channels").as("channels"),
+      meta.getField("est_duration_ms").as("est_duration_ms"))
+  }
+
   /** Pluggable model-forward seam: a real encoder (ONNX session, JNI
     * weights, an RPC to a GPU sidecar) implements `encodeBatch`; the
     * engine owns everything around it — partition plumbing, BOUNDED

@@ -378,17 +378,28 @@ object Similarity {
   // BUILD cost, not per-query cost, and both are deterministic by
   // construction (first-nlist seed, fixed-point means, cos6 ties), so a
   // cache hit returns bit-identical centroids. Keyed by the analyzed
-  // plan's CANONICALIZED string — lookup is by plan equality, so two
-  // different corpus plans can never collide into each other's centroids
-  // (the r12 semanticHash key was an Int hash: a collision would have
-  // silently returned the wrong index). A regenerated table is a new
-  // relation memo in [[graft.Tables]] (new FileIndex → new canonical
-  // string → new key); [[graft.Tables.invalidate]] additionally clears
-  // this memo outright via [[invalidateCentroids]] so a refreshed path
-  // can never serve pre-refresh centroids; stopped sessions are pruned
-  // on each miss, mirroring Tables.read's snapshot semantics.
+  // plan's canonicalized OBJECT — lookup is structural plan equality
+  // (QueryPlan equality compares the full tree: HadoopFsRelation's
+  // FileIndex identity, LocalRelation's embedded rows, untruncated
+  // attribute lists), so two different corpus plans can never collide
+  // into each other's centroids. The r13 canonicalized-STRING key could:
+  // plan toString prints only the format name for a file relation (no
+  // path), omits LocalRelation data, and truncates attribute lists past
+  // maxToStringFields — two same-schema corpora from different
+  // directories would have collided into one key (r13 ADVICE). The plan
+  // object is immutable and already computed, and a spurious MISS (two
+  // equal-content relations read as distinct FileIndex objects) merely
+  // rebuilds a deterministic index — [[graft.Tables.read]]'s relation
+  // memo makes same-path reads share one object anyway. A regenerated
+  // table is a new relation memo in [[graft.Tables]] (new FileIndex →
+  // new key); [[graft.Tables.invalidate]] additionally clears this memo
+  // outright via [[invalidateCentroids]] so a refreshed path can never
+  // serve pre-refresh centroids; stopped sessions are pruned on each
+  // miss, mirroring Tables.read's snapshot semantics.
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, String), Array[(Long, Seq[Float])]]()
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    Array[(Long, Seq[Float])]]()
 
   /** Drop every memoized IVF centroid set — called by
     * [[graft.Tables.invalidate]] (the REFRESH TABLE analogue): a memo
@@ -408,7 +419,7 @@ object Similarity {
         "raise maxQueries deliberately or pre-shard the query set and " +
         "union the results")
     val cacheKey = (corpus.sparkSession,
-      corpus.queryExecution.analyzed.canonicalized.toString,
+      corpus.queryExecution.analyzed.canonicalized,
       s"$nlist/$refineSteps")
     centroidCache.keySet.removeIf { case (ss, _, _) => ss.sparkContext.isStopped }
     val cents = centroidCache.computeIfAbsent(cacheKey, { _ =>

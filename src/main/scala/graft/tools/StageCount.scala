@@ -57,8 +57,8 @@ object StageCount {
       cur
     }
     val names = if (args.nonEmpty) args.toSeq
-      else SparkEntry.queries.keys.toSeq.filterNot(Set(
-        "chess_e2e", "chess_silver", "chess_gold", "chess_dim_openings")).sorted
+      else SparkEntry.queries.keys.toSeq
+        .filterNot(SparkEntry.fixedInputQueries).sorted
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       try {

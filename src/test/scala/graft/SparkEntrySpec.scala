@@ -269,6 +269,25 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
       .count() shouldBe 0L
   }
 
+  test("chess_scale_winrate: engine dim and oracle VALUES both derive from Dims.resultSeed") {
+    val seed = graft.chess.Dims.resultSeed
+    // ASCII-lowercase-alphanumeric code contract: JVM UTF-16 ordering and
+    // DuckDB's default collation agree on ASCII, so the sorted-code index
+    // both sides derive is identical. A non-ASCII code would break that
+    // silently — fail here instead.
+    all(seed.map(_._1)) should fullyMatch regex "[a-z0-9]+"
+    // the oracle's VALUES literal is generated from the constant — every
+    // (code, result) pair must appear verbatim, and no extras
+    val sql = SparkEntry.oracleSql("chess_scale_winrate")
+    for ((c, r, _) <- seed) sql should include(s"('$c','$r')")
+    "\\('([a-z0-9]+)','".r.findAllMatchIn(sql).map(_.group(1)).toSet shouldBe
+      seed.map(_._1).toSet
+    // and Dims.results serves exactly the constant
+    val rows = graft.chess.Dims.results(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    rows should contain theSameElementsAs seed
+  }
+
   test("dedup_split_by_cluster: no cluster straddles the train/val boundary") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("dedup_split_by_cluster")(spark, sf0001)

@@ -93,6 +93,21 @@ class BucketingSpec extends AnyFunSuite with Matchers with SparkFixture {
     spark.catalog.tableExists("li_misdeclared") shouldBe false
   }
 
+  test("readMetaOpt degrades a corrupt sidecar to None; readMeta fails fast") {
+    val metaPath = java.nio.file.Paths.get(extLoc, Bucketing.MetaFile)
+    val bytes = java.nio.file.Files.readAllBytes(metaPath)
+    java.nio.file.Files.write(metaPath,
+      "{\"buckets\": garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      // the probe contract (GATES "a probe never writes / never throws"):
+      // an unreadable sidecar routes to the exchange plan, silently
+      Bucketing.readMetaOpt(extLoc) shouldBe None
+      // but a caller about to TRUST the layout must see the error
+      intercept[RuntimeException] { Bucketing.readMeta(extLoc) }
+        .getMessage should include("unparseable")
+    } finally java.nio.file.Files.write(metaPath, bytes)
+  }
+
   test("registerExternal derives the count from part-file names when no sidecar exists") {
     val metaPath = java.nio.file.Paths.get(extLoc, Bucketing.MetaFile)
     val bytes = java.nio.file.Files.readAllBytes(metaPath)

@@ -79,4 +79,32 @@ class HistorySpec extends AnyFunSuite with Matchers with SparkFixture {
     History.snapshotDiff(old, nw, "id", Seq("p1", "p2"))
       .as[(Long, String)].head()._2 shouldBe "changed"
   }
+
+  test("snapshotDiffSameBase agrees with the generic join spelling and plans no join/exchange") {
+    // the exact shape of the snapshot_diff query: old = base minus the
+    // %11 slice, new = base minus the %13 slice with the %17 slice
+    // rewritten — all four statuses exercised on the sf0.001 corpus
+    val docs = graft.Tables.documents(spark, sf0001)
+    val id = col("doc_id")
+    val h = History.fingerprint(Seq(col("text")))
+    val fused = History.snapshotDiffSameBase(docs, "doc_id",
+      oldKeep = id % 11 =!= 0, oldHash = h,
+      newKeep = id % 13 =!= 0,
+      newHash = when(id % 17 === 0,
+        History.fingerprint(Seq(upper(col("text"))))).otherwise(h))
+    val generic = History.snapshotDiff(
+      docs.filter(col("doc_id") % 11 =!= 0),
+      docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          upper(col("text"))).otherwise(col("text"))),
+      "doc_id", Seq("text"))
+    fused.exceptAll(generic).count() shouldBe 0L
+    generic.exceptAll(fused).count() shouldBe 0L
+    // and all four statuses actually appear at this sf
+    fused.select(countDistinct(col("status"))).head.getLong(0) shouldBe 4L
+    // the fused plan is one scan: no join, no shuffle exchange
+    val plan = fused.queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Exchange hashpartitioning"
+  }
 }

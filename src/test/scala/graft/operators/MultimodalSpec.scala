@@ -33,6 +33,48 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     cross.filter($"content_hash" =!= $"expect_hash").count() shouldBe 0L
   }
 
+  test("decodeMetaColumns == decodeMeta: text carrier, every kind, plus real media fixtures") {
+    // (1) the undecodable text carrier under each declared kind — the
+    // stub arithmetic path, where the columnar spelling must reproduce
+    // decodeOne's md5-byte dimensions bit-for-bit
+    val docs = graft.Tables.documents(spark, sf0001)
+    for (kind <- Seq("image", "audio", "video")) {
+      val typed = Multimodal.decodeMeta(
+        Multimodal.asAssets(docs, "doc_id", "text", kind)).toDF()
+      val columnar = Multimodal.decodeMetaColumns(docs, "doc_id", "text", kind)
+        .select(typed.columns.map(col).toIndexedSeq: _*)
+      columnar.exceptAll(typed).count() shouldBe 0L
+      typed.exceptAll(columnar).count() shouldBe 0L
+    }
+    // (2) REAL media bytes — the header-decode path through the same
+    // kernels (a PNG under kind=image; the PNG bytes under kind=audio
+    // must fall back to the stub exactly like decodeOne does)
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, png(17, 9)), (2L, png(5, 7)),
+      (3L, "not an image".getBytes), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    for (kind <- Seq("image", "audio")) {
+      val typed = Multimodal.decodeMeta(
+        Multimodal.asAssets(media, "doc_id", "payload", kind)).toDF()
+      val columnar = Multimodal.decodeMetaColumns(media, "doc_id", "payload", kind)
+        .select(typed.columns.map(col).toIndexedSeq: _*)
+      columnar.exceptAll(typed).count() shouldBe 0L
+      typed.exceptAll(columnar).count() shouldBe 0L
+    }
+    // and the columnar plan is one codegen'd scan: no SerializeFromObject
+    val plan = Multimodal.decodeMetaColumns(docs, "doc_id", "text", "image")
+      .queryExecution.executedPlan.toString
+    plan should not include "SerializeFromObject"
+    plan should not include "MapPartitions"
+  }
+
   test("decodeMeta decodes REAL image bytes via ImageIO: true dimensions and channels") {
     // deterministic in-memory fixtures: a 17x9 RGB PNG and a 5x7 JPEG —
     // real codec output, no committed binaries

@@ -20,9 +20,13 @@ import json, sys, time
 
 import duckdb
 
-# queries reading the fixed reference sample, not the sf dir (r13:
-# chess_scale_winrate is chess-shaped but sf-scaled, so an explicit set)
-FIXED_INPUT = {"chess_e2e", "chess_silver", "chess_gold", "chess_dim_openings"}
+# queries reading the fixed reference sample, not the sf dir. The
+# CANONICAL set lives in SparkEntry.fixedInputQueries and arrives via the
+# bench JSON's "fixed_input" field (r13 ADVICE: one source, not three
+# hardcoded copies); this literal is only the fallback for pre-r14 bench
+# artifacts that lack the field.
+FIXED_INPUT_FALLBACK = {"chess_e2e", "chess_silver", "chess_gold",
+                        "chess_dim_openings"}
 
 sfdir, oracledir = sys.argv[1], sys.argv[2]
 # argv[3] may be a comma-separated list of bench JSONs from REPEATED Bench
@@ -39,10 +43,16 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{oracledir}/oracle_sql.json"))
 bench = {}
+FIXED_INPUT = None
 if bench_path:
     for bp in bench_path.split(","):
-        for q, t in json.load(open(bp)).get("queries", {}).items():
+        b = json.load(open(bp))
+        for q, t in b.get("queries", {}).items():
             bench[q] = min(bench[q], t) if q in bench else t
+        if "fixed_input" in b:
+            FIXED_INPUT = set(b["fixed_input"]) | (FIXED_INPUT or set())
+if FIXED_INPUT is None:
+    FIXED_INPUT = FIXED_INPUT_FALLBACK
 
 rows = []
 total_duck = 0.0
