@@ -747,6 +747,71 @@ object SparkEntry {
         col("sn.n_name").as("supp_nation"), col("n"))
   }
 
+  /** `chess_scale_winrate` body, LAYOUT-AWARE (r14) — the reference's
+    * win-rate dashboard shape (monthly trend × time_class × my_color,
+    * `README.md:29-33`) over an orders-derived chess-gold-shaped fact.
+    * The x1000 row read 2.85× DuckDB and the deficit is structural and
+    * HONEST at any scale: the per-row CASE/pmod kernels read 4 raw orders
+    * columns, `o_orderpriority` has 5 distinct values on a real corpus
+    * too, and DuckDB evaluates the CASE once per parquet-dictionary value
+    * where Spark decodes per row. The engine's answer is the reference's
+    * own architecture: materialize the silver→gold projection ONCE
+    * (`res_idx` byte, truncated month, color flag, time-class byte —
+    * ~10 bytes/row, dictionary/RLE-friendly) and let the dashboard
+    * aggregate the gold layout. Probe rules as in GATES.md: the default
+    * probes `gold_wr` under the orders slug and never writes; only the
+    * forced spec path (`layout = Some(true)`) builds it. Either path maps
+    * `res_idx` → result class through a 15-entry literal array derived
+    * from [[graft.chess.Dims.resultSeed]] (sorted-code order — exactly
+    * the oracle's row_number index), so the per-row work is integer
+    * element_at + byte compares; strings appear only on the ≤36
+    * post-aggregate rows.
+    */
+  private[graft] def chessScaleWinrate(s: SparkSession, d: String,
+                                       layout: Option[Boolean] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val sortedSeed = graft.chess.Dims.resultSeed
+      .map { case (c, r, _) => (c, r) }.sortBy(_._1)
+    // result class codes in sorted-code (= oracle row_number) order
+    val classCodes = sortedSeed.map(_._2 match {
+      case "Win" => 0; case "Loss" => 1; case _ => 2
+    })
+    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "orders.parquet")}/gold_wr"
+    def onDisk = Files.exists(Paths.get(root, "_SUCCESS"))
+    val useLayout = layout.getOrElse(onDisk)
+    def goldProjection: DataFrame = Tables.orders(s, d).select(
+      pmod(col("o_orderkey"), lit(15)).cast("int").as("res_idx"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+      (pmod(col("o_custkey"), lit(2)) === 0).as("is_white"),
+      when(col("o_orderpriority") < "3", 0)
+        .when(col("o_orderpriority") < "5", 1)
+        .otherwise(2).cast("byte").as("tc"))
+    val fact =
+      if (useLayout) {
+        if (!onDisk) // only the forced path gets here (the probe saw _SUCCESS)
+          goldProjection.sortWithinPartitions(col("tc"), col("is_white"), col("month"))
+            .write.mode("overwrite").parquet(root)
+        s.read.parquet(root)
+      } else goldProjection
+    val cls = element_at(typedlit(classCodes), col("res_idx") + 1)
+    // res_idx is null only for a null orderkey; the oracle's inner dim
+    // join drops such rows, so the filter keeps the two aligned
+    fact.filter(col("res_idx").isNotNull)
+      .groupBy(col("month"), col("tc"), col("is_white"))
+      .agg(count(lit(1)).as("games"),
+        sum(when(cls === 0, 1L).otherwise(0L)).as("wins"),
+        sum(when(cls === 1, 1L).otherwise(0L)).as("losses"),
+        sum(when(cls === 2, 1L).otherwise(0L)).as("draws"))
+      .select(col("month"),
+        element_at(typedlit(Seq("blitz", "rapid", "bullet")),
+          col("tc").cast("int") + 1).as("time_class"),
+        when(col("is_white"), "White").otherwise("Black").as("my_color"),
+        col("games"), col("wins"), col("losses"), col("draws"),
+        // bit-identical to avg(when(win,1.0) else 0.0): the sum of 0/1
+        // doubles is an exact integer ≤ 2^53, so sum/count == wins/games
+        (col("wins").cast("double") / col("games")).as("win_rate"))
+  }
+
   /** `a6_sketch_agg` body, size-adaptive (audit inline). `smallBytes`
     * pins a path for parity specs: 0 forces the large decomposition
     * (vc-freq exact median, keyed pre-repartitions), MaxValue the small
@@ -852,22 +917,25 @@ object SparkEntry {
           // ONE dedup job for both key sets: explode each row to
           // (k=0, partkey) and (k=1, orderkey), codegen'd two-phase
           // distinct (map-side partial dedup before the one shuffle),
-          // per-k count + HLL over the survivors, 2 rows folded to 1
+          // then ONE global aggregate folds both k-slices straight to the
+          // single output row — conditional counts and null-ignoring HLLs
+          // (approx_count_distinct skips null inputs, so `when(k=0, v)`
+          // feeds each sketch exactly its own slice). The r12 shape's
+          // groupBy(k) + 2-row fold paid an extra exchange + AQE stage
+          // for the same numbers (r13 VERDICT #3: a6 is the largest
+          // non-floor-bound heavy; StageCount 7 → 6 stages).
           src.select(explode(array(
               struct(lit(0).as("k"), col("l_partkey").as("v")),
               struct(lit(1).as("k"), col("l_orderkey").as("v")))).as("kv"))
             .select(col("kv.k").as("k"), col("kv.v").as("v"))
             .distinct()
-            .groupBy(col("k"))
-            .agg(count(lit(1)).as("c"),
-              approx_count_distinct(col("v"), 0.02).as("a"))
-            // coalesce to 0 so a ZERO-row relation (no k groups at all)
+            // coalesce to 0 so a ZERO-row relation (no k rows at all)
             // matches the large path, whose global count() returns 0
             .agg(
-              coalesce(max(when(col("k") === 0, col("c"))), lit(0L)).as("exact_parts"),
-              coalesce(max(when(col("k") === 1, col("c"))), lit(0L)).as("exact_orders"),
-              coalesce(max(when(col("k") === 0, col("a"))), lit(0L)).as("ap"),
-              coalesce(max(when(col("k") === 1, col("a"))), lit(0L)).as("ao"))
+              coalesce(sum(when(col("k") === 0, 1L)), lit(0L)).as("exact_parts"),
+              coalesce(sum(when(col("k") === 1, 1L)), lit(0L)).as("exact_orders"),
+              approx_count_distinct(when(col("k") === 0, col("v")), 0.02).as("ap"),
+              approx_count_distinct(when(col("k") === 1, col("v")), 0.02).as("ao"))
         else
           src.select(col("l_partkey")).repartition(col("l_partkey"))
             .distinct()
@@ -1880,43 +1948,15 @@ object SparkEntry {
     // test.ipynb cells 14-15) were never stressed past notebook size. This
     // derives a chess_gold-SHAPED fact from `orders` (deterministic
     // column mappings, so it scales with sf and the DuckDB oracle can
-    // derive the identical fact), probes the REAL 15-code dim_results
-    // seed (Dims.results — the role-playing dim the reference joins,
-    // python_scripts.py:570) as a broadcast, and runs the monthlyTrend-
-    // shaped rollup: ONE fact scan, one broadcast probe, one partial-
-    // aggregating exchange over (month × class × color) — the same plan
-    // shape ChessAnalytics.monthlyTrend/winRateByColorAndClass produce,
-    // now benchable at any sf (x1000 board row).
-    "chess_scale_winrate" -> ((s, d) => {
-      // the 15-row seed, indexed by sorted result_code so engine and
-      // oracle agree on code assignment. BOTH sides derive from the ONE
-      // shared constant (Dims.resultSeed, r13 ADVICE) — the oracle's
-      // VALUES literal below is generated from it, so neither a future
-      // seed edit nor a collation difference can silently split them
-      // (codes are ASCII by DimsSpec contract, where JVM and DuckDB
-      // orderings agree). No collect: the constant is already local.
-      val codes = graft.chess.Dims.resultSeed
-        .map { case (c, r, _) => (c, r) }.sortBy(_._1)
-      val dim = s.createDataFrame(codes.zipWithIndex
-        .map { case ((c, r), i) => (i.toLong, c, r) })
-        .toDF("idx", "result_code", "result")
-      val fact = Tables.orders(s, d).select(
-        pmod(col("o_orderkey"), lit(15)).cast("long").as("idx"),
-        col("o_orderdate"),
-        when(pmod(col("o_custkey"), lit(2)) === 0, lit("White"))
-          .otherwise(lit("Black")).as("my_color"),
-        when(col("o_orderpriority") < "3", lit("blitz"))
-          .when(col("o_orderpriority") < "5", lit("rapid"))
-          .otherwise(lit("bullet")).as("time_class"))
-      fact.join(broadcast(dim), Seq("idx"))
-        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
-          col("time_class"), col("my_color"))
-        .agg(count(lit(1)).as("games"),
-          sum(when(col("result") === "Win", 1L).otherwise(0L)).as("wins"),
-          sum(when(col("result") === "Loss", 1L).otherwise(0L)).as("losses"),
-          sum(when(col("result") === "Draw", 1L).otherwise(0L)).as("draws"),
-          avg(when(col("result") === "Win", 1.0).otherwise(0.0)).as("win_rate"))
-    }),
+    // derive the identical fact — the 15-code dim_results seed the
+    // reference joins, python_scripts.py:570) and runs the monthlyTrend-
+    // shaped rollup the reference's dashboards issue, now benchable at
+    // any sf (x1000 board row).
+    // engine and oracle both derive the result mapping from the ONE
+    // shared constant (Dims.resultSeed, r13 ADVICE): the engine as a
+    // sorted-code literal array, the oracle as a generated VALUES +
+    // row_number — see chessScaleWinrate for the layout routing
+    "chess_scale_winrate" -> ((s, d) => chessScaleWinrate(s, d)),
 
     // deterministic hash sample: md5-prefix filter is engine-portable
     // (unlike TABLESAMPLE/rand whose PRNG differs per engine)
@@ -2631,12 +2671,19 @@ object SparkEntry {
 
     // token-budget head of the seeded shuffle: what a fixed-budget training
     // run actually consumes — at bench sf the budget cuts ~95% of the
-    // corpus, so the bucket prune drops it in the scan stage
+    // corpus, so the bucket prune drops it in the scan stage. The token
+    // kernel goes in as an EXPRESSION (r14): the budget pass tokenizes
+    // only live-bucket survivors, so the corpus pays ONE tokenizer scan
+    // (the stats pass), not two — the second full-corpus tokenCount was
+    // the real cost behind the falsified "parquet-dictionary" x1000
+    // annotation (the scaled text is 99.8% distinct).
     "order_token_budget" -> ((s, d) =>
-      operators.TrainOrder.tokenBudgetHead(
-        Tables.documents(s, d).select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", seed = 3L, budget = 15000L)),
+      operators.TrainOrder.tokenBudgetHeadExpr(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        seed = 3L, budget = 15000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))),
 
     // per-source (domain-cap) token budget: within every source keep the
     // seeded-hash-order head whose running total stays <= 800 tokens

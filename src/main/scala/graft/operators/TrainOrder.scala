@@ -237,6 +237,80 @@ object TrainOrder {
       .drop("__graft_hk", "__graft_b", "__graft_t", "__graft_off")
   }
 
+  /** [[tokenBudgetHead]] with the token count given as an EXPRESSION to
+    * evaluate, not a pre-materialized column — so the expensive per-row
+    * kernel (a tokenizer over the full text) runs on the second pass only
+    * AFTER the live-bucket broadcast prune. With a pre-computed column the
+    * caller's projection sits under the prune join and Catalyst evaluates
+    * the kernel for EVERY row on both passes (projections don't migrate
+    * above joins); at x1000 that second full-corpus tokenCount was half of
+    * `order_token_budget`'s 6.06 s — its "parquet-dictionary" annotation
+    * was falsified (the scaled text is 99.8% distinct), leaving the
+    * structural two-pass kernel as the real cost, and only the stats pass
+    * is structural. For a tight budget over a 100 TB corpus this is the
+    * difference between one tokenizer scan and two.
+    *
+    * Contract: `docs` must NOT already contain `tokenCol` (it is attached
+    * as `tokenExpr`, which must be deterministic — it is evaluated
+    * independently on the stats and budget passes and the two must
+    * agree); output = `idCol` + `tokenCol` + `cum_tokens` ONLY — the wide
+    * kernel inputs (the text) are internal and never outlive the
+    * operator, so the small path's single sort task and the budget pass's
+    * exchange move (id, token) rows, not payloads. Same null/uniqueness
+    * contract, gate, and keep rule as [[tokenBudgetHead]] (TrainOrderSpec
+    * pins the two row-identical with the budget path forced on both).
+    */
+  def tokenBudgetHeadExpr(docs: DataFrame, idCol: String, tokenCol: String,
+                          tokenExpr: org.apache.spark.sql.Column,
+                          seed: Long, budget: Long, buckets: Int = 1024,
+                          smallBytes: Long = 256L << 20): DataFrame = {
+    require(!docs.columns.contains(tokenCol),
+      s"tokenBudgetHeadExpr: '$tokenCol' already exists in docs — pass the " +
+        "pre-computed column through tokenBudgetHead instead")
+    // small path: one window task IS the definition — project to
+    // (id, token) FIRST so the single sort task never carries the kernel's
+    // wide inputs, then the column-based window path applies as-is
+    if (AdaptiveGate.isSmall(docs, smallBytes))
+      return tokenBudgetHead(
+        docs.select(col(idCol), tokenExpr.as(tokenCol)),
+        idCol, tokenCol, seed, budget, buckets, smallBytes)
+    require(buckets > 0, "tokenBudgetHeadExpr: buckets must be positive")
+    require(budget >= 0, "tokenBudgetHeadExpr: budget must be non-negative")
+    val hkey = seededHashKey(idCol, seed)
+    def guarded(tok: org.apache.spark.sql.Column) =
+      when(col(idCol).isNull || tok.isNull,
+        raise_error(lit(
+          s"tokenBudgetHead: null '$idCol' or '$tokenCol' row(s) — both must " +
+            "be non-null (unique id, token count) for an exact budgeted prefix sum")))
+        .otherwise(tok.cast(LongType))
+    val width = bucketWidth(buckets)
+    val keyed = docs
+      .withColumn("__graft_hk", hkey)
+      .withColumn("__graft_b", expr(s"__graft_hk DIV ${width}L"))
+    // stats pass: the one structural full-kernel scan — per-bucket totals
+    // via a map-side-combining aggregate, offsets over ≤ `buckets` rows
+    val wOff = Window.orderBy(col("__graft_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed
+      .withColumn("__graft_t", guarded(tokenExpr))
+      .groupBy(col("__graft_b"))
+      .agg(sum(col("__graft_t")).as("__graft_bt"))
+      .select(col("__graft_b"),
+        coalesce(sum(col("__graft_bt")).over(wOff), lit(0L)).as("__graft_off"))
+      .filter(col("__graft_off") <= budget)
+    // budget pass: the kernel is attached ABOVE the prune join, so dead
+    // buckets (~the whole corpus under a tight budget) never tokenize
+    val wIn = Window.partitionBy(col("__graft_b"))
+      .orderBy(col("__graft_hk"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("__graft_b"))
+      .repartition(col("__graft_b"))
+      .withColumn(tokenCol, tokenExpr)
+      .withColumn("cum_tokens",
+        col("__graft_off") + sum(guarded(col(tokenCol))).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(tokenCol), col("cum_tokens"))
+  }
+
   /** Per-SOURCE token budget — the domain-cap curation step (no single
     * domain may contribute more than `budget` tokens): within every
     * source, keep the seeded-hash-order head of documents whose running

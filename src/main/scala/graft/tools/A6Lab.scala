@@ -118,6 +118,39 @@ object A6Lab {
             max(when(col("k") === 1, col("a"))).as("ao"))
         finish(exacts.crossJoin(collectMed(s, price)))
       }),
+      // r14: vG exacts folded straight to one row (no groupBy(k) level —
+      // conditional sums + null-skipping HLLs over the distinct survivors)
+      "vN_folded" -> (() => {
+        val exacts = raw.select(explode(array(
+            struct(lit(0).as("k"), col("l_partkey").as("v")),
+            struct(lit(1).as("k"), col("l_orderkey").as("v")))).as("kv"))
+          .select(col("kv.k").as("k"), col("kv.v").as("v"))
+          .distinct()
+          .agg(
+            coalesce(sum(when(col("k") === 0, 1L)), lit(0L)).as("exact_parts"),
+            coalesce(sum(when(col("k") === 1, 1L)), lit(0L)).as("exact_orders"),
+            approx_count_distinct(when(col("k") === 0, col("v")), 0.02).as("ap"),
+            approx_count_distinct(when(col("k") === 1, col("v")), 0.02).as("ao"))
+        finish(exacts.crossJoin(collectMed(s, price)))
+      }),
+      // r14: vN with the dedup exchange pinned at session width (the vK
+      // move) — isolates whether AQE's coalesce serializes the
+      // post-distinct HLL/sum updates in the folded shape
+      "vO_folded_pinned" -> (() => {
+        val exacts = raw.select(explode(array(
+            struct(lit(0).as("k"), col("l_partkey").as("v")),
+            struct(lit(1).as("k"), col("l_orderkey").as("v")))).as("kv"))
+          .select(col("kv.k").as("k"), col("kv.v").as("v"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("k"), col("v"))
+          .distinct()
+          .agg(
+            coalesce(sum(when(col("k") === 0, 1L)), lit(0L)).as("exact_parts"),
+            coalesce(sum(when(col("k") === 1, 1L)), lit(0L)).as("exact_orders"),
+            approx_count_distinct(when(col("k") === 0, col("v")), 0.02).as("ap"),
+            approx_count_distinct(when(col("k") === 1, col("v")), 0.02).as("ao"))
+        finish(exacts.crossJoin(collectMed(s, price)))
+      }),
       // r12: vG exacts with the r10-shape median (isolates the two changes)
       "vH_fused_oldmed" -> (() => {
         val med = price.repartition(s.sessionState.conf.numShufflePartitions)

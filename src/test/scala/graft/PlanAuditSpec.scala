@@ -483,12 +483,26 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("collect_list")
   }
 
-  test("snapshot_diff: both sides reduce to fingerprints before the outer join") {
-    plan("snapshot_diff") should include("FullOuter")
-    // md5 is computed in the scan-side projections, not after the join —
-    // the exchange carries (key, 16-byte hash) rows, never payloads
-    val join = SparkEntry.queries("snapshot_diff")(spark, sf0001)
-      .queryExecution.optimizedPlan.collect {
+  test("snapshot_diff: same-base spelling is one scan — no join, no exchange") {
+    // r14: both snapshots derive from one base, so the query routes
+    // through History.snapshotDiffSameBase — a single codegen'd scan
+    // (HistorySpec pins row parity against the generic join spelling)
+    val p = plan("snapshot_diff")
+    p should not include "Join"
+    p should not include "Exchange hashpartitioning"
+    "Scan parquet".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("generic snapshotDiff: both sides reduce to fingerprints before the outer join") {
+    // the two-table operator keeps the r13 shape: the exchange carries
+    // (key, 16-byte hash) rows, never payloads
+    val docs = Tables.documents(spark, sf0001)
+    val generic = operators.History.snapshotDiff(
+      docs.filter(col("doc_id") % 11 =!= 0),
+      docs.filter(col("doc_id") % 13 =!= 0),
+      "doc_id", Seq("text"))
+    generic.queryExecution.executedPlan.toString should include("FullOuter")
+    val join = generic.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }.head
     join.left.output.map(_.name) should contain("__h_old")

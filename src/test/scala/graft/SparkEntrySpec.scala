@@ -269,6 +269,18 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
       .count() shouldBe 0L
   }
 
+  test("chess_scale_winrate: forced gold layout agrees with the direct projection") {
+    // Some(true) builds the write-once gold_wr layout (the only path that
+    // writes — the default probe never does), Some(false) pins the direct
+    // orders projection; GATES layout-probe convention
+    val viaLayout = SparkEntry.chessScaleWinrate(spark, sf0001, layout = Some(true))
+    val direct = SparkEntry.chessScaleWinrate(spark, sf0001, layout = Some(false))
+    viaLayout.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(viaLayout).count() shouldBe 0L
+    // the routed plan consumes the layout dir, not the orders table
+    viaLayout.queryExecution.executedPlan.toString should include("gold_wr")
+  }
+
   test("chess_scale_winrate: engine dim and oracle VALUES both derive from Dims.resultSeed") {
     val seed = graft.chess.Dims.resultSeed
     // ASCII-lowercase-alphanumeric code contract: JVM UTF-16 ordering and

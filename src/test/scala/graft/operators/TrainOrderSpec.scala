@@ -58,6 +58,39 @@ class TrainOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("tokenBudgetHeadExpr (deferred kernel) agrees with tokenBudgetHead on both paths") {
+    val tokExpr = ($"doc_id" % 30 + 1).cast("long")
+    val toks = docs.withColumn("n_tokens", tokExpr)
+    for (smallBytes <- Seq(0L, Long.MaxValue)) { // budget path AND window path
+      val viaCol = TrainOrder.tokenBudgetHead(toks, "doc_id", "n_tokens",
+          seed = 3L, budget = 400L, buckets = 64, smallBytes = smallBytes)
+        .select($"doc_id", $"n_tokens", $"cum_tokens")
+      val viaExpr = TrainOrder.tokenBudgetHeadExpr(docs, "doc_id", "n_tokens",
+          tokExpr, seed = 3L, budget = 400L, buckets = 64, smallBytes = smallBytes)
+        .select($"doc_id", $"n_tokens", $"cum_tokens")
+      viaExpr.exceptAll(viaCol).count() shouldBe 0L
+      viaCol.exceptAll(viaExpr).count() shouldBe 0L
+    }
+    // a pre-existing token column is a contract error, not silent shadowing
+    intercept[IllegalArgumentException] {
+      TrainOrder.tokenBudgetHeadExpr(toks, "doc_id", "n_tokens", tokExpr,
+        seed = 3L, budget = 400L)
+    }.getMessage should include("already exists")
+    // deferral invariant: on the budget path the kernel sits ABOVE the
+    // prune join — exactly one kernel evaluation below any join in the
+    // optimized plan (the stats pass), none on the scan side of the join
+    val plan = TrainOrder.tokenBudgetHeadExpr(docs, "doc_id", "n_tokens",
+        tokExpr, seed = 3L, budget = 400L, buckets = 64, smallBytes = 0L)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    joins should not be empty
+    val kernelBelowJoin = joins.head.left.expressions.map(_.toString)
+      .count(_.contains("% 30"))
+    withClue(s"kernel expressions on the probe side below the prune join: ") {
+      kernelBelowJoin shouldBe 0
+    }
+  }
+
   test("tokenBudgetPerSource matches the per-source single-window definition") {
     val toks = docs.withColumn("n_tokens", ($"doc_id" % 30 + 1).cast("long"))
     val h = conv(substring(md5(concat_ws("_", lit(5L), $"doc_id".cast("string"))), 1, 8), 16, 10)
