@@ -812,6 +812,60 @@ object SparkEntry {
         (col("wins").cast("double") / col("games")).as("win_rate"))
   }
 
+  /** Bucket count of a COMPLETE on-disk events tape layout (`ev_uts`:
+    * event_id, user_id, ts, value — bucketed by user_id, SORTED BY
+    * (user_id, ts)) — or None. Probe only: never writes, never throws.
+    */
+  private[graft] def probeEvUtsLayout(d: String): Option[Int] = {
+    import java.nio.file.{Files, Paths}
+    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "events.parquet")}/ev_uts"
+    if (Files.exists(Paths.get(root, "_SUCCESS")))
+      operators.Bucketing.readMetaOpt(root)
+        .filter(m => m.key.equalsIgnoreCase("user_id") &&
+          m.sortCols.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("user_id", "ts"))
+        .map(_.buckets)
+    else None
+  }
+
+  /** `j5_asof_join` body (r14, the first j5 scale adjudication). Probes
+    * and references live in ONE stream, so the query takes the TAPE
+    * spelling ([[operators.AsofJoin.leftAsofTape]]): one scan, one
+    * user_id exchange, one (user_id, ts) sort, one window pass. Measured
+    * at x1000 (100M events, same-session DuckDB native ASOF 4.8 s):
+    * composed leftAsof(probes, refs-preagg) 16.8 s; two-window tape
+    * 26-50 s (rejected — WindowExec buffering); single-window
+    * struct-max tape 12.4 s. The remaining exchange+sort is the classic
+    * write-once trade: with the `ev_uts` bucketed tape layout (user_id
+    * buckets, SORTED BY (user_id, ts) — the layout every time-series
+    * store keeps) the plan is exchange-free AND sort-free, a pure
+    * streaming window over the bucketed scan. Probe rules as in GATES.md:
+    * the default never writes; `layout = Some(true)` builds for specs and
+    * the scale harness (BuildLayouts ev_uts).
+    */
+  private[graft] def j5AsofJoin(s: SparkSession, d: String,
+                                layout: Option[Boolean] = None): DataFrame = {
+    val onDisk = probeEvUtsLayout(d)
+    val useLayout = layout.getOrElse(onDisk.isDefined)
+    val slug = layoutSlug(d, "events.parquet")
+    def projected = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val tape =
+      if (useLayout)
+        operators.Bucketing.ensureBucketed(
+          s, s"graft_ev_uts_$slug", s"/tmp/graft-bucketed/$slug/ev_uts",
+          "user_id",
+          onDisk.getOrElse(sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt),
+          Seq("user_id", "ts"))(projected)
+      else projected
+    operators.AsofJoin.leftAsofTape(tape, "user_id", "ts",
+        col("event_id") % 10 === 0,
+        Seq("ref_value" -> col("value"), "ref_event" -> col("event_id")),
+        preClustered = useLayout)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ref_value"), col("ref_event"))
+  }
+
   /** `a6_sketch_agg` body, size-adaptive (audit inline). `smallBytes`
     * pins a path for parity specs: 0 forces the large decomposition
     * (vc-freq exact median, keyed pre-repartitions), MaxValue the small
@@ -1900,16 +1954,9 @@ object SparkEntry {
 
     // J5 (beyond reference): as-of point-in-time join — each event gets the
     // most recent reference snapshot at or before its timestamp
-    "j5_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val refs = ev.filter(col("event_id") % 10 === 0)
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("value")).as("ref_value"), max(col("event_id")).as("ref_event"))
-      val probes = ev.filter(col("event_id") % 10 =!= 0)
-        .select(col("event_id"), col("user_id"), col("ts"))
-      operators.AsofJoin.leftAsof(probes, refs, "user_id", "ts",
-        Seq("ref_value", "ref_event"))
-    }),
+    // probes and references live in ONE stream, so the entry takes the
+    // TAPE spelling, layout-aware — see j5AsofJoin
+    "j5_asof_join" -> ((s, d) => j5AsofJoin(s, d)),
 
     // A5 (beyond reference): hierarchical ROLLUP with grouping level marker.
     // Two-level formulation: Spark plans rollup as Expand(levels) BEFORE the

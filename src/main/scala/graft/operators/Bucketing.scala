@@ -44,7 +44,15 @@ object Bucketing {
     */
   val MetaFile = "_graft_bucket_meta.json"
 
-  final case class BucketMeta(buckets: Int, key: String)
+  /** `sort`: the full SORTED BY column list of the layout — the bucket
+    * key alone for the classic layouts, key + secondary time column for
+    * tape layouts ([[graft.operators.AsofJoin.leftAsofTape]] consumers).
+    * Pre-r14 sidecars carry no sort field and mean "sorted by the key".
+    */
+  final case class BucketMeta(buckets: Int, key: String,
+                              sort: Seq[String] = Nil) {
+    def sortCols: Seq[String] = if (sort.isEmpty) Seq(key) else sort
+  }
 
   /** Persist `df` as a bucketed+sorted MANAGED table (overwrite) in the
     * session warehouse, plus the [[MetaFile]] sidecar. Pre-`repartition`
@@ -66,13 +74,19 @@ object Bucketing {
     * warehouse-dir reconfiguration and can be re-registered by path.
     */
   def writeBucketedExternal(df: DataFrame, table: String, key: String,
-                            buckets: Int, location: String): Unit = {
+                            buckets: Int, location: String,
+                            sortCols: Seq[String] = Nil): Unit = {
+    val sort = if (sortCols.isEmpty) Seq(key) else sortCols
+    require(sort.head == key,
+      s"bucketed layout sort order must lead with the bucket key '$key' " +
+        s"(got ${sort.mkString(",")}) — the session-wide sorted-scan trust " +
+        "(legacy.bucketedTableScan.outputOrdering) assumes key-led order")
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, key).sortBy(sort.head, sort.tail: _*)
       .option("path", location)
       .format("parquet").saveAsTable(table)
-    writeMeta(location, key, buckets)
+    writeMeta(location, key, buckets, sort)
   }
 
   /** Where a managed table's files land: `<warehouse.dir>/<table>` in the
@@ -84,18 +98,30 @@ object Bucketing {
     s"$wh/${table.toLowerCase(java.util.Locale.ROOT)}"
   }
 
-  private def writeMeta(location: String, key: String, buckets: Int): Unit =
+  private def writeMeta(location: String, key: String, buckets: Int,
+                        sort: Seq[String] = Nil): Unit = {
+    val sortJson =
+      if (sort.isEmpty || sort == Seq(key)) ""
+      else s""","sort":[${sort.map("\"" + _ + "\"").mkString(",")}]"""
     Files.write(Paths.get(location, MetaFile),
-      s"""{"buckets":$buckets,"key":"$key"}""".getBytes(StandardCharsets.UTF_8))
+      s"""{"buckets":$buckets,"key":"$key"$sortJson}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
 
   private val MetaRe =
     """\{\s*"buckets"\s*:\s*(\d+)\s*,\s*"key"\s*:\s*"([^"]+)"\s*\}""".r
+  private val MetaSortRe =
+    ("""\{\s*"buckets"\s*:\s*(\d+)\s*,\s*"key"\s*:\s*"([^"]+)"\s*,""" +
+      """\s*"sort"\s*:\s*\[([^\]]*)\]\s*\}""").r
 
   def readMeta(location: String): Option[BucketMeta] = {
     val p = Paths.get(location, MetaFile)
     if (!Files.exists(p)) None
     else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim match {
       case MetaRe(n, k) => Some(BucketMeta(n.toInt, k))
+      case MetaSortRe(n, k, s) => Some(BucketMeta(n.toInt, k,
+        s.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq))
       case other => sys.error(
         s"unparseable $MetaFile at $location: ${other.take(200)}")
     }
@@ -165,10 +191,12 @@ object Bucketing {
     meta.foreach(m => keyFallback.foreach(k => require(
       k.equalsIgnoreCase(m.key),
       s"caller expects bucket key '$k' but sidecar says '${m.key}'")))
+    val sortCols = meta.map(_.sortCols).getOrElse(Seq(key))
     val schema = spark.read.parquet(location).schema.toDDL
     spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
-      s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
-      s"LOCATION '$location'")
+      s"CLUSTERED BY (`$key`) " +
+      s"SORTED BY (${sortCols.map(c => s"`$c`").mkString(", ")}) " +
+      s"INTO $buckets BUCKETS LOCATION '$location'")
   }
 
   /** Write-once entry point: if `table` is already registered, use it; if
@@ -179,13 +207,14 @@ object Bucketing {
     * zero exchanges (BucketedJoinSpec).
     */
   def ensureBucketed(spark: SparkSession, table: String, location: String,
-                     key: String, buckets: Int)(input: => DataFrame): DataFrame = {
+                     key: String, buckets: Int, sortCols: Seq[String] = Nil)
+                    (input: => DataFrame): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
       if (Files.exists(Paths.get(location, "_SUCCESS")))
         registerExternal(spark, table, location, Some(key), Some(buckets))
       else
         writeBucketedExternal(input.repartition(buckets, col(key)),
-          table, key, buckets, location)
+          table, key, buckets, location, sortCols)
     }
     spark.table(table)
   }

@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Layout-prep entry point for the scale harness: pays the write-once
+  * forced-path cost of the named layouts OUTSIDE any timed measurement,
+  * so a TimeOne/Bench run that follows probes complete layouts (GATES.md:
+  * the default query paths never write). The build cost is printed — it
+  * is the amortized-shuffle number the board records next to any adopted
+  * layout row.
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft-x1000 \
+  *     sbt "runMain graft.tools.BuildLayouts gold_wr q18 j4"
+  */
+object BuildLayouts {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.create(identity)
+    for (name <- args) {
+      val t0 = System.nanoTime()
+      name match {
+        // forced construction runs the write when the layout is missing
+        case "gold_wr" => SparkEntry.chessScaleWinrate(spark, d, Some(true))
+        case "ev_uts" => SparkEntry.j5AsofJoin(spark, d, Some(true))
+        case "q18" => SparkEntry.q18LargeOrders(spark, d, Some(true))
+        case "j4" => SparkEntry.layoutBucketedJoin(spark, d)
+        case other => sys.error(s"unknown layout '$other' (gold_wr|ev_uts|q18|j4)")
+      }
+      println(f"BUILD $name%-10s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

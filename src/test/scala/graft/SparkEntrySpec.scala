@@ -281,6 +281,19 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     viaLayout.queryExecution.executedPlan.toString should include("gold_wr")
   }
 
+  test("j5_asof_join: forced tape layout agrees with the direct plan and drops exchange AND sort") {
+    val viaLayout = SparkEntry.j5AsofJoin(spark, sf0001, layout = Some(true))
+    val direct = SparkEntry.j5AsofJoin(spark, sf0001, layout = Some(false))
+    viaLayout.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(viaLayout).count() shouldBe 0L
+    // the routed plan consumes the sorted bucketed tape: zero shuffle
+    // exchanges and zero sorts — a pure streaming window pass
+    val p = viaLayout.queryExecution.executedPlan.toString
+    p should include("ev_uts")
+    p should not include "Exchange hashpartitioning"
+    "\\+- Sort ".r.findAllIn(p).length shouldBe 0
+  }
+
   test("chess_scale_winrate: engine dim and oracle VALUES both derive from Dims.resultSeed") {
     val seed = graft.chess.Dims.resultSeed
     // ASCII-lowercase-alphanumeric code contract: JVM UTF-16 ordering and

@@ -101,4 +101,50 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     joined.count() shouldBe probes.count()
     joined.columns shouldBe Array("event_id", "user_id", "ts", "event_type", "ref_value")
   }
+
+  test("leftAsofTape agrees with the composed leftAsof on the j5 shape; one exchange, one sort") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val tape = AsofJoin.leftAsofTape(ev, "user_id", "ts",
+        $"event_id" % 10 === 0,
+        Seq("ref_value" -> $"value", "ref_event" -> $"event_id"))
+      .select($"event_id", $"user_id", $"ts", $"ref_value", $"ref_event")
+    val refs = ev.filter($"event_id" % 10 === 0)
+      .groupBy($"user_id", $"ts")
+      .agg(max($"value").as("ref_value"), max($"event_id").as("ref_event"))
+    val composed = AsofJoin.leftAsof(
+      ev.filter($"event_id" % 10 =!= 0).select($"event_id", $"user_id", $"ts"),
+      refs, "user_id", "ts", Seq("ref_value", "ref_event"))
+    tape.exceptAll(composed).count() shouldBe 0L
+    composed.exceptAll(tape).count() shouldBe 0L
+    // both statuses exercised: probes before any ref (null carry) and after
+    tape.filter($"ref_value".isNull).count() should be > 0L
+    tape.filter($"ref_value".isNotNull).count() should be > 0L
+    // the scale contract: one scan, one shuffle exchange, one sort
+    val p = tape.queryExecution.executedPlan.toString
+    "Scan parquet".r.findAllIn(p).length shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    "REPARTITION_BY_COL".r.findAllIn(p).length shouldBe 1
+    "\\+- Sort ".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("leftAsofTape: a reference row with null carried values still matches (no older carry-through)") {
+    val tape = Seq(
+      // key 1: ref at 09 with value 5; ref at 10 with NULL value; probe at 11
+      (1L, ts("2024-01-01 09:00:00"), 0L, Some(5.0)),
+      (1L, ts("2024-01-01 10:00:00"), 10L, None),
+      (1L, ts("2024-01-01 11:00:00"), 1L, Some(99.0)),
+      // key 2: probe before any ref
+      (2L, ts("2024-01-01 09:00:00"), 11L, Some(1.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsofJoin.leftAsofTape(tape, "user_id", "ts",
+        org.apache.spark.sql.functions.col("event_id") % 10 === 0,
+        Seq("ref_value" -> $"value"))
+      .select($"event_id", $"ref_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // the 10:00 ref group matched (ASOF row semantics) — its null value is
+    // the answer; the 09:00 value must NOT leak through
+    out shouldBe Map(1L -> None, 11L -> None)
+  }
 }

@@ -143,6 +143,27 @@ def main():
         row = rows.setdefault(q, {"query": q})
         row["note"] = ((row.get("note", "") + " ").lstrip() + text).strip()
 
+    # machine-checkable verdict on EVERY unpaired row (r13 VERDICT #4):
+    # the DNF taxonomy must live on the row, not in prose notes. Paired
+    # rows drop any stale verdict. Invariant after every merge: zero rows
+    # where both duck_x1000 and `verdict` are absent.
+    for row in rows.values():
+        if row.get("duck_x1000") is not None:
+            row.pop("verdict", None)
+            continue
+        status = (row.get("duck_status") or "").lower()
+        if "timeout" in status:
+            row["verdict"] = "dnf_timeout"
+        elif "spill-exhausted-disk" in status or "no space" in status:
+            row["verdict"] = "dnf_spill"
+        elif ("oom" in status or "memory" in status or
+              "worker died" in status):
+            row["verdict"] = "dnf_worker_death"
+        elif status:
+            row["verdict"] = "dnf_error"
+        else:
+            row["verdict"] = "unpaired"
+
     board["queries"] = [rows[q] for q in sorted(rows)]
     paired = [r for r in board["queries"]
               if r.get("spark_x1000") is not None
