@@ -147,9 +147,17 @@ def main():
     }
     with open(tmp_out, "w") as f:
         json.dump(merged, f, indent=1)
+    # archive the FULL capture (not just the Spark maps) before renaming:
+    # a multi-capture day overwrites BENCH_ORACLE.json per capture, and
+    # r14 needed a non-final capture's DuckDB column after the fact —
+    # every capture must survive under tools/sweeps/ (memory rule)
+    archive = os.path.join(args.raw_dir, f"bench_oracle_{stamp}.json")
+    with open(archive, "w") as f:
+        json.dump(merged, f, indent=1)
     os.replace(tmp_out, args.out)  # atomic within the same filesystem
     print(f"[pair_sweep] wrote {args.out} "
-          f"(overall_ratio={merged.get('overall_ratio')})")
+          f"(overall_ratio={merged.get('overall_ratio')}; capture archived "
+          f"at {archive})")
 
 
 if __name__ == "__main__":
