@@ -189,7 +189,13 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     }),
     ("graft_vec_dot", "(vec, vec)", 2, { args: Seq[Expression] => DotProduct(args.head, args(1)) }),
     ("graft_vec_cosine", "(vec, vec)", 2, { args: Seq[Expression] => CosineSimilarity(args.head, args(1)) }),
-    ("graft_vec_norm", "(vec)", 1, { args: Seq[Expression] => VectorNorm(args.head) }))
+    ("graft_vec_norm", "(vec)", 1, { args: Seq[Expression] => VectorNorm(args.head) }),
+    // struct<width,height,channels,est_duration_ms>: real header decode
+    // behind the magic gates, md5-stub arithmetic otherwise (the r14
+    // columnar multimodal metadata kernel)
+    ("graft_media_header_meta", "(payload, kind, md5hex)", 3, { args: Seq[Expression] =>
+      graft.operators.MediaHeaderMeta(args.head, args(1), args(2))
+    }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => PrefixJoinStrategy)

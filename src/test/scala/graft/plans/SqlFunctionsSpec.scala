@@ -107,6 +107,22 @@ class SqlFunctionsSpec extends AnyFunSuite with Matchers with SparkFixture {
     e2.getMessage should include("empty key")
   }
 
+  test("r14 kernel via SQL: media_header_meta equals the Column-API decode profile") {
+    docs
+    val sql = spark.sql(
+      """SELECT doc_id,
+        | graft_media_header_meta(CAST(text AS BINARY), 'image',
+        |   md5(CAST(text AS BINARY))) AS m
+        |FROM sqlfn_docs""".stripMargin)
+      .select($"doc_id", $"m.width", $"m.height", $"m.channels",
+        $"m.est_duration_ms").collect()
+    val api = graft.operators.Multimodal
+      .decodeMetaColumns(docs, "doc_id", "text", "image")
+      .select($"asset_id".as("doc_id"), $"width", $"height", $"channels",
+        $"est_duration_ms").collect()
+    sql.map(_.toSeq) shouldBe api.map(_.toSeq)
+  }
+
   test("non-literal scalar parameter fails with a clear message") {
     docs
     val e = intercept[Exception] {
