@@ -81,7 +81,47 @@ object SpanLab {
       // cost of one tiny (5k-row) exchange
       "full_fanned" -> (() => Dedup.spanCut(
         Tables.documents(spark, sfDir)
-          .repartition(spark.sessionState.conf.numShufflePartitions), l)))
+          .repartition(spark.sessionState.conf.numShufflePartitions), l)),
+      // r14 candidate: dup set via a WINDOW over the one h-exchange
+      // (count + min-struct as two frameless functions in ONE WindowExec)
+      // instead of the collect_list aggregate — trades per-group list
+      // buffers for one 8-byte-key sort
+      "full_window" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        // the r13 kernel occ (same as the shipped spanCut), not the
+        // composed shingle spelling the decomposition probes use
+        val occKernel = base
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextFunctions
+              .shingle_hash31_all_array(col("text"), l)).as(Seq("pos", "h")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+        val occE = occKernel.repartition(
+          spark.sessionState.conf.numShufflePartitions, col("h"))
+        val w = Window.partitionBy(col("h"))
+        val me = struct(col("doc_id"), col("pos"))
+        val dupW = occE
+          .withColumn("__cnt", count(lit(1)).over(w))
+          .withColumn("__canon", min(me).over(w))
+          .filter(col("__cnt") > 1 && !(me === col("__canon")))
+          .select(col("doc_id"), col("pos"))
+        val coveredW = dupW
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("p"))
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("p")).as("__cov"))
+        val words = split(col("text"), " ", -1)
+        val nw = when(col("text").isNotNull, size(words)).otherwise(0).cast("long")
+        val keptArr = when(col("text").isNull, array().cast("array<string>"))
+          .when(col("__cov").isNull, words)
+          .otherwise(transform(
+            array_except(sequence(lit(0L), nw - lit(1L)), col("__cov")),
+            p => element_at(words, (p + lit(1L)).cast("int"))))
+        base.select(col("doc_id"), col("text"))
+          .join(coveredW, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            array_join(keptArr, " ").as("text_clean"),
+            (nw - size(keptArr)).as("n_cut"))
+      }))
     val names = if (args.nonEmpty) args.toSeq else probes.map(_._1)
     val m = probes.toMap
     Bench.evaluate(m(names.head)())
