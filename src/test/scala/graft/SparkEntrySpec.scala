@@ -202,6 +202,55 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "graft-bucketed"
   }
 
+  test("r14 layout probes (ev_uts, gold_wr): incomplete or foreign layouts never route") {
+    val dir = java.nio.file.Files.createTempDirectory("probe-neg-r14").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, 7L, new java.sql.Timestamp(1700000000000L), 1.5))
+      .toDF("event_id", "user_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, 1L, java.sql.Date.valueOf("2024-01-01"), 10.0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // nothing on disk → both default plans stay direct
+    SparkEntry.probeEvUtsLayout(dir) shouldBe empty
+    SparkEntry.chessScaleWinrate(spark, dir)
+      .queryExecution.executedPlan.toString should not include "graft-bucketed"
+    // ev_uts: sidecar without _SUCCESS (interrupted write) is not a layout
+    val evUts = s"/tmp/graft-bucketed/${SparkEntry.layoutSlug(dir, "events.parquet")}/ev_uts"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evUts))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(evUts, operators.Bucketing.MetaFile),
+      """{"buckets":8,"key":"user_id","sort":["user_id","ts"]}""")
+    SparkEntry.probeEvUtsLayout(dir) shouldBe empty
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(evUts, "_SUCCESS"), "")
+    // _SUCCESS + wrong KEY → not usable
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(evUts, operators.Bucketing.MetaFile),
+      """{"buckets":8,"key":"event_id","sort":["event_id","ts"]}""")
+    SparkEntry.probeEvUtsLayout(dir) shouldBe empty
+    // right key but key-only SORT (a pre-r14 sidecar) → the tape plan
+    // needs the (user_id, ts) order; a key-only layout must not route
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(evUts, operators.Bucketing.MetaFile),
+      """{"buckets":8,"key":"user_id"}""")
+    SparkEntry.probeEvUtsLayout(dir) shouldBe empty
+    // corrupt sidecar degrades to the direct plan, never throws
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(evUts, operators.Bucketing.MetaFile),
+      """{"buckets": garbage""")
+    SparkEntry.probeEvUtsLayout(dir) shouldBe empty
+    noException should be thrownBy
+      SparkEntry.j5AsofJoin(spark, dir).queryExecution.executedPlan
+    // the full correct sidecar finally routes
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(evUts, operators.Bucketing.MetaFile),
+      """{"buckets":8,"key":"user_id","sort":["user_id","ts"]}""")
+    SparkEntry.probeEvUtsLayout(dir) shouldBe Some(8)
+  }
+
   test("a6SketchAgg: an EMPTY relation yields one row, no error, on both forced paths (r12 ADVICE)") {
     // pre-fix the small path's positional median read raised
     // "SQL array indices start at 1" (lo = floor(-0.5) = -1 on zero rows)
