@@ -418,7 +418,13 @@ object Multimodal {
       } catch { case _: Throwable => None }
     }
 
-  private def featuresOne(a: MediaAsset, dim: Int): Array[Float] = {
+  /** `payloadMd5`: the payload's md5, when the caller already computed it
+    * ([[profile]] threads decodeOne's hash through so the fused pass
+    * really does hash each payload ONCE — its documented contract); the
+    * hash-chain stand-in recomputes it otherwise.
+    */
+  private def featuresOne(a: MediaAsset, dim: Int,
+                          payloadMd5: Option[Array[Byte]] = None): Array[Float] = {
     val bytes = Option(a.payload).getOrElse(Array.emptyByteArray)
     // REAL audio features for decodable PCM: the RMS-energy envelope
     if (a.kind == "audio") {
@@ -440,7 +446,7 @@ object Multimodal {
     }.getOrElse {
       // deterministic hash-chain stand-in keeps the operator total
       val emb = new Array[Float](dim)
-      var h = md5Bytes(bytes)
+      var h = payloadMd5.getOrElse(md5Bytes(bytes))
       var i = 0
       while (i < dim) {
         if (i % 16 == 0 && i > 0) h = md5Bytes(h)
@@ -664,8 +670,14 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.map { a =>
         val m = decodeOne(a)
+        // re-derive the raw hash bytes from decodeOne's hex fingerprint
+        // (32 hex chars) instead of hashing the payload a second time —
+        // the fused pass's whole point is ONE pass over the bytes
+        val hBytes = m.content_hash.sliding(2, 2)
+          .map(Integer.parseInt(_, 16).toByte).toArray
         MediaProfile(m.asset_id, m.kind, m.n_bytes, m.content_hash, m.width,
-          m.height, m.channels, m.est_duration_ms, featuresOne(a, 64))
+          m.height, m.channels, m.est_duration_ms,
+          featuresOne(a, 64, Some(hBytes)))
       }
     }.toDF()
   }
