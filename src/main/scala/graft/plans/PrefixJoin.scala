@@ -195,7 +195,17 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     // columnar multimodal metadata kernel)
     ("graft_media_header_meta", "(payload, kind, md5hex)", 3, { args: Seq[Expression] =>
       graft.operators.MediaHeaderMeta(args.head, args(1), args(2))
-    }))
+    }),
+    // weighted GK quantile sketch (percentile_approx over value-count
+    // rows); the analyzer wraps the raw AggregateFunction into an
+    // AggregateExpression at resolution, as for the built-in aggregates
+    ("graft_wpercentile_approx", "(value, weight, percentage, accuracy)", 4,
+      { args: Seq[Expression] =>
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        WeightedPercentileApprox(Cast(args.head, DoubleType),
+          Cast(args(1), LongType), args(2), args(3))
+      }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => PrefixJoinStrategy)

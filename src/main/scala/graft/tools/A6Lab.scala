@@ -151,6 +151,72 @@ object A6Lab {
             approx_count_distinct(when(col("k") === 1, col("v")), 0.02).as("ao"))
         finish(exacts.crossJoin(collectMed(s, price)))
       }),
+      // r14b: ONE plan, no crossJoins — a third exploded slice carries the
+      // price, the codegen'd groupBy(k, v) counts it, and the single
+      // global aggregate folds everything: conditional counts,
+      // null-skipping HLLs, the exact median as percentile's FREQUENCY
+      // form, and the approx median from the weighted GK sketch
+      // (graft_wpercentile_approx) riding the SAME value-count rows.
+      // 3 stages end-to-end vs the adopted shape's 6.
+      "vP_trislice" -> (() => {
+        val folded = raw.select(explode(array(
+            struct(lit(0).as("k"), col("l_partkey").cast("double").as("v")),
+            struct(lit(1).as("k"), col("l_orderkey").cast("double").as("v")),
+            struct(lit(2).as("k"), col("l_extendedprice").as("v")))).as("kv"))
+          .select(col("kv.k").as("k"), col("kv.v").as("v"))
+          .groupBy(col("k"), col("v")).agg(count(lit(1)).as("__cnt"))
+          .agg(
+            coalesce(sum(when(col("k") === 0, 1L)), lit(0L)).as("exact_parts"),
+            coalesce(sum(when(col("k") === 1, 1L)), lit(0L)).as("exact_orders"),
+            approx_count_distinct(when(col("k") === 0, col("v")), 0.02).as("ap"),
+            approx_count_distinct(when(col("k") === 1, col("v")), 0.02).as("ao"),
+            expr("percentile(CASE WHEN k = 2 THEN v END, 0.5, __cnt)").as("em"),
+            graft.functions.SketchFunctions.wpercentile_approx(
+              when(col("k") === 2, col("v")), col("__cnt"), 0.5, 1000).as("am"))
+        finish(folded)
+      }),
+      // r14b: vN exacts unchanged; the price branch reduces through a
+      // codegen'd value-count pre-aggregate that feeds BOTH medians (exact
+      // via percentile's frequency form, approx via the weighted sketch) —
+      // isolates the weighted-sketch median from the tri-slice fusion
+      "vQ_vcmed" -> (() => {
+        val exacts = raw.select(explode(array(
+            struct(lit(0).as("k"), col("l_partkey").as("v")),
+            struct(lit(1).as("k"), col("l_orderkey").as("v")))).as("kv"))
+          .select(col("kv.k").as("k"), col("kv.v").as("v"))
+          .distinct()
+          .agg(
+            coalesce(sum(when(col("k") === 0, 1L)), lit(0L)).as("exact_parts"),
+            coalesce(sum(when(col("k") === 1, 1L)), lit(0L)).as("exact_orders"),
+            approx_count_distinct(when(col("k") === 0, col("v")), 0.02).as("ap"),
+            approx_count_distinct(when(col("k") === 1, col("v")), 0.02).as("ao"))
+        val med = price.groupBy(col("l_extendedprice")).agg(count(lit(1)).as("__cnt"))
+          .agg(expr("percentile(l_extendedprice, 0.5, __cnt)").as("em"),
+            graft.functions.SketchFunctions.wpercentile_approx(
+              col("l_extendedprice"), col("__cnt"), 0.5, 1000).as("am"))
+        finish(exacts.crossJoin(med))
+      }),
+      // r14b: the LARGE path with its separate raw-row percentile_approx
+      // pass fused away — the value-count pre-aggregate that already
+      // feeds the exact median (vc-freq form) now ALSO feeds the approx
+      // median through the weighted GK sketch, so no aggregate pays an
+      // interpreted update per raw row (x1000: the sketch sees ~133k
+      // (value, cnt) rows instead of 600M prices). Exacts unchanged.
+      "vM_large_wq" -> (() => {
+        val med = raw.groupBy(col("l_extendedprice"))
+          .agg(count(lit(1)).as("__cnt"))
+          .agg(expr("percentile(l_extendedprice, 0.5, __cnt)").as("em"),
+            graft.functions.SketchFunctions.wpercentile_approx(
+              col("l_extendedprice"), col("__cnt"), 0.5, 1000).as("am"))
+        val exacts = raw.select(col("l_partkey")).repartition(col("l_partkey"))
+          .distinct()
+          .agg(count(lit(1)).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+          .crossJoin(raw.select(col("l_orderkey")).distinct()
+            .agg(count(lit(1)).as("exact_orders"),
+              approx_count_distinct(col("l_orderkey"), 0.02).as("ao")))
+        finish(med.crossJoin(exacts))
+      }),
       // r12: vG exacts with the r10-shape median (isolates the two changes)
       "vH_fused_oldmed" -> (() => {
         val med = price.repartition(s.sessionState.conf.numShufflePartitions)

@@ -86,16 +86,20 @@ object ScaleData {
       // TimestampType and DuckDB (UTC container) sees identical wall times
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
 
+    // optional 5th arg: comma-separated table subset (a single-query A/B
+    // needs one table, not the full multi-GB fixture)
+    val only = args.lift(4).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     def write(name: String, df: DataFrame, nFiles: Int): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scale] $name x$factor -> $outDir/$name.parquet " +
         s"(${df.rdd.getNumPartitions} partitions)")
     }
     // fixed dims: copied once, single file, no shift
-    write("region", Tables.region(spark, srcDir).repartition(1), 1)
-    write("nation", Tables.nation(spark, srcDir).repartition(1), 1)
+    if (wanted("region")) write("region", Tables.region(spark, srcDir).repartition(1), 1)
+    if (wanted("nation")) write("nation", Tables.nation(spark, srcDir).repartition(1), 1)
     for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
-                  "documents", "embeddings", "events")) {
+                  "documents", "embeddings", "events").filter(wanted)) {
       // events goes through Tables.events so both physical ts generations
       // normalize to TimestampType before the copy
       val src = if (t == "events") Tables.events(spark, srcDir)
