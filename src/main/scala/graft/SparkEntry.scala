@@ -959,12 +959,29 @@ object SparkEntry {
               when(size(col("__v")) > 0,
                 loV + (hiV - loV) * (pos - lo.cast("double"))).as("em"))
         } else {
-          val apx = src.agg(
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
-          val em = src.groupBy(col("l_extendedprice"))
+          // AUDIT (r14b, x1000 lineitem 11 GB, A6Lab both orders): the
+          // separate raw-row percentile_approx pass was the large path's
+          // last aggregate paying an interpreted update per RAW row (600M
+          // inserts). The vc-freq pre-aggregate that bounds the exact
+          // median now feeds the approx sketch too: the weighted GK
+          // kernel (graft_wpercentile_approx, functions/SketchAggregates
+          // .scala) inserts (value, cnt) pairs — ~133k interpreted
+          // updates instead of 600M, same 1/accuracy rank-error contract.
+          // Measured min-of-3 both orders: fused-second 52.9 vs split
+          // 155.0 s (contended session), fused-FIRST 53.5 vs split-second
+          // 60.8 s (quiet session) — the win holds from the disadvantaged
+          // position; conservatively ~12% steady-state plus one fewer
+          // full price-column scan, and the gap widens under host
+          // contention (interpreted per-raw-row updates degrade worst).
+          // At sf0.1 the vc pre-agg itself is the cost (97% distinct
+          // prices — the r12 lesson), so the SMALL path keeps its
+          // collect_list median: A6Lab vQ_vcmed/vP_trislice measured
+          // 1.7-2.1 s vs vN 0.96 s, rejected both orders.
+          src.groupBy(col("l_extendedprice"))
             .agg(count(lit(1)).as("__cnt"))
-            .agg(expr("percentile(l_extendedprice, 0.5, __cnt)").as("em"))
-          apx.crossJoin(em)
+            .agg(expr("percentile(l_extendedprice, 0.5, __cnt)").as("em"),
+              graft.functions.SketchFunctions.wpercentile_approx(
+                col("l_extendedprice"), col("__cnt"), 0.5, 1000).as("am"))
         }
       val exacts =
         if (small)
