@@ -587,4 +587,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     units.map { case (_, code, _) =>
       "probeTermStats\\(".r.findAllIn(code).length }.sum should be >= 1
   }
+
+  test("a6 large path: approx median rides the vc pre-aggregate, no raw-row sketch pass") {
+    // r14b: the weighted GK sketch (graft_wpercentile_approx) consumes the
+    // same value-count rows as the exact median's FREQUENCY form — a
+    // regression to a separate percentile_approx pass would put an
+    // interpreted update back on every raw row (600M at x1000)
+    val p = SparkEntry.a6SketchAgg(spark, sf0001, smallBytes = 0L)
+      .queryExecution.executedPlan.toString
+    p should include("graft_wpercentile_approx")
+    // negative lookbehind: the weighted kernel's own name contains the
+    // substring "percentile_approx(" — assert no UNWEIGHTED raw-row pass
+    "(?<!graft_w)percentile_approx\\(l_extendedprice".r.findAllIn(p).toSeq shouldBe empty
+    // the small path keeps the raw-row sketch (the vc spelling LOSES at
+    // sf0.1 — 97% distinct prices; A6Lab both orders)
+    val small = SparkEntry.a6SketchAgg(spark, sf0001, smallBytes = Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    small should include("percentile_approx")
+  }
 }
