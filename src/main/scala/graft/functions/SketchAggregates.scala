@@ -206,6 +206,9 @@ case class WeightedPercentileApprox(
       TypeCheckResult.TypeCheckFailure(
         s"graft_wpercentile_approx: weight must be BIGINT, got " +
           s"${weight.dataType.simpleString} — cast explicitly")
+    } else if (!percentageExpression.foldable || !accuracyExpression.foldable) {
+      TypeCheckResult.TypeCheckFailure(
+        "graft_wpercentile_approx: percentage and accuracy must be literals")
     } else TypeCheckResult.TypeCheckSuccess
   }
 
