@@ -1763,6 +1763,37 @@ object SparkEntry {
     // size-adaptive, see [[a11Percentiles]]
     "a11_percentiles" -> ((s, d) => a11Percentiles(s, d)),
 
+    // A13 (beyond reference): weighted quantiles over a value-count
+    // pre-aggregate — the bounded-domain quantile pattern at 100 TB.
+    // l_quantity has ~50 distinct values at ANY corpus size, so the
+    // codegen'd count reduces the corpus once and BOTH quantile kernels
+    // ride the ~50 (value, cnt) rows: the exact quantiles read
+    // percentile's FREQUENCY form, the approx ones the weighted GK
+    // sketch (graft_wpercentile_approx) — no interpreted update ever
+    // touches a raw row, at sf0.01 or at 100 TB. The within-step
+    // booleans assert the sketch lands on a data value adjacent to the
+    // interpolated exact quantile (domain step = 1.0); the sketch is
+    // deterministic, so the oracle pins them as literal TRUE.
+    "a13_weighted_quantiles" -> ((s, d) => {
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity")).agg(count(lit(1)).as("__cnt"))
+      vc.agg(
+          count(lit(1)).as("n_quantities"),
+          sum(col("__cnt")).as("total_rows"),
+          expr("percentile(l_quantity, 0.5, __cnt)").as("e50"),
+          expr("percentile(l_quantity, 0.9, __cnt)").as("e90"),
+          graft.functions.SketchFunctions.wpercentile_approx(
+            col("l_quantity"), col("__cnt"), 0.5, 1000).as("a50"),
+          graft.functions.SketchFunctions.wpercentile_approx(
+            col("l_quantity"), col("__cnt"), 0.9, 1000).as("a90"))
+        .select(
+          col("n_quantities"), col("total_rows"),
+          (floor(col("e50") * 10000 + 0.5) / 10000).as("p50"),
+          (floor(col("e90") * 10000 + 0.5) / 10000).as("p90"),
+          (abs(col("a50") - col("e50")) <= 1.0).as("p50_within_step"),
+          (abs(col("a90") - col("e90")) <= 1.0).as("p90_within_step"))
+    }),
+
     // A9 (beyond reference): UNPIVOT/melt — wide measures to long form
     // AUDIT (r8, x1000): the executed plan is the optimum this query
     // admits — Scan → Project → Expand fused in ONE WholeStageCodegen
@@ -3994,6 +4025,18 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the sketch values are engine-internal; the query exports only the
+    // within-step booleans, which the deterministic weighted GK sketch
+    // pins TRUE (the exact columns hash-match quantile_cont over the raw
+    // rows — percentile's frequency form interpolates the same multiset)
+    "a13_weighted_quantiles" ->
+      """SELECT count(DISTINCT l_quantity) AS n_quantities,
+        | count(*) AS total_rows,
+        | floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5) / 10000 AS p90,
+        | TRUE AS p50_within_step, TRUE AS p90_within_step
+        |FROM lineitem""".stripMargin,
 
     "w2_lag_sessions" ->
       """WITH e AS (
