@@ -1772,8 +1772,15 @@ object SparkEntry {
     // sketch (graft_wpercentile_approx) — no interpreted update ever
     // touches a raw row, at sf0.01 or at 100 TB. The within-step
     // booleans assert the sketch lands on a data value adjacent to the
-    // interpolated exact quantile (domain step = 1.0); the sketch is
-    // deterministic, so the oracle pins them as literal TRUE.
+    // interpolated exact quantile (domain step = 1.0). The oracle pins
+    // them as literal TRUE by ERROR-BOUND math, not determinism (merge
+    // order of partial summaries varies with shuffle fetch order): at
+    // accuracy 1000 the accumulated rank error is a few tenths of a
+    // percent of total weight, while each quantity value owns a ~2%-of-
+    // weight run — the sketch cannot land more than one domain step
+    // from the exact quantile. Lowering the accuracy (or reusing this
+    // pattern on a denser domain) re-opens that margin; recheck the
+    // bound before touching either.
     "a13_weighted_quantiles" -> ((s, d) => {
       val vc = Tables.lineitem(s, d)
         .groupBy(col("l_quantity")).agg(count(lit(1)).as("__cnt"))
@@ -4027,9 +4034,10 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // the sketch values are engine-internal; the query exports only the
-    // within-step booleans, which the deterministic weighted GK sketch
-    // pins TRUE (the exact columns hash-match quantile_cont over the raw
-    // rows — percentile's frequency form interpolates the same multiset)
+    // within-step booleans, TRUE by the accuracy-1000 error bound (rank
+    // error << any quantity value's weight run — see the queries-entry
+    // comment; the exact columns hash-match quantile_cont over the raw
+    // rows, percentile's frequency form interpolates the same multiset)
     "a13_weighted_quantiles" ->
       """SELECT count(DISTINCT l_quantity) AS n_quantities,
         | count(*) AS total_rows,

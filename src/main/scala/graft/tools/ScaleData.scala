@@ -87,8 +87,22 @@ object ScaleData {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
 
     // optional 5th arg: comma-separated table subset (a single-query A/B
-    // needs one table, not the full multi-GB fixture)
-    val only = args.lift(4).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // needs one table, not the full multi-GB fixture). Validated against
+    // the known table list: a typo ('lineitems') or an empty arg must
+    // fail LOUDLY, not exit successfully having written nothing — the
+    // A/B would then silently read stale prior-run files from outDir.
+    val allTables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings", "events")
+    val only = args.lift(4).map { raw =>
+      val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      require(names.nonEmpty,
+        s"table-subset arg is empty; expected names from ${allTables.toSeq.sorted.mkString(",")}")
+      val unknown = names -- allTables
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.toSeq.sorted.mkString(",")}; " +
+          s"expected names from ${allTables.toSeq.sorted.mkString(",")}")
+      names
+    }
     def wanted(t: String): Boolean = only.forall(_.contains(t))
     def write(name: String, df: DataFrame, nFiles: Int): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
