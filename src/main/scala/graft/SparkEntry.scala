@@ -540,19 +540,17 @@ object SparkEntry {
   }
 
   /** Content fingerprint of the tables feeding a persisted layout: file
-    * names + lengths + mtimes, folded to a short hex slug. A layout
-    * written for one generation of the input can NEVER be read against
-    * another (regenerated testdata changes the mtimes → new slug → fresh
-    * write); stale dirs are simply abandoned.
+    * names + lengths + mtimes, folded to a short hex slug
+    * ([[operators.Bucketing.sourceFingerprint]]). A layout written for
+    * one generation of the input can NEVER be read against another
+    * (regenerated testdata changes the mtimes → new slug → fresh write);
+    * stale dirs are simply abandoned. Since r15 the SAME fingerprint is
+    * also recorded in each layout's sidecar (`source` field) and
+    * re-checked at every probe/trust point, so even a layout dir copied
+    * to a currently-valid path is rejected instead of serving old rows.
     */
-  private[graft] def layoutSlug(d: String, tables: String*): String = {
-    def stat(p: java.io.File): Seq[String] =
-      if (p.isDirectory) p.listFiles.sortBy(_.getName).toSeq.flatMap(stat)
-      else Seq(s"${p.getName}:${p.length}:${p.lastModified}")
-    val sig = (d +: tables.flatMap(t => stat(new java.io.File(d, t)))).mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-  }
+  private[graft] def layoutSlug(d: String, tables: String*): String =
+    operators.Bucketing.sourceFingerprint(d, tables: _*)
 
   /** `layout_bucketed_join` body — the write-once bucketed layout as a
     * first-class operator (VERDICT r11 #4: promoted from the J4Lab test
@@ -638,7 +636,7 @@ object SparkEntry {
       val liSlug = layoutSlug(d, "lineitem.parquet")
       val li = operators.Bucketing.ensureBucketed(
         s, s"graft_li_oq_$liSlug", s"/tmp/graft-bucketed/$liSlug/li_oq",
-        "l_orderkey", liBuckets)(
+        "l_orderkey", liBuckets, source = Some(liSlug))(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")))
       val big = li.groupBy(col("l_orderkey").as("bk"))
         .agg(sum(col("l_quantity")).as("total_qty"))
@@ -651,10 +649,11 @@ object SparkEntry {
       // the same width removes it: both SMJ sides consume the bucket
       // distribution (Sort-free under the trusted sorted layout), zero
       // exchanges end-to-end.
+      val ordSlug = layoutSlug(d, "orders.parquet")
       val ord = operators.Bucketing.ensureBucketed(
-        s, s"graft_ord_oq_${layoutSlug(d, "orders.parquet")}",
-        s"/tmp/graft-bucketed/${layoutSlug(d, "orders.parquet")}/ord_oq",
-        "o_orderkey", ordBuckets)(
+        s, s"graft_ord_oq_$ordSlug",
+        s"/tmp/graft-bucketed/$ordSlug/ord_oq",
+        "o_orderkey", ordBuckets, source = Some(ordSlug))(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice")))
       ord.join(big, col("o_orderkey") === col("bk"))
@@ -678,9 +677,10 @@ object SparkEntry {
     */
   private[graft] def probeLiOqLayout(d: String): Option[Int] = {
     import java.nio.file.{Files, Paths}
-    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "lineitem.parquet")}/li_oq"
+    val slug = layoutSlug(d, "lineitem.parquet")
+    val root = s"/tmp/graft-bucketed/$slug/li_oq"
     if (Files.exists(Paths.get(root, "_SUCCESS")))
-      operators.Bucketing.readMetaOpt(root)
+      operators.Bucketing.readMetaIfSource(root, slug)
         .filter(_.key.equalsIgnoreCase("l_orderkey")).map(_.buckets)
     else None
   }
@@ -691,9 +691,10 @@ object SparkEntry {
     */
   private[graft] def probeOrdOqLayout(d: String): Option[Int] = {
     import java.nio.file.{Files, Paths}
-    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "orders.parquet")}/ord_oq"
+    val slug = layoutSlug(d, "orders.parquet")
+    val root = s"/tmp/graft-bucketed/$slug/ord_oq"
     if (Files.exists(Paths.get(root, "_SUCCESS")))
-      operators.Bucketing.readMetaOpt(root)
+      operators.Bucketing.readMetaIfSource(root, slug)
         .filter(_.key.equalsIgnoreCase("o_orderkey")).map(_.buckets)
     else None
   }
@@ -706,10 +707,11 @@ object SparkEntry {
     */
   private[graft] def probeBucketedLayout(d: String): Option[Int] = {
     import java.nio.file.{Files, Paths}
-    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "lineitem.parquet", "orders.parquet")}"
+    val slug = layoutSlug(d, "lineitem.parquet", "orders.parquet")
+    val root = s"/tmp/graft-bucketed/$slug"
     def meta(sub: String): Option[operators.Bucketing.BucketMeta] =
       if (Files.exists(Paths.get(s"$root/$sub", "_SUCCESS")))
-        operators.Bucketing.readMetaOpt(s"$root/$sub")
+        operators.Bucketing.readMetaIfSource(s"$root/$sub", slug)
       else None
     for {
       li <- meta("li_ok")
@@ -724,10 +726,12 @@ object SparkEntry {
                                          slug: String, buckets: Int): DataFrame = {
     val root = s"/tmp/graft-bucketed/$slug"
     val li = operators.Bucketing.ensureBucketed(
-      s, s"graft_li_ok_$slug", s"$root/li_ok", "l_orderkey", buckets)(
+      s, s"graft_li_ok_$slug", s"$root/li_ok", "l_orderkey", buckets,
+      source = Some(slug))(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")))
     val ord = operators.Bucketing.ensureBucketed(
-      s, s"graft_ord_ok_$slug", s"$root/ord_ok", "o_orderkey", buckets)(
+      s, s"graft_ord_ok_$slug", s"$root/ord_ok", "o_orderkey", buckets,
+      source = Some(slug))(
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")))
     val nat = Tables.nation(s, d)
     val lp = li.join(broadcast(Tables.supplier(s, d)
@@ -776,8 +780,18 @@ object SparkEntry {
     val classCodes = sortedSeed.map(_._2 match {
       case "Win" => 0; case "Loss" => 1; case _ => 2
     })
-    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "orders.parquet")}/gold_wr"
-    def onDisk = Files.exists(Paths.get(root, "_SUCCESS"))
+    val slug = layoutSlug(d, "orders.parquet")
+    val root = s"/tmp/graft-bucketed/$slug/gold_wr"
+    // gold_wr is a plain (non-bucketed) projection, so it has no
+    // Bucketing sidecar; the same source-staleness rule applies through a
+    // one-line fingerprint file. Absent fp file = pre-r15 layout (its
+    // path slug is the guard it was built under); a PRESENT fp that
+    // disagrees with the current fixture fingerprint means a copied/
+    // stale dir → treat as not-on-disk and aggregate the raw projection.
+    val fpFile = Paths.get(root, "_graft_source_fp")
+    def fpOk = !Files.exists(fpFile) ||
+      new String(Files.readAllBytes(fpFile), "UTF-8").trim == slug
+    def onDisk = Files.exists(Paths.get(root, "_SUCCESS")) && fpOk
     val useLayout = layout.getOrElse(onDisk)
     def goldProjection: DataFrame = Tables.orders(s, d).select(
       pmod(col("o_orderkey"), lit(15)).cast("int").as("res_idx"),
@@ -788,9 +802,11 @@ object SparkEntry {
         .otherwise(2).cast("byte").as("tc"))
     val fact =
       if (useLayout) {
-        if (!onDisk) // only the forced path gets here (the probe saw _SUCCESS)
+        if (!onDisk) { // only the forced path gets here (the probe saw _SUCCESS)
           goldProjection.sortWithinPartitions(col("tc"), col("is_white"), col("month"))
             .write.mode("overwrite").parquet(root)
+          Files.write(fpFile, slug.getBytes("UTF-8"))
+        }
         s.read.parquet(root)
       } else goldProjection
     val cls = element_at(typedlit(classCodes), col("res_idx") + 1)
@@ -818,9 +834,10 @@ object SparkEntry {
     */
   private[graft] def probeEvUtsLayout(d: String): Option[Int] = {
     import java.nio.file.{Files, Paths}
-    val root = s"/tmp/graft-bucketed/${layoutSlug(d, "events.parquet")}/ev_uts"
+    val slug = layoutSlug(d, "events.parquet")
+    val root = s"/tmp/graft-bucketed/$slug/ev_uts"
     if (Files.exists(Paths.get(root, "_SUCCESS")))
-      operators.Bucketing.readMetaOpt(root)
+      operators.Bucketing.readMetaIfSource(root, slug)
         .filter(m => m.key.equalsIgnoreCase("user_id") &&
           m.sortCols.map(_.toLowerCase(java.util.Locale.ROOT)) ==
             Seq("user_id", "ts"))
@@ -856,7 +873,7 @@ object SparkEntry {
           s, s"graft_ev_uts_$slug", s"/tmp/graft-bucketed/$slug/ev_uts",
           "user_id",
           onDisk.getOrElse(sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt),
-          Seq("user_id", "ts"))(projected)
+          Seq("user_id", "ts"), Some(slug))(projected)
       else projected
     operators.AsofJoin.leftAsofTape(tape, "user_id", "ts",
         col("event_id") % 10 === 0,
@@ -864,6 +881,67 @@ object SparkEntry {
         preClustered = useLayout)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("ref_value"), col("ref_event"))
+  }
+
+  /** Bucket count of a COMPLETE on-disk two-table as-of tape layout
+    * (`ev_tape2`: the [[operators.AsofJoin.leftAsofLayout]] tape of the
+    * j5b probes/refs pair — bucketed by user_id, SORTED BY (user_id,
+    * ts)) — or None. Probe only: never writes, never throws; a sidecar
+    * whose `source` fingerprint names another fixture generation is
+    * rejected (r15 staleness rule).
+    */
+  private[graft] def probeEvTape2Layout(d: String): Option[Int] = {
+    import java.nio.file.{Files, Paths}
+    val slug = layoutSlug(d, "events.parquet")
+    val root = s"/tmp/graft-bucketed/$slug/ev_tape2"
+    if (Files.exists(Paths.get(root, "_SUCCESS")))
+      operators.Bucketing.readMetaIfSource(root, slug)
+        .filter(m => m.key.equalsIgnoreCase("user_id") &&
+          m.sortCols.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("user_id", "ts"))
+        .map(_.buckets)
+    else None
+  }
+
+  /** `j5b_asof_two_table` body (r15; closes VERDICT r14 #2). The
+    * TWO-TABLE as-of API over the j5 workload: probes and pre-aggregated
+    * references arrive as SEPARATE tables (the trades⋈quotes shape a
+    * user of [[operators.AsofJoin.leftAsof]] actually has), so unlike
+    * `j5_asof_join` the engine cannot assume one shared scan. The r14
+    * union-and-carry spelling of this measured 16.8 s at x1000 vs DuckDB
+    * native ASOF 4.8 s; the r15 `leftAsof` resolves through the tape
+    * plan (one exchange, one single-key sort, one window — raw x1000
+    * 10.9/13.2 s order-controlled, a wash with union-carry's 9.7/11.0 s
+    * that day), and the CLOSER is the write-once `ev_tape2` layout
+    * ([[operators.AsofJoin.leftAsofLayout]]; probes+refs persisted as
+    * one bucketed (user_id)-hashed, (user_id, ts)-sorted tape): the
+    * query is exchange-free AND sort-free — measured 1.944 s min-of-2
+    * vs same-day DuckDB 4.295 s = 0.45× (layout build 34.5 s one-time,
+    * tools/sweeps/duck_j5b_r15.json). Probe rules as in GATES.md:
+    * the default never writes; `layout = Some(true)` builds for specs
+    * and BuildLayouts.
+    */
+  private[graft] def j5bAsofTwoTable(s: SparkSession, d: String,
+                                     layout: Option[Boolean] = None): DataFrame = {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_id") % 10 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val refs = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("ref_value"),
+        max(col("event_id")).as("ref_event"))
+    val onDisk = probeEvTape2Layout(d)
+    val useLayout = layout.getOrElse(onDisk.isDefined)
+    if (useLayout) {
+      val slug = layoutSlug(d, "events.parquet")
+      operators.AsofJoin.leftAsofLayout(probes, refs, "user_id", "ts",
+        Seq("ref_value", "ref_event"), s"graft_ev_tape2_$slug",
+        s"/tmp/graft-bucketed/$slug/ev_tape2",
+        onDisk.getOrElse(sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt),
+        Some(slug))
+    } else
+      operators.AsofJoin.leftAsof(probes, refs, "user_id", "ts",
+        Seq("ref_value", "ref_event"))
   }
 
   /** `a6_sketch_agg` body, size-adaptive (audit inline). `smallBytes`
@@ -2013,6 +2091,11 @@ object SparkEntry {
     // TAPE spelling, layout-aware — see j5AsofJoin
     "j5_asof_join" -> ((s, d) => j5AsofJoin(s, d)),
 
+    // J5b (r15): the TWO-TABLE as-of API surface — same workload as j5,
+    // probes and refs as separate tables through AsofJoin.leftAsof's tape
+    // plan (layout-aware: ev_tape2) — see j5bAsofTwoTable
+    "j5b_asof_two_table" -> ((s, d) => j5bAsofTwoTable(s, d)),
+
     // A5 (beyond reference): hierarchical ROLLUP with grouping level marker.
     // Two-level formulation: Spark plans rollup as Expand(levels) BEFORE the
     // partial aggregate, so the naive form pushes levels x rows through the
@@ -2263,14 +2346,16 @@ object SparkEntry {
         nlist = Similarity.suggestNlist(Tables.rowCount(s, d, "embeddings")), refineSteps = 1)
     }),
 
-    // IVF cell assignment with unrefined (deterministic first-nlist)
+    // IVF cell assignment with unrefined (deterministic hash-sampled)
     // centroids: the exact-arithmetic kernel inside ann_ivf, isolated so it
     // is oracle-checkable (the k-means refine is float-sum-order dependent
     // and so only recall-tested). Rounded cosine + cid tie-break make the
-    // argmax cross-engine deterministic.
+    // argmax cross-engine deterministic; the md5 seed ordering (r15) is
+    // the same uniform sample ivfTopK/semanticDedup use.
     "ann_ivf_assign" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = emb.orderBy("vec_id").limit(32)
+      val centroids = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(32)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       emb.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("cid"),
@@ -3231,6 +3316,19 @@ object SparkEntry {
         |FROM probes p ASOF LEFT JOIN refs r
         | ON p.user_id = r.user_id AND p.ts >= r.ts""".stripMargin,
 
+    // identical semantics to j5 by construction (refs are pre-aggregated
+    // per (user_id, ts), so the two-table tie-break has nothing to break);
+    // what differs is the ENGINE path under test: leftAsof/leftAsofLayout
+    "j5b_asof_two_table" ->
+      """WITH refs AS (
+        | SELECT user_id, ts, max(value) AS ref_value, max(event_id) AS ref_event
+        | FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
+        |probes AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+        |SELECT p.event_id, p.user_id, p.ts, r.ref_value, r.ref_event
+        |FROM probes p ASOF LEFT JOIN refs r
+        | ON p.user_id = r.user_id AND p.ts >= r.ts""".stripMargin,
+
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
@@ -3421,7 +3519,7 @@ object SparkEntry {
     // within each cell at round(cos,6) >= 0.4
     "dedup_semantic" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |           FROM embeddings ORDER BY vec_id
+        |           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         |           LIMIT (SELECT greatest(32, count(*) // 1024) FROM embeddings)),
         |s AS (SELECT e.vec_id, c.cid,
         |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce) /
@@ -3653,12 +3751,13 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
 
     // Full IVF re-derivation (refineSteps = 0 path of Similarity.ivfTopK):
-    // seed centroids = first 32 vec_ids; corpus/query cell assignment by
-    // rounded-cosine argmax (cid tie-break); nprobe=8 nearest cells per
-    // query; exact rounded re-rank in probed cells.
+    // seed centroids = the nlist md5-ordered ids (the r15 deterministic
+    // uniform sample); corpus/query cell assignment by rounded-cosine
+    // argmax (cid tie-break); nprobe=8 nearest cells per query; exact
+    // rounded re-rank in probed cells.
     "ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |           FROM embeddings ORDER BY vec_id
+        |           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         |           LIMIT (SELECT greatest(32, count(*) // 1024) FROM embeddings)),
         |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |s AS (SELECT e.vec_id, c.cid,
@@ -3696,7 +3795,7 @@ object SparkEntry {
     // VectorAggregators.vecMeanFixed on the Spark side.
     "ann_ivf_refined" ->
       """WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |            FROM embeddings ORDER BY vec_id
+        |            FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         |            LIMIT (SELECT greatest(32, count(*) // 1024) FROM embeddings)),
         |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |s0 AS (SELECT e.vec_id, c.cid,
@@ -3747,7 +3846,7 @@ object SparkEntry {
 
     "ann_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |           FROM embeddings ORDER BY vec_id LIMIT 32),
+        |           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |s AS (SELECT e.vec_id, c.cid,
         |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce) /
         |         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),

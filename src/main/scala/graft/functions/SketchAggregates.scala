@@ -39,8 +39,18 @@ import org.apache.spark.sql.types._
   *
   * Semantics match `percentile_approx(expr, p, accuracy)` evaluated over
   * the expanded multiset (each value repeated `weight` times): NULL values
-  * and NULL/zero weights are skipped, negative weights raise, an empty
-  * aggregate returns NULL. Rank error ≤ `1/accuracy` of `sum(weights)`.
+  * and NULL/zero weights are skipped, negative weights raise (whether or
+  * not the value is NULL), an empty aggregate returns NULL. The weight
+  * must be an INTEGRAL type — a fractional weight has no expanded-multiset
+  * meaning, so the builders reject it at analysis time instead of
+  * silently truncating (r14 ADVICE).
+  *
+  * Rank-error contract: each single summary holds the GK `1/accuracy`
+  * bound, but partial-aggregate MERGES of eps-summaries can accumulate up
+  * to `2/accuracy` of `sum(weights)` — the same practical bound Spark's
+  * own `percentile_approx` carries after shuffle merges. Callers must
+  * size their margins off the POST-MERGE `2/accuracy` figure (a6's 1%
+  * check and `SketchSpec`'s rank-error property both do).
   */
 object WeightedQuantile {
 
@@ -195,21 +205,38 @@ case class WeightedPercentileApprox(
     a
   }
 
-  // strict input types; the Column/SQL builders insert the casts (the
-  // implicit-cast machinery lives behind private[sql] types)
+  // strict input types; the Column/SQL builders cast only the VALUE (a
+  // lossless double widening). The weight is taken as-is and must be an
+  // integral type: a blanket cast(LongType) would silently truncate a
+  // fractional weight (0.9 → 0, row dropped) — rejecting the TYPE here
+  // surfaces the bug at analysis time on both surfaces (r14 ADVICE).
   override def checkInputDataTypes(): TypeCheckResult = {
     if (child.dataType != DoubleType) {
       TypeCheckResult.TypeCheckFailure(
         s"graft_wpercentile_approx: value must be DOUBLE, got " +
           s"${child.dataType.simpleString} — cast explicitly")
-    } else if (weight.dataType != LongType) {
+    } else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(weight.dataType)) {
       TypeCheckResult.TypeCheckFailure(
-        s"graft_wpercentile_approx: weight must be BIGINT, got " +
-          s"${weight.dataType.simpleString} — cast explicitly")
+        s"graft_wpercentile_approx: weight must be an integral type " +
+          s"(TINYINT/SMALLINT/INT/BIGINT), got " +
+          s"${weight.dataType.simpleString} — a fractional weight has no " +
+          "expanded-multiset meaning; cast explicitly if truncation is " +
+          "really intended")
     } else if (!percentageExpression.foldable || !accuracyExpression.foldable) {
       TypeCheckResult.TypeCheckFailure(
         "graft_wpercentile_approx: percentage and accuracy must be literals")
     } else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val weightToLong: Any => Long = weight.dataType match {
+    case LongType => w => w.asInstanceOf[Long]
+    case IntegerType => w => w.asInstanceOf[Int].toLong
+    case ShortType => w => w.asInstanceOf[Short].toLong
+    case ByteType => w => w.asInstanceOf[Byte].toLong
+    case other => throw new IllegalStateException(
+      s"graft_wpercentile_approx: unexpected weight type $other past " +
+        "checkInputDataTypes")
   }
 
   override def createAggregationBuffer(): WeightedQuantile.Digest =
@@ -217,10 +244,16 @@ case class WeightedPercentileApprox(
 
   override def update(buffer: WeightedQuantile.Digest,
                       input: InternalRow): WeightedQuantile.Digest = {
-    val v = child.eval(input)
+    // weight validates BEFORE the null-value short-circuit: the
+    // "negative weights raise" contract must hold for (NULL, -5) rows
+    // too, not only when the value survives (r14 ADVICE)
     val w = weight.eval(input)
-    if (v != null && w != null) {
-      buffer.add(v.asInstanceOf[Double], w.asInstanceOf[Long])
+    if (w != null) {
+      val wl = weightToLong(w)
+      if (wl < 0) throw new IllegalArgumentException(
+        s"graft_wpercentile_approx: negative weight $wl")
+      val v = child.eval(input)
+      if (v != null && wl > 0) buffer.add(v.asInstanceOf[Double], wl)
     }
     buffer
   }
@@ -263,11 +296,13 @@ object SketchFunctions {
 
   /** `percentile_approx` over value–count rows: the approximate quantile of
     * the multiset where `e` occurs `w` times. Same rank-error contract as
-    * `percentile_approx(e, p, accuracy)` on the expanded rows.
+    * `percentile_approx(e, p, accuracy)` on the expanded rows (practical
+    * post-merge bound `2/accuracy`, see [[WeightedQuantile]]). `w` must be
+    * an integral column — no silent truncation of fractional weights.
     */
   def wpercentile_approx(e: Column, w: Column, p: Double, accuracy: Int): Column =
     column(WeightedPercentileApprox(
-      expression(e.cast(DoubleType)), expression(w.cast(LongType)),
+      expression(e.cast(DoubleType)), expression(w),
       org.apache.spark.sql.catalyst.expressions.Literal(p),
       org.apache.spark.sql.catalyst.expressions.Literal(accuracy))
       .toAggregateExpression())

@@ -48,10 +48,43 @@ object Bucketing {
     * key alone for the classic layouts, key + secondary time column for
     * tape layouts ([[graft.operators.AsofJoin.leftAsofTape]] consumers).
     * Pre-r14 sidecars carry no sort field and mean "sorted by the key".
+    *
+    * `source` (r15): fingerprint of the INPUT data the layout was built
+    * from ([[sourceFingerprint]] of the source tables — names + lengths +
+    * mtimes). This is the sidecar-level staleness defense: the layout
+    * PATHS in this engine already embed the same fingerprint (a
+    * regenerated fixture changes the slug, so the stale dir is simply
+    * never probed again), but a layout dir that was copied, renamed, or
+    * hand-built at the "right" path would still be trusted on path
+    * evidence alone. With `source` recorded, every trust point
+    * re-derives the fingerprint from the CURRENT fixture and rejects a
+    * mismatch: probes fall back to the exchange plan
+    * ([[readMetaIfSource]]), [[registerExternal]] fails fast. Pre-r15
+    * sidecars carry no source and are accepted (the path slug is their
+    * only — and so far sufficient — guard).
     */
   final case class BucketMeta(buckets: Int, key: String,
-                              sort: Seq[String] = Nil) {
+                              sort: Seq[String] = Nil,
+                              source: Option[String] = None) {
     def sortCols: Seq[String] = if (sort.isEmpty) Seq(key) else sort
+  }
+
+  /** Content fingerprint of the data a layout is derived from: file names
+    * + lengths + mtimes of `tables` under `dir`, folded to a short hex
+    * slug. Cheap (pure metadata walk, no reads), and any regeneration of
+    * the data changes it (rewritten files get new mtimes even when sizes
+    * collide). Used both as the layout PATH component (a stale dir is
+    * abandoned, never probed) and as the sidecar `source` field (a dir
+    * that somehow reappears at a current path is still rejected).
+    */
+  def sourceFingerprint(dir: String, tables: String*): String = {
+    def stat(p: java.io.File): Seq[String] =
+      if (p.isDirectory) p.listFiles.sortBy(_.getName).toSeq.flatMap(stat)
+      else Seq(s"${p.getName}:${p.length}:${p.lastModified}")
+    val sig = (dir +: tables.flatMap(t => stat(new java.io.File(dir, t))))
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
 
   /** Persist `df` as a bucketed+sorted MANAGED table (overwrite) in the
@@ -75,7 +108,8 @@ object Bucketing {
     */
   def writeBucketedExternal(df: DataFrame, table: String, key: String,
                             buckets: Int, location: String,
-                            sortCols: Seq[String] = Nil): Unit = {
+                            sortCols: Seq[String] = Nil,
+                            source: Option[String] = None): Unit = {
     val sort = if (sortCols.isEmpty) Seq(key) else sortCols
     require(sort.head == key,
       s"bucketed layout sort order must lead with the bucket key '$key' " +
@@ -86,7 +120,7 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(sort.head, sort.tail: _*)
       .option("path", location)
       .format("parquet").saveAsTable(table)
-    writeMeta(location, key, buckets, sort)
+    writeMeta(location, key, buckets, sort, source)
   }
 
   /** Where a managed table's files land: `<warehouse.dir>/<table>` in the
@@ -99,31 +133,39 @@ object Bucketing {
   }
 
   private def writeMeta(location: String, key: String, buckets: Int,
-                        sort: Seq[String] = Nil): Unit = {
+                        sort: Seq[String] = Nil,
+                        source: Option[String] = None): Unit = {
     val sortJson =
       if (sort.isEmpty || sort == Seq(key)) ""
       else s""","sort":[${sort.map("\"" + _ + "\"").mkString(",")}]"""
+    val srcJson = source.map(s => s""","source":"$s"""").getOrElse("")
     Files.write(Paths.get(location, MetaFile),
-      s"""{"buckets":$buckets,"key":"$key"$sortJson}"""
+      s"""{"buckets":$buckets,"key":"$key"$sortJson$srcJson}"""
         .getBytes(StandardCharsets.UTF_8))
   }
 
-  private val MetaRe =
-    """\{\s*"buckets"\s*:\s*(\d+)\s*,\s*"key"\s*:\s*"([^"]+)"\s*\}""".r
-  private val MetaSortRe =
-    ("""\{\s*"buckets"\s*:\s*(\d+)\s*,\s*"key"\s*:\s*"([^"]+)"\s*,""" +
-      """\s*"sort"\s*:\s*\[([^\]]*)\]\s*\}""").r
+  // per-field extraction (field order in the sidecar is not a contract;
+  // r14 sidecars end after key/sort, r15 adds source)
+  private val BucketsRe = """"buckets"\s*:\s*(\d+)""".r
+  private val KeyRe = """"key"\s*:\s*"([^"]+)"""".r
+  private val SortRe = """"sort"\s*:\s*\[([^\]]*)\]""".r
+  private val SourceRe = """"source"\s*:\s*"([^"]+)"""".r
 
   def readMeta(location: String): Option[BucketMeta] = {
     val p = Paths.get(location, MetaFile)
     if (!Files.exists(p)) None
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim match {
-      case MetaRe(n, k) => Some(BucketMeta(n.toInt, k))
-      case MetaSortRe(n, k, s) => Some(BucketMeta(n.toInt, k,
-        s.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq))
-      case other => sys.error(
-        s"unparseable $MetaFile at $location: ${other.take(200)}")
+    else {
+      val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+      val parsed = for {
+        n <- BucketsRe.findFirstMatchIn(raw).map(_.group(1).toInt)
+        k <- KeyRe.findFirstMatchIn(raw).map(_.group(1))
+      } yield BucketMeta(n, k,
+        SortRe.findFirstMatchIn(raw).map(_.group(1).split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        SourceRe.findFirstMatchIn(raw).map(_.group(1)))
+      parsed.orElse(sys.error(
+        s"unparseable $MetaFile at $location: ${raw.take(200)}"))
     }
   }
 
@@ -136,6 +178,17 @@ object Bucketing {
     */
   def readMetaOpt(location: String): Option[BucketMeta] =
     scala.util.Try(readMeta(location)).toOption.flatten
+
+  /** [[readMetaOpt]] PLUS the source-staleness check, for probes: None
+    * when the sidecar is missing/corrupt OR when it records a `source`
+    * fingerprint that disagrees with `currentSource` (the fingerprint of
+    * the fixture the query is about to run against) — the layout was
+    * built from DIFFERENT data, so trusting it would serve stale rows.
+    * Sidecars without a source field (pre-r15) pass: their paths embed
+    * the same fingerprint, which is the defense they were built under.
+    */
+  def readMetaIfSource(location: String, currentSource: String): Option[BucketMeta] =
+    readMetaOpt(location).filter(_.source.forall(_ == currentSource))
 
   /** The distinct bucket ids present in the part-file names at `location`
     * (Spark encodes the id as the `_NNNNN` suffix before the codec
@@ -164,7 +217,8 @@ object Bucketing {
     */
   def registerExternal(spark: SparkSession, table: String, location: String,
                        keyFallback: Option[String] = None,
-                       expect: Option[Int] = None): Unit = {
+                       expect: Option[Int] = None,
+                       expectSource: Option[String] = None): Unit = {
     require(Files.exists(Paths.get(location, "_SUCCESS")),
       s"no completed bucketed layout at $location (missing _SUCCESS)")
     val ids = bucketIdsOnDisk(location)
@@ -191,6 +245,16 @@ object Bucketing {
     meta.foreach(m => keyFallback.foreach(k => require(
       k.equalsIgnoreCase(m.key),
       s"caller expects bucket key '$k' but sidecar says '${m.key}'")))
+    // staleness fail-fast at the TRUST point: when both the caller and
+    // the sidecar know the source fingerprint, they must agree — a
+    // mismatch means the layout was built from different data than the
+    // fixture about to be queried, and registering it would serve rows
+    // from the OLD corpus with no error
+    for (m <- meta; ms <- m.source; es <- expectSource) require(ms == es,
+      s"stale bucketed layout at $location: sidecar source fingerprint " +
+        s"'$ms' != current fixture fingerprint '$es' — the layout was " +
+        "built from a different generation of the data. Rebuild it " +
+        "(BuildLayouts) or delete the dir.")
     val sortCols = meta.map(_.sortCols).getOrElse(Seq(key))
     val schema = spark.read.parquet(location).schema.toDDL
     spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
@@ -207,14 +271,16 @@ object Bucketing {
     * zero exchanges (BucketedJoinSpec).
     */
   def ensureBucketed(spark: SparkSession, table: String, location: String,
-                     key: String, buckets: Int, sortCols: Seq[String] = Nil)
+                     key: String, buckets: Int, sortCols: Seq[String] = Nil,
+                     source: Option[String] = None)
                     (input: => DataFrame): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
       if (Files.exists(Paths.get(location, "_SUCCESS")))
-        registerExternal(spark, table, location, Some(key), Some(buckets))
+        registerExternal(spark, table, location, Some(key), Some(buckets),
+          expectSource = source)
       else
         writeBucketedExternal(input.repartition(buckets, col(key)),
-          table, key, buckets, location, sortCols)
+          table, key, buckets, location, sortCols, source)
     }
     spark.table(table)
   }

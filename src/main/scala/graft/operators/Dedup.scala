@@ -977,8 +977,14 @@ object Dedup {
   def semanticDedup(emb: DataFrame, threshold: Double, nlist: Int = 32,
                     maxCellRows: Long = DefaultMaxCellRows): DataFrame = {
     require(maxCellRows > 0, "semanticDedup: maxCellRows must be positive")
-    // bounded driver collect: nlist centroid rows, same contract as ivfTopK
-    val cents = emb.orderBy("vec_id").limit(nlist)
+    // bounded driver collect: nlist centroid rows, same contract as
+    // ivfTopK — including the r15 hash-ordered seed (md5 of the id):
+    // id-ordered seeds collapse onto one true cluster when ids correlate
+    // with cluster membership, and this operator's maxCellRows fail-fast
+    // is exactly where that pathology would land. Oracle mirrors the md5
+    // ordering verbatim.
+    val cents = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nlist)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
     val assigned = emb.select(col("vec_id"), col("embedding"),

@@ -407,42 +407,47 @@ object Similarity {
     */
   def invalidateCentroids(): Unit = centroidCache.clear()
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
-              nprobe: Int = 8, refineSteps: Int = 1,
-              maxQueries: Int = 100000): DataFrame = {
-    // the maxQueries guard is per-CALL (the query side changes between
-    // calls even when the index is cached): a bounded id-only count job —
-    // query EMBEDDINGS never travel to the driver
-    require(queries.select(col("vec_id")).limit(maxQueries + 1).count() <= maxQueries,
-      s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
-        "side is broadcast by design (queries are assumed broadcast-small); " +
-        "raise maxQueries deliberately or pre-shard the query set and " +
-        "union the results")
+  /** IVF index build: the `nlist` centroids for `corpus`, memoized per
+    * (session, canonicalized corpus plan, nlist, refineSteps) — see the
+    * cache notes above. Exposed as its own entry point so an index can be
+    * built (and its cell balance audited — CellBalanceSpec) separately
+    * from querying.
+    *
+    * Seed (r15, VERDICT r14 #4): a deterministic HASH-ORDERED sample —
+    * order by md5 of the id, not by the id itself. First-nlist-by-vec_id
+    * seeds are pathological on clustered corpora whose ids correlate with
+    * cluster membership (ingest order usually does): every seed lands in
+    * one true cluster, Lloyd refinement starts from a degenerate basin,
+    * and downstream cell-size guards fire. md5 ordering is a uniform
+    * sample of the corpus, exactly reproducible in the DuckDB oracle
+    * (`md5(CAST(vec_id AS VARCHAR))` — both engines emit lowercase hex
+    * over the decimal rendering, and ASCII ordering agrees).
+    *
+    * Refinement: `refineSteps` Lloyd rounds, each ONE narrow assignment
+    * pass through the scoring kernel (IvfKernel.cos6 argmax, ties to the
+    * smallest cid — the same ranking as the final assignment and the
+    * oracle) feeding a partial-aggregating shuffle of ≤ nlist rows; means
+    * in fixed-point integer arithmetic
+    * ([[graft.functions.VectorAggregators.vecMeanFixed]]) —
+    * order-independent, so a refined index is exactly reproducible across
+    * runs AND engines. Cells that lose all members drop out (nlist may
+    * shrink). The centroid matrix is later held inside the two native
+    * expressions as one reference object each, so plan size stays O(1)
+    * in nlist.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+                   refineSteps: Int): Array[(Long, Seq[Float])] = {
     val cacheKey = (corpus.sparkSession,
       corpus.queryExecution.analyzed.canonicalized,
       s"$nlist/$refineSteps")
     centroidCache.keySet.removeIf { case (ss, _, _) => ss.sparkContext.isStopped }
-    val cents = centroidCache.computeIfAbsent(cacheKey, { _ =>
-      // nlist seed rows materialized on the driver in one TakeOrdered
-      // action; the centroid matrix is then held inside the two native
-      // expressions as one reference object each, so cell assignment and
-      // probe ranking are narrow per-row projections (argmax / top-nprobe
-      // over nlist codegen'd cosines) with no crossJoin+groupBy shuffle
-      // of |corpus| rows anywhere.
-      var cs: Array[(Long, Seq[Float])] = corpus.orderBy("vec_id").limit(nlist)
+    centroidCache.computeIfAbsent(cacheKey, { _ =>
+      var cs: Array[(Long, Seq[Float])] = corpus
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nlist)
         .select(col("vec_id").as("id"), col("embedding").as("e"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
         .sortBy(_._1)
-      // k-means refinement: assignment through THE scoring kernel
-      // (IvfKernel.cos6 argmax, ties to the smallest cid — the same
-      // ranking as the final assignment and the oracle), means in
-      // fixed-point integer arithmetic
-      // ([[graft.functions.VectorAggregators.vecMeanFixed]]) —
-      // order-independent, so a refined index is exactly reproducible
-      // across runs AND engines. Each step is one narrow assignment pass
-      // with a partial-aggregating shuffle of ≤ nlist rows plus one tiny
-      // collect; cells that lose all members drop out (nlist may shrink).
       for (_ <- 1 to refineSteps) {
         val refined = corpus.select(
             graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
@@ -455,7 +460,20 @@ object Similarity {
       }
       cs
     })
+  }
 
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
+              nprobe: Int = 8, refineSteps: Int = 1,
+              maxQueries: Int = 100000): DataFrame = {
+    // the maxQueries guard is per-CALL (the query side changes between
+    // calls even when the index is cached): a bounded id-only count job —
+    // query EMBEDDINGS never travel to the driver
+    require(queries.select(col("vec_id")).limit(maxQueries + 1).count() <= maxQueries,
+      s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
+        "side is broadcast by design (queries are assumed broadcast-small); " +
+        "raise maxQueries deliberately or pre-shard the query set and " +
+        "union the results")
+    val cents = ivfCentroids(corpus, nlist, refineSteps)
     // every ordering below ranks on the cosine rounded to 6 decimals with a
     // deterministic tie-break (same convention as [[bruteForceTopK]] /
     // [[lshTopK]]): the whole operator — refined or not — is exactly

@@ -202,9 +202,12 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     ("graft_wpercentile_approx", "(value, weight, percentage, accuracy)", 4,
       { args: Seq[Expression] =>
         import org.apache.spark.sql.catalyst.expressions.Cast
-        import org.apache.spark.sql.types.{DoubleType, LongType}
+        import org.apache.spark.sql.types.DoubleType
+        // only the VALUE is cast (lossless widening); the weight stays
+        // raw so checkInputDataTypes can reject fractional types instead
+        // of a blanket Cast silently truncating 0.9 → 0 (r14 ADVICE)
         WeightedPercentileApprox(Cast(args.head, DoubleType),
-          Cast(args(1), LongType), args(2), args(3))
+          args(1), args(2), args(3))
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -22,9 +22,10 @@ object BuildLayouts {
         // forced construction runs the write when the layout is missing
         case "gold_wr" => SparkEntry.chessScaleWinrate(spark, d, Some(true))
         case "ev_uts" => SparkEntry.j5AsofJoin(spark, d, Some(true))
+        case "ev_tape2" => SparkEntry.j5bAsofTwoTable(spark, d, Some(true))
         case "q18" => SparkEntry.q18LargeOrders(spark, d, Some(true))
         case "j4" => SparkEntry.layoutBucketedJoin(spark, d)
-        case other => sys.error(s"unknown layout '$other' (gold_wr|ev_uts|q18|j4)")
+        case other => sys.error(s"unknown layout '$other' (gold_wr|ev_uts|ev_tape2|q18|j4)")
       }
       println(f"BUILD $name%-10s ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }

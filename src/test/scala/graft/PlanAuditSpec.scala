@@ -599,10 +599,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     // negative lookbehind: the weighted kernel's own name contains the
     // substring "percentile_approx(" — assert no UNWEIGHTED raw-row pass
     "(?<!graft_w)percentile_approx\\(l_extendedprice".r.findAllIn(p).toSeq shouldBe empty
-    // the small path keeps the raw-row sketch (the vc spelling LOSES at
-    // sf0.1 — 97% distinct prices; A6Lab both orders)
+    // the small path keeps the raw-row UNWEIGHTED sketch (the vc spelling
+    // LOSES at sf0.1 — 97% distinct prices; A6Lab both orders). Same
+    // lookbehind as above: a bare include("percentile_approx") is also
+    // satisfied by the weighted kernel's substring, so a regression that
+    // switched the small path to the losing weighted spelling would slip
+    // through (r14 ADVICE)
     val small = SparkEntry.a6SketchAgg(spark, sf0001, smallBytes = Long.MaxValue)
       .queryExecution.executedPlan.toString
-    small should include("percentile_approx")
+    "(?<!graft_w)percentile_approx\\(".r.findAllIn(small).toSeq should not be empty
   }
 }

@@ -343,6 +343,21 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkFixture {
     "\\+- Sort ".r.findAllIn(p).length shouldBe 0
   }
 
+  test("j5b_asof_two_table: forced tape layout agrees with the direct two-table plan, exchange- and sort-free") {
+    val viaLayout = SparkEntry.j5bAsofTwoTable(spark, sf0001, layout = Some(true))
+    val direct = SparkEntry.j5bAsofTwoTable(spark, sf0001, layout = Some(false))
+    viaLayout.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(viaLayout).count() shouldBe 0L
+    // and both agree with j5 (identical semantics, different engine path)
+    val j5 = SparkEntry.j5AsofJoin(spark, sf0001, layout = Some(false))
+    direct.exceptAll(j5).count() shouldBe 0L
+    j5.exceptAll(direct).count() shouldBe 0L
+    val p = viaLayout.queryExecution.executedPlan.toString
+    p should include("ev_tape2")
+    p should not include "Exchange hashpartitioning"
+    "\\+- Sort ".r.findAllIn(p).length shouldBe 0
+  }
+
   test("chess_scale_winrate: engine dim and oracle VALUES both derive from Dims.resultSeed") {
     val seed = graft.chess.Dims.resultSeed
     // ASCII-lowercase-alphanumeric code contract: JVM UTF-16 ordering and

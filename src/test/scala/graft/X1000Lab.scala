@@ -131,7 +131,21 @@ object X1000Lab {
         Tables.events(spark, d).select(col("event_id"), col("props"))
           .join(broadcast(dict), col("props") === col("__p"))
           .select(col("event_id"), col("k"), col("tag"), col("missing"))
-      }))
+      }),
+      // ---- r15: two-table as-of (VERDICT r14 #2) — old union-and-carry
+      // vs the tape-dispatch leftAsof, both WITHOUT a layout
+      "asof2_old" -> (() => {
+        val ev = Tables.events(spark, d)
+        val probes = ev.filter(col("event_id") % 10 =!= 0)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val refs = ev.filter(col("event_id") % 10 === 0)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("ref_value"),
+            max(col("event_id")).as("ref_event"))
+        graft.operators.AsofJoin.leftAsofUnionCarry(
+          probes, refs, "user_id", "ts", Seq("ref_value", "ref_event"))
+      }),
+      "asof2_new" -> (() => SparkEntry.j5bAsofTwoTable(spark, d, Some(false))))
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     for (name <- args) {

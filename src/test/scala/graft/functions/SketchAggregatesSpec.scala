@@ -88,6 +88,38 @@ class SketchAggregatesSpec extends AnyFunSuite with Matchers with SparkFixture {
     assert(messages(e).exists(_.contains("negative weight")))
   }
 
+  test("negative weight raises even when the value is NULL (r14 ADVICE)") {
+    val e = intercept[Exception] {
+      Seq((Option.empty[Double], -5L)).toDF("v", "w")
+        .agg(wpercentile_approx($"v", $"w", 0.5, 1000)).head
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("negative weight")))
+  }
+
+  test("fractional weight types are rejected at analysis time, never truncated (r14 ADVICE)") {
+    // pre-fix, cast(LongType) turned weight 0.9 into 0 and silently
+    // DROPPED the row on both the Column API and the SQL surface
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val colApi = intercept[Exception] {
+      Seq((1.0, 0.9)).toDF("v", "w")
+        .agg(wpercentile_approx($"v", $"w", 0.5, 1000)).head
+    }
+    assert(messages(colApi).exists(_.contains("integral")))
+    Seq((1.0, 0.9)).toDF("v", "w").createOrReplaceTempView("wfrac_spec")
+    val sqlApi = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_wpercentile_approx(v, w, 0.5, 1000) FROM wfrac_spec").head
+    }
+    assert(messages(sqlApi).exists(_.contains("integral")))
+    // an EXPLICIT integral cast keeps working (documented escape hatch)
+    Seq((1.0, 2.0)).toDF("v", "w")
+      .agg(wpercentile_approx($"v", $"w".cast("long"), 0.5, 1000))
+      .head.getDouble(0) shouldBe 1.0
+  }
+
   test("SQL surface: graft_wpercentile_approx over a value-count pre-aggregate") {
     graft.Tables.lineitem(spark, sf0001).createOrReplaceTempView("li_sketch_spec")
     val row = spark.sql(

@@ -147,4 +147,64 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     // the answer; the 09:00 value must NOT leak through
     out shouldBe Map(1L -> None, 11L -> None)
   }
+
+  test("leftAsof (tape plan) is row-identical to the union-and-carry reference, raw duplicate refs included") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf0001)
+    val probes = ev.filter($"event_id" % 10 =!= 0)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    // raw refs plus an injected same-(key,ts) duplicate with a different
+    // value: both spellings must resolve the tie to the SAME row
+    val refs0 = ev.filter($"event_id" % 10 === 0)
+      .select($"user_id", $"ts", $"value".as("ref_value"),
+        $"event_id".as("ref_event"))
+    val refs = refs0.unionAll(
+      refs0.withColumn("ref_value", $"ref_value" * 2)
+        .withColumn("ref_event", $"ref_event" + 1000000L))
+    val neu = AsofJoin.leftAsof(probes, refs, "user_id", "ts",
+      Seq("ref_value", "ref_event"))
+    val old = AsofJoin.leftAsofUnionCarry(probes, refs, "user_id", "ts",
+      Seq("ref_value", "ref_event"))
+    neu.exceptAll(old).count() shouldBe 0L
+    old.exceptAll(neu).count() shouldBe 0L
+    // and the tape plan keeps the scale contract the rewrite is for:
+    // one exchange, one sort — the old spelling's padded-union shuffle
+    // carries the same counts but sorts on (ts, side, tb); the tape plan
+    // sorts the single time column
+    val p = neu.queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    "\\+- Sort ".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("leftAsofLayout answers from the persisted tape: zero exchanges, zero sorts, same rows") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf0001)
+    val probes = ev.filter($"event_id" % 10 =!= 0)
+      .select($"event_id", $"user_id", $"ts")
+    val refs = ev.filter($"event_id" % 10 === 0)
+      .select($"user_id", $"ts", $"value".as("ref_value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-layout")
+    val loc = dir.resolve("tape2").toString
+    spark.sql("DROP TABLE IF EXISTS asof_tape2_spec")
+    try {
+      val out = AsofJoin.leftAsofLayout(probes, refs, "user_id", "ts",
+        Seq("ref_value"), "asof_tape2_spec", loc, 4)
+      val plain = AsofJoin.leftAsof(probes, refs, "user_id", "ts",
+        Seq("ref_value"))
+      out.exceptAll(plain).count() shouldBe 0L
+      plain.exceptAll(out).count() shouldBe 0L
+      // the write-once contract: the bucketed sorted tape satisfies both
+      // the window's distribution AND its ordering — nothing to exchange,
+      // nothing to sort
+      val p = out.queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+      "\\+- Sort ".r.findAllIn(p).length shouldBe 0
+      // second call must reuse the layout, never rebuild the inputs
+      spark.sql("DROP TABLE asof_tape2_spec")
+      val again = AsofJoin.leftAsofLayout(
+        probes, refs, "user_id", "ts", Seq("ref_value"),
+        "asof_tape2_spec", loc, 4)
+      again.count() shouldBe plain.count()
+    } finally spark.sql("DROP TABLE IF EXISTS asof_tape2_spec")
+  }
 }

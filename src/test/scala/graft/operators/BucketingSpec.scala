@@ -148,4 +148,100 @@ class BucketingSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
     spark.sql("DROP TABLE IF EXISTS ord_ensure")
   }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => F}
+    F.createDirectories(to)
+    F.list(from).forEach { p =>
+      val t = to.resolve(p.getFileName)
+      if (F.isDirectory(p)) copyTree(p, t) else F.copy(p, t)
+    }
+  }
+
+  test("a stale layout can never serve old rows: slug layer, sidecar source layer, trust fail-fast") {
+    import java.nio.file.{Files => F, Paths => P}
+    val fixture = F.createTempDirectory("graft-fp-fixture").toString
+    val srcEvents = spark.read.parquet(s"$sf0001/events.parquet")
+    srcEvents.write.mode("overwrite").parquet(s"$fixture/events.parquet")
+
+    // no layout yet → probe misses
+    graft.SparkEntry.probeEvUtsLayout(fixture) shouldBe None
+    // forced path builds the ev_uts layout; probe now routes to it
+    val staleRows = graft.SparkEntry.j5AsofJoin(spark, fixture, Some(true)).count()
+    graft.SparkEntry.probeEvUtsLayout(fixture) should not be None
+    val slugA = graft.SparkEntry.layoutSlug(fixture, "events.parquet")
+    Bucketing.readMeta(s"/tmp/graft-bucketed/$slugA/ev_uts")
+      .flatMap(_.source) shouldBe Some(slugA)
+
+    // REGENERATE the fixture (half the events): the content fingerprint
+    // moves, so the old layout's path is simply never probed again
+    srcEvents.filter($"event_id" % 2 === 0)
+      .write.mode("overwrite").parquet(s"$fixture/events.parquet")
+    graft.Tables.invalidate(Some(fixture)) // REFRESH after regen (TESTDATA.md contract)
+    val slugB = graft.SparkEntry.layoutSlug(fixture, "events.parquet")
+    slugB should not be slugA
+    graft.SparkEntry.probeEvUtsLayout(fixture) shouldBe None
+
+    // adversarial second layer: the STALE layout dir reappears at the
+    // CURRENT slug path (copied/renamed/restored-from-backup). Path
+    // evidence alone would trust it — the sidecar source fingerprint
+    // (slugA, recorded at write time) disagrees with the fixture's
+    // current fingerprint (slugB), so the probe must reject it and the
+    // shipped query must compute from the FRESH fixture.
+    val stalePath = P.get(s"/tmp/graft-bucketed/$slugB/ev_uts")
+    copyTree(P.get(s"/tmp/graft-bucketed/$slugA/ev_uts"), stalePath)
+    try {
+      graft.SparkEntry.probeEvUtsLayout(fixture) shouldBe None
+      val routed = graft.SparkEntry.j5AsofJoin(spark, fixture)
+      val fresh = graft.SparkEntry.j5AsofJoin(spark, fixture, Some(false))
+      routed.exceptAll(fresh).count() shouldBe 0L
+      fresh.exceptAll(routed).count() shouldBe 0L
+      routed.count() should be < staleRows // stale rows would double-count
+      // and a caller about to TRUST the stale dir fails fast, loudly
+      spark.sql("DROP TABLE IF EXISTS ev_stale_reg")
+      val ex = intercept[IllegalArgumentException] {
+        Bucketing.registerExternal(spark, "ev_stale_reg", stalePath.toString,
+          expectSource = Some(slugB))
+      }
+      ex.getMessage should include("stale bucketed layout")
+      spark.catalog.tableExists("ev_stale_reg") shouldBe false
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft_ev_uts_$slugA")
+      Seq(slugA, slugB).foreach { s =>
+        val root = P.get(s"/tmp/graft-bucketed/$s")
+        if (F.exists(root))
+          F.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => F.delete(p))
+      }
+    }
+  }
+
+  test("gold_wr source-fp file gates the chess_scale_winrate layout the same way") {
+    import java.nio.file.{Files => F, Paths => P}
+    val fixture = F.createTempDirectory("graft-fp-gold").toString
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .write.mode("overwrite").parquet(s"$fixture/orders.parquet")
+    val slug = graft.SparkEntry.layoutSlug(fixture, "orders.parquet")
+    try {
+      val built = graft.SparkEntry.chessScaleWinrate(spark, fixture, Some(true))
+      built.count() should be > 0L
+      val fp = P.get(s"/tmp/graft-bucketed/$slug/gold_wr/_graft_source_fp")
+      new String(F.readAllBytes(fp), "UTF-8") shouldBe slug
+      // routed plan consumes the layout while the fp matches …
+      graft.SparkEntry.chessScaleWinrate(spark, fixture)
+        .queryExecution.executedPlan.toString should include("gold_wr")
+      // … and abandons it the moment the fp names another generation
+      F.write(fp, "deadbeefdead".getBytes("UTF-8"))
+      val rerouted = graft.SparkEntry.chessScaleWinrate(spark, fixture)
+      rerouted.queryExecution.executedPlan.toString should not include "gold_wr"
+      val raw = graft.SparkEntry.chessScaleWinrate(spark, fixture, Some(false))
+      rerouted.exceptAll(raw).count() shouldBe 0L
+      raw.exceptAll(rerouted).count() shouldBe 0L
+    } finally {
+      val root = P.get(s"/tmp/graft-bucketed/$slug")
+      if (F.exists(root))
+        F.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => F.delete(p))
+    }
+  }
 }

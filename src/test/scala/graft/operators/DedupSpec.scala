@@ -322,10 +322,16 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     got.length shouldBe emb.count() // one verdict per vector, none lost
 
     // brute force: assign by argmax round(cos,6) (ties → smallest cid),
-    // drop iff a lower-id same-cell vector is ≥ threshold
+    // drop iff a lower-id same-cell vector is ≥ threshold. Centroids are
+    // re-derived with the SAME r15 hash-ordered sample the operator (and
+    // the DuckDB oracle) uses: first 8 ids by md5 of the decimal id
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
       .collect().sortBy(_._1)
-    val cents = vecs.take(8)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cents = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(8).sortBy(_._1)
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
       val d = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *

@@ -19,6 +19,14 @@ tool makes them structural:
   3. Writes BENCH_ORACLE.json ATOMICALLY (tmp + rename in the target dir)
      and keeps every raw Bench full-map under --raw-dir with a timestamp,
      so a crashed sweep can never leave a half-written governing file.
+  4. MEDIAN-OF-DAY rule (r15, VERDICT r14 #6): the file of record is not
+     this capture but the median-ratio capture among ALL of today's
+     archived captures (upper median on even counts -- the conservative
+     side). COVERAGE.md documents +-0.22 single-capture scatter on
+     identical code; installing the median mechanically removes any
+     pick-your-capture degree of freedom. Every capture still archives
+     under --raw-dir; the governing file just stops being "whichever ran
+     last".
 
 Usage (from /root/repo):
   python3 tools/pair_sweep.py                       # full sweep, 2 bench runs
@@ -154,10 +162,43 @@ def main():
     archive = os.path.join(args.raw_dir, f"bench_oracle_{stamp}.json")
     with open(archive, "w") as f:
         json.dump(merged, f, indent=1)
-    os.replace(tmp_out, args.out)  # atomic within the same filesystem
-    print(f"[pair_sweep] wrote {args.out} "
-          f"(overall_ratio={merged.get('overall_ratio')}; capture archived "
-          f"at {archive})")
+    os.remove(tmp_out)
+    print(f"[pair_sweep] capture archived at {archive} "
+          f"(overall_ratio={merged.get('overall_ratio')})")
+
+    # MEDIAN-OF-DAY: collect today's archived captures, install the one
+    # with the median overall_ratio as the file of record. Upper median on
+    # even counts (sorted[n//2]) -- ties break toward the WORSE ratio, so
+    # the rule can never flatter the engine.
+    day = stamp.split("T")[0]
+    captures = []
+    for fn in sorted(os.listdir(args.raw_dir)):
+        if fn.startswith(f"bench_oracle_{day}T") and fn.endswith(".json"):
+            path = os.path.join(args.raw_dir, fn)
+            try:
+                ratio = json.load(open(path)).get("overall_ratio")
+            except (OSError, json.JSONDecodeError):
+                continue
+            if ratio is not None:
+                captures.append((ratio, path))
+    captures.sort()
+    ratio, chosen = captures[len(captures) // 2]
+    record = json.load(open(chosen))
+    record["file_of_record"] = {
+        "rule": "median-of-day (upper median on even counts)",
+        "chosen_capture": os.path.basename(chosen),
+        "day_captures": [
+            {"capture": os.path.basename(p), "overall_ratio": r}
+            for r, p in captures],
+    }
+    tmp_med = os.path.join(os.path.dirname(os.path.abspath(args.out)),
+                           f".pair_median_{stamp}.tmp")
+    with open(tmp_med, "w") as f:
+        json.dump(record, f, indent=1)
+    os.replace(tmp_med, args.out)  # atomic within the same filesystem
+    print(f"[pair_sweep] wrote {args.out} = MEDIAN of {len(captures)} "
+          f"same-day capture(s): {os.path.basename(chosen)} "
+          f"(overall_ratio={ratio})")
 
 
 if __name__ == "__main__":
