@@ -414,39 +414,45 @@ object Dedup {
     // each posting row carries its doc's set size alongside the shingle
     // hash (+8 bytes/row): the candidate aggregation below then has both
     // |A| and |B| in hand — no sizes side-table, no second corpus scan.
-    // Hash-partition on h31 once: the df-cut count, the broadcast
-    // anti-join and both self-join sides are all satisfied by the same
-    // exchange (ReuseExchange collapses them).
     val postingRaw = arr.select(col("doc_id"), size(col("hs")).as("__n"),
       explode(col("hs")).as("h31"))
-    // stats-derived partition count (AUDIT r8, x1000): at 32 partitions
-    // the 250M-row posting table's per-partition shuffle-hash build needs
-    // ~400 MB and the stage dies ("Can't acquire ... to build hash
-    // relation" — non-spillable); [[AdaptiveGate.postingPartitions]]
-    // sizes the exchange so every hinted build stays ~20 MB. All nine
-    // pairStats-backed queries ran at x1000 only after this.
+    // stats-derived partition count (AUDIT r8, x1000): at 32 partitions a
+    // 250M-row posting table concentrates ~400 MB of per-task join state;
+    // [[AdaptiveGate.postingPartitions]] sizes the exchange so per-task
+    // state stays ~20 MB. All nine pairStats-backed queries ran at x1000
+    // only after this.
     val posting = postingRaw
       .repartition(AdaptiveGate.postingPartitions(postingRaw), col("h31"))
-    // df-cut CO-LOCATED with the posting exchange: every posting of a
-    // shingle lives in one h31 partition, so the over-cap count aggregates
-    // with no further exchange and the anti-join runs in the same stage —
-    // no broadcast round-trip through the driver (the generic
-    // [[dropOverCapKeys]] broadcasts because it cannot assume its input's
-    // partitioning; here the exchange is already paid)
-    val hot = posting.groupBy(col("h31")).agg(count(lit(1)).as("__hn"))
-      .filter(col("__hn") > maxPostings)
-      .select(col("h31"))
-    val pruned = AdaptiveGate.hashHinted(posting)
-      .join(AdaptiveGate.hashHinted(hot), Seq("h31"), "left_anti")
-    // candidate generation stays a hash self-join here (unlike the LSH
-    // band path's list-gather): shingle posting lists are overwhelmingly
-    // singletons, so a collect_list pass aggregates ~|postings| tiny lists
-    // for nothing — measured slower than joining the two pruned sides.
-    // SHUFFLE_HASH pins the strategy: left alone, AQE broadcast-converts
-    // one side, the two sides' query stages stop being identical, and
-    // ReuseExchange no longer collapses them — the whole posting subtree
-    // (scan, hash, explode, df-cut) would execute twice
-    AdaptiveGate.hashHinted(pruned.as("a")).join(AdaptiveGate.hashHinted(pruned.as("b")),
+    // df-cut as a COUNT WINDOW over the posting exchange (r15). The r8-r14
+    // shape derived a `hot` over-cap key table from the same exchange and
+    // anti-joined it back, EXPECTING ReuseExchange to serve the df-cut and
+    // both self-join sides from one shuffle — the executed plan shows that
+    // reuse NEVER fires (PairLab r15: 4 independent posting exchanges, 0
+    // reuse markers, hinted or not, cached or not — AQE never collapses
+    // the canonically-equal stages), so the corpus postings were exploded,
+    // shuffled and re-read FOUR times per stats build. The window needs
+    // exactly the hashpartitioning(h31) the exchange already provides
+    // (zero new exchanges), its sorter spills (per-task bound unchanged),
+    // and the over-cap filter drops the same keys the anti-join did.
+    // Measured x100 docs, min-of-2 both orders: 10.88 s (shipped) ->
+    // 5.75 s; executed plan 4 posting exchanges -> 2 (the irreducible
+    // self-join pair), sf0.01 oracle parity across all nine consumers.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h31"))
+    val pruned = posting
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxPostings)
+      .drop("__df")
+    // candidate generation stays a streaming self-join (unlike the LSH
+    // band path's list-gather): a gathered-list pair explosion
+    // materializes k²/2 structs in ONE row for a k-posting shingle — df-cut
+    // keys up to `maxPostings` are legal, so the gather shape can build a
+    // multi-GB row no task survives; the join streams those pairs instead
+    // (PairLab r15 measured gather 1 exchange / 5.43 s — faster at x100,
+    // REJECTED on the per-row bound). No SHUFFLE_HASH hint: the window's
+    // h31 sort already satisfies sort-merge's requirement on both sides,
+    // so SMJ here is sort-free, spillable, and measured AHEAD of the
+    // hinted hash join (6.17 s hinted vs 5.75 s, x100 min-of-2).
+    pruned.as("a").join(pruned.as("b"),
         col("a.h31") === col("b.h31") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__inter"),

@@ -140,15 +140,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     "Aggregate".r.findAllIn(p).length should be >= 2
   }
 
-  test("dedup candidate plans carry no Window node (df-cut is groupBy + anti-join)") {
-    // the df-cut must never route all postings of a hot shingle/bucket
-    // through one task's window sort — the guard would become the
-    // bottleneck it guards against at 100x
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
-      val p = SparkEntry.queries(q)(spark, sf0001)
-        .queryExecution.executedPlan.toString
-      withClue(s"$q plan:") { p should not include "Window" }
-    }
+  test("dedup band df-cut carries no Window node (bucket cut is gather + size filter)") {
+    // the band path's bucket cut must never route all postings of a hot
+    // bucket through a window it doesn't otherwise need. (The PAIR family
+    // is different since r15: its df-cut window rides the posting exchange
+    // the self-join pays anyway, and its sort IS the sort-merge join's
+    // sort — see the jaccard co-location test.)
+    val p = SparkEntry.queries("dedup_minhash_lsh")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    withClue(s"dedup_minhash_lsh plan:") { p should not include "Window" }
   }
 
   test("text_token_ids: the corpus encodes with ZERO exchanges, one encoder eval") {
@@ -299,13 +299,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("jaccard: df-cut and self-join are co-located — no broadcast, no array re-join") {
     val p = plan("dedup_ngram_jaccard")
-    // the over-cap anti-join and the posting self-join both ride the one
-    // h31 exchange: a BroadcastExchange would mean the df-cut went back
-    // through the driver; array_intersect would mean the verify stage
-    // re-joined the per-doc arrays instead of counting join hits
-    p should not include "BroadcastExchange"
+    // the df-cut rides the posting exchange as a count WINDOW (r15: the
+    // prior hot-key anti-join shape planned 4 independent posting
+    // shuffles — exchange reuse never fired around the hinted anti-join;
+    // the window shape restores reuse and the posting subtree executes
+    // ONCE): array_intersect would mean the verify stage re-joined the
+    // per-doc arrays instead of counting join hits; a LeftAnti would mean
+    // the hot-key shape is back. (A BroadcastExchange is now legitimate
+    // at tiny SF: with no SHUFFLE_HASH pin the planner may broadcast one
+    // self-join side, whose build subtree still REUSES the probe's
+    // posting exchange — asserted in the executed-plan test below.)
     p should not include "array_intersect"
-    p should include("LeftAnti")
+    (p should not).include("LeftAnti")
+    p should include("Window")
   }
 
   test("pack_sequences: size-adaptive — small input takes the 1-exchange window") {
@@ -414,10 +420,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("jaccardPairs: the posting subtree executes ONCE — self-join sides share one exchange") {
-    // the SHUFFLE_HASH pins exist precisely so ReuseExchange collapses the
-    // two identical posting sides (scan, hash, explode, df-cut); an AQE
-    // broadcast conversion would de-duplicate the subtrees and run the
-    // md5-heavy scan stage twice. Executed-plan regression guard.
+    // r15: the hot-key anti-join shape planned FOUR independent posting
+    // exchanges in the executed plan (exchange/stage reuse never fired
+    // around the hinted anti-join sides — PairLab census); the window
+    // df-cut shape restores AQE stage reuse, so the md5-heavy
+    // explode+shuffle runs once and every other consumer is a
+    // ReusedExchange. Executed-plan regression guard.
     // (clearCache first: a cached hash-array table left by another test
     // would be substituted into the scan subtree and change the shapes
     // this test pins — the guard targets the cold-plan formulation.)
@@ -427,7 +435,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     p should include("ReusedExchange")
-    p should include("ShuffledHashJoin")
+    (p should not).include("LeftAnti")
+    p should include("Window")
   }
 
   test("dedup_span_cut: no window over span occurrences; array-kernel rebuild; no cartesian") {
