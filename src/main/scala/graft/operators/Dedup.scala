@@ -226,45 +226,37 @@ object Dedup {
     * before expansion, bounding candidate count by bands * maxBucket^2 / 2
     * regardless of corpus skew.
     */
-  /** Largest id list whose m(m-1)/2 pair expansion may materialize in ONE
-    * row via the native `array_pairs` explode (~2M pairs ≈ 33 MB). Buckets
-    * between this and `maxBucket` go through a distributed self-join whose
-    * pairs STREAM out of the join iterator instead of materializing.
-    */
-  private val GatherPairLimit = 2048
-
   private[graft] def lshCandidatesLazy(
       arr: DataFrame, numPerm: Int, bands: Int,
       maxBucket: Long = DefaultMaxBucket): (DataFrame, () => Unit) = {
     // one hash shuffle on (band, bh) gathers each bucket's doc ids as a
-    // list; the df-cut is then a plain size filter. Pair expansion is
-    // two-path by bucket size: typical buckets (≤ GatherPairLimit ids)
-    // expand with the narrow native explode ([[graft.functions.ArrayPairs]]
-    // — no join, no extra exchange); rarer mid-size buckets (the df-cut
-    // admits up to maxBucket) self-join on the bucket key, because their
-    // pair count can exceed what one row may hold — the join streams pairs
-    // into the downstream aggregation with only the id list in memory.
-    // Both paths produce the identical pair set (same ids, a < b), so the
-    // split is invisible to the oracle semantics.
+    // list; the df-cut is then a plain size filter; pairs stream out of a
+    // double explode (first Generate: one row per id, still carrying the
+    // list; second: the m² combinations, filtered to a < b) — per-task
+    // state is one id list (≤ maxBucket longs), nothing else.
+    //
+    // ONE banding subtree, deliberately (r15): the previous two-path shape
+    // (small buckets via the one-row array_pairs explode ∪ mid buckets via
+    // a SHUFFLE_HASH-pinned self-join) planned the full scan→signature→
+    // band-explode→exchange pipeline THREE times — the small branch plus
+    // both join sides — and neither ReuseExchange nor AQE stage reuse ever
+    // collapsed them (MinhashLab census: 3 band exchanges, 0 reuse markers,
+    // hinted or not — same disease pairStatsFromArr had). Folding both
+    // paths into the double explode makes the m² generate volume (vs
+    // array_pairs' m(m-1)/2) a net win at every measured scale because the
+    // signature kernel and its exchange run once: sf0.1 0.66→0.47 s, x100
+    // documents 4.59→1.51 s (3.05×), candidate sets bit-identical
+    // (MinhashLab MHCHK). The rejected middle ground (array_pairs small ∪
+    // double-explode big, 2 subtrees) measured 1.98 s at x100.
     val bandTable = lshBands(minhashSignatures(arr, numPerm), numPerm, bands)
     val buckets = bandTable.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    val small = buckets.filter(size(col("ids")) <= GatherPairLimit)
-      .select(explode(graft.functions.TextFunctions.array_pairs(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-    val out =
-      if (maxBucket <= GatherPairLimit) small.distinct()
-      else {
-        val big = buckets.filter(size(col("ids")) > GatherPairLimit)
-          .select(col("band"), col("bh"), explode(col("ids")).as("id"))
-        val bigPairs = AdaptiveGate.hashHinted(big.as("a"))
-          .join(AdaptiveGate.hashHinted(big.as("b")),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-        small.unionByName(bigPairs).distinct()
-      }
+    val out = buckets
+      .select(col("ids"), explode(col("ids")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
     (out, () => ())
   }
 

@@ -151,6 +151,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     withClue(s"dedup_minhash_lsh plan:") { p should not include "Window" }
   }
 
+  test("minhash candidates: ONE banding subtree — signature kernel plans once") {
+    // r15: the old two-path candidate expansion (array_pairs small buckets
+    // ∪ SHUFFLE_HASH-pinned mid-bucket self-join) planned the full
+    // scan→minhash_sig_array→band-explode→exchange pipeline THREE times
+    // and no reuse ever fired (MinhashLab: 3 band exchanges, 0
+    // ReusedExchange, 3.05× at x100). The double-explode shape keeps ONE
+    // banding subtree; a second minhash_sig_array occurrence or a second
+    // band exchange means the duplication is back.
+    val full = SparkEntry.queries("dedup_minhash_lsh")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the cached result's plan prints the AQE final tree AND the pre-AQE
+    // "Initial Plan" echo — audit the final tree only
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    withClue(s"dedup_minhash_lsh plan:") {
+      "minhash_sig_array".r.findAllIn(p).length shouldBe 1
+      "hashpartitioning\\(band".r.findAllIn(p).length shouldBe 1
+    }
+  }
+
   test("text_token_ids: the corpus encodes with ZERO exchanges, one encoder eval") {
     val p = plan("text_token_ids")
     p should not include "Exchange"
