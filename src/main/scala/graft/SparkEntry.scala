@@ -1218,7 +1218,14 @@ object SparkEntry {
       m.get(d).filter(org.apache.spark.sql.GraftShims.isCached) match {
         case Some(df) => df
         case None =>
+          // (doc_id, ids) ONLY: both consumers read just these two, so
+          // caching the full 6-column table (text, lang, source, n_chars
+          // ride along) would triple the columnar fill bytes for nothing
+          // (r15; guide §5 cache economics). n_tokens falls out of the
+          // cached array as size(ids) — vocab_encode emits one id per
+          // whitespace token (OOV -> sentinel), so the count is identical.
           val df = TextAnalysis.tokenEncode(Tables.documents(s, d), vocabSize = 24)
+            .select(col("doc_id"), col("ids"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           m(d) = df
           df
@@ -2807,13 +2814,14 @@ object SparkEntry {
     // scalar-only canonicalizer (array semantics stay covered by PackingSpec)
     "pack_materialize" -> ((s, d) =>
       operators.Packing.packMaterialize(
-        sharedEncoded(s, d)
-          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long")),
+        sharedEncoded(s, d),
         "doc_id", "ids", capacity = 512L,
-        // the cheap whitespace count equals size(ids) by construction, so
-        // the assignment branches never evaluate the encoder (asserted
-        // row-by-row in the payload branch)
-        tokenCol = Some("n_tokens"))
+        // r15: the hub caches ids MATERIALIZED, so size(ids) (the
+        // tokenCol=None default) is a columnar array-length read — the
+        // previous tokenCount(text) re-tokenized the corpus text to derive
+        // the same number (equal by construction: one id per whitespace
+        // token), and forced the hub to cache the text column at all
+        tokenCol = None)
         .withColumn("ids", array_join(col("ids").cast("array<string>"), " "))),
 
     // reproducible epoch shuffle: contiguous 0-based training order from a
