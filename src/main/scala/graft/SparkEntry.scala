@@ -2044,51 +2044,76 @@ object SparkEntry {
       // pairs are quadratic IN ONE TASK (at x10, one 1650-row bucket held
       // 1.36M of 2.15M pairs and serialized the whole 5 s DP stage on one
       // core). Triangle-block decomposition: rows get a per-bucket block
-      // index (row_number div B); each left row joins its own and all
-      // LATER blocks, so every doc_a < doc_b pair is enumerated exactly
-      // once (doc_b's block is unique) and a hot bucket's pairs spread
-      // over ~n/B join keys instead of one. The `edit_dist <= 8`
-      // predicate pushes into the join condition, so the DP runs inside
-      // the join stage — byte-sparse but CPU-dense, hence the EXPLICIT
-      // cores-wide partition count (REPARTITION_BY_NUM is exempt from
-      // AQE's byte-based coalescing, which otherwise serialized this
-      // stage onto 4 of 32 cores).
+      // index; each left row joins its own and all LATER blocks, so every
+      // unordered pair is enumerated exactly once and a hot bucket's
+      // pairs spread over ~nblk join keys instead of one. The
+      // `edit_dist <= 8` predicate pushes into the join condition, so the
+      // DP runs inside the join stage — byte-sparse but CPU-dense, hence
+      // the EXPLICIT cores-wide partition count (REPARTITION_BY_NUM is
+      // exempt from AQE's byte-based coalescing, which otherwise
+      // serialized this stage onto 4 of 32 cores).
+      //
+      // r15 block assignment: HASH blocks over broadcast bucket counts,
+      // not row_number blocks over a per-bucket window. The window
+      // spelling clustered each bucket onto one task BEFORE the explode,
+      // so the hot bucket (x1000: "customer", 165k rows = 93% of all
+      // 14.6B candidate pairs) generated its 212M exploded left rows on
+      // ONE core — Scratch measured that stage at 145 s of the 340 s
+      // total while 31 cores idled (guide §2.5/§2.6). Here the block id
+      // is pmod(xxhash64(doc_id), nblk) computed in the scan stage
+      // (counts join is a 166k-row broadcast), so the explode runs at
+      // scan width; and nblk is CAPPED at 512 blocks, bounding hot-key
+      // replication (guide §2.3): the hot bucket's left volume drops
+      // 212M → 42M rows while per-join-key pair mass (n²/nblk ≈ 53M)
+      // stays far below a partition's ~427M share. Hash blocks are not
+      // id-ordered, so cross-block pairs can meet in either orientation:
+      // same-block pairs (which meet twice) keep the doc_a < doc_b cut,
+      // cross-block pairs (which meet exactly once) are kept as-is and
+      // the pair is normalized to (least, greatest) — the emitted set is
+      // identical to the ordered-window spelling's for ANY deterministic
+      // block assignment, which TedLab pins by checksum at x100/x1000.
       val blockLen = 64
-      val wB = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bucket")).orderBy(col("doc_id"))
-      val blocked = t
-        .withColumn("__blk", ((row_number().over(wB) - 1) / blockLen)
-          .cast("int"))
-        .withColumn("__nblk", ((count(lit(1)).over(wB.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing))
-          + blockLen - 1) / blockLen).cast("int"))
+      val maxBlocks = 512
+      val counts = t.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      val blocked = t.join(broadcast(counts), Seq("bucket"))
+        .withColumn("__nblk", least(
+          ((col("__n") + blockLen - 1) / blockLen).cast("int"),
+          lit(maxBlocks)))
+        .withColumn("__blk",
+          pmod(xxhash64(col("doc_id")), col("__nblk")).cast("int"))
       val width = s.sparkContext.defaultParallelism
       val left = blocked
         .withColumn("__j", explode(sequence(col("__blk"), col("__nblk") - 1)))
-        .select(col("doc_id").as("doc_a"), col("prefix").as("pa"),
-          col("__sig").as("sa"), col("bucket"), col("__j"))
+        .select(col("doc_id").as("doc_l"), col("prefix").as("pl"),
+          col("__sig").as("sl"), col("bucket"), col("__blk").as("__bl"),
+          col("__j"))
         .repartition(width, col("bucket"), col("__j"))
       val right = blocked
-        .select(col("doc_id").as("doc_b"), col("prefix").as("pb"),
-          col("__sig").as("sb"), col("bucket"), col("__blk").as("__j"))
+        .select(col("doc_id").as("doc_r"), col("prefix").as("pr"),
+          col("__sig").as("sr"), col("bucket"), col("__blk").as("__j"))
         .repartition(width, col("bucket"), col("__j"))
       // per-pair gauntlet, cheap to expensive (CombineFilters keeps the
-      // conjunct order): id order halves the pairs, then the ~30-op
-      // histogram L1 reject (hist_l1 > 2*k proves distance > k — exact,
-      // never drops a surviving pair) spares the O(n*k) DP for the bulk
-      // of the block; only histogram-close pairs reach bounded_levenshtein.
+      // conjunct order): the orientation cut halves same-block pairs,
+      // then the ~30-op histogram L1 reject (hist_l1 > 2*k proves
+      // distance > k — exact, never drops a surviving pair) spares the
+      // O(n*k) DP for the bulk of the block; only histogram-close pairs
+      // reach bounded_levenshtein (both symmetric, so the least/greatest
+      // normalization can run after them on the surviving pairs only).
       // AUDIT (r10, x1000): the r9 guard is MEASURED — 272.6 s cold
-      // (was 898.7 s before the hist_l1 reject + prefix/suffix strip),
-      // under the ~300 s bar; DuckDB's oracle did not finish in 700 s
-      // the same day (fresh process, count+hash wrap).
+      // (was 898.7 s before the hist_l1 reject + prefix/suffix strip);
+      // DuckDB's oracle did not finish in 700 s the same day (fresh
+      // process, count+hash wrap). r15 re-measure after the hash-block
+      // redesign: see OPTIMIZATION_r15.md.
       operators.AdaptiveGate.hashHinted(left).join(right,
-          Seq("bucket", "__j")).filter(col("doc_a") < col("doc_b"))
+          Seq("bucket", "__j"))
+        .filter(col("__bl") =!= col("__j") || col("doc_l") < col("doc_r"))
         .filter(graft.functions.TextFunctions.hist_l1(
-          col("sa"), col("sb")) <= 16)
-        .select(col("doc_a"), col("doc_b"),
+          col("sl"), col("sr")) <= 16)
+        .select(
+          least(col("doc_l"), col("doc_r")).as("doc_a"),
+          greatest(col("doc_l"), col("doc_r")).as("doc_b"),
           graft.functions.TextFunctions.bounded_levenshtein(
-            col("pa"), col("pb"), 8).as("edit_dist"))
+            col("pl"), col("pr"), 8).as("edit_dist"))
         .filter(col("edit_dist") <= 8)
     }),
 

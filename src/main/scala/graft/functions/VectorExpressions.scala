@@ -209,6 +209,79 @@ object IvfKernel {
   def round6(raw: Double): Double =
     BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Full-array norm in index order — the same accumulation sequence as
+    * [[cos6]]'s `ny` whenever the two arrays share a length, so a norm
+    * precomputed once per vector feeds [[cos6Lazy]] without changing a
+    * single bit of the result.
+    */
+  def norm(v: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** [[cos6]] with precomputed norms and LAZY half-up rounding (r15):
+    * returns `round6(raw)` when the raw cosine can still reach `floor`,
+    * and -Inf otherwise — a raw strictly below (floor − 5e-7) rounds to
+    * at most raw + 5e-7 < floor on the 1e-6 grid, so it can neither beat
+    * nor tie a running best/rank-k of `floor` (round6 is monotone; the
+    * same cutoff [[graft.operators.Similarity.LocalTopK]] uses). -Inf can
+    * never equal a finite floor, so tie-break clauses in callers stay
+    * unreachable for skipped candidates. The BigDecimal construction —
+    * the dominant per-pair cost of the pre-r15 argmax at scale — is paid
+    * only by candidates inside the 5e-7 window. Mixed lengths fall back
+    * to [[cos6]]'s truncated-norm semantics (and always round).
+    */
+  def cos6Lazy(emb: Array[Float], embNorm: Double, ce: Array[Float],
+               ceNorm: Double, floor: Double): Double = {
+    val n = emb.length
+    if (n != ce.length) return cos6(emb, ce)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += emb(i).toDouble * ce(i).toDouble; i += 1 }
+    val d = embNorm * ceNorm
+    val raw = if (d == 0.0) 0.0 else dot / d
+    if (raw < floor - 5e-7) Double.NegativeInfinity else round6(raw)
+  }
+
+  /** The `nprobe` nearest centroids of `emb` by (cos6 desc, cid asc) —
+    * the ONE probe-ranking implementation, shared by the in-plan
+    * [[IvfTopCells]] expression and the driver-side probe-map build in
+    * [[graft.operators.Similarity.ivfTopK]] (r15 kernel path), so the
+    * two call sites can never drift. Insertion selection: nprobe is
+    * small (≤ tens) — O(nlist × nprobe) with zero allocation beats
+    * sorting nlist scored pairs.
+    */
+  def topCells(emb: Array[Float], cidArray: Array[Long],
+               centArrays: Array[Array[Float]], nprobe: Int,
+               centNorms: Array[Double]): Array[Long] = {
+    val k = math.min(nprobe, cidArray.length)
+    val embNorm = norm(emb)
+    val topCos = new Array[Double](k)
+    val topCid = new Array[Long](k)
+    var filled = 0
+    var c = 0
+    while (c < centArrays.length) {
+      // lazy rounding against the running rank-k (cos6Lazy: a skipped
+      // candidate returns -Inf, which the insertion below cannot place)
+      val floor = if (filled == k) topCos(k - 1) else Double.NegativeInfinity
+      val cos = IvfKernel.cos6Lazy(emb, embNorm, centArrays(c), centNorms(c), floor)
+      val cid = cidArray(c)
+      var pos = filled
+      while (pos > 0 && (topCos(pos - 1) < cos ||
+          (topCos(pos - 1) == cos && topCid(pos - 1) > cid))) pos -= 1
+      if (pos < k) {
+        val stop = math.min(filled, k - 1)
+        var j = stop
+        while (j > pos) { topCos(j) = topCos(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+        topCos(pos) = cos
+        topCid(pos) = cid
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(topCid, filled)
+  }
+
   def toFloats(a: ArrayData): Array[Float] = {
     val dim = a.numElements()
     val emb = new Array[Float](dim)
@@ -243,14 +316,25 @@ case class IvfArgmaxCell(child: Expression, cids: IndexedSeq[Long],
   @transient private lazy val centArrays: Array[Array[Float]] =
     cents.map(_.toArray).toArray
   @transient private lazy val cidArray: Array[Long] = cids.toArray
+  @transient private lazy val centNorms: Array[Double] =
+    centArrays.map(IvfKernel.norm)
 
+  /** Hot loop (one call per corpus row × refine round): scores through
+    * [[IvfKernel.cos6Lazy]] — raw cosine from precomputed norms, half-up
+    * rounding paid only by candidates within 5e-7 of the running best
+    * (r15; the rounded argmax is unchanged — see cos6Lazy's monotonicity
+    * note). The pre-r15 spelling called [[IvfKernel.cos6]] per
+    * (row, centroid): one BigDecimal construction each, 3.9B of them for
+    * the 2M-row × 1953-cell x1000 assignment.
+    */
   def argmax(a: ArrayData): Long = {
     val emb = IvfKernel.toFloats(a)
+    val embNorm = IvfKernel.norm(emb)
     var best = Double.NegativeInfinity
     var bestCid = Long.MaxValue
     var c = 0
     while (c < centArrays.length) {
-      val cos = IvfKernel.cos6(emb, centArrays(c))
+      val cos = IvfKernel.cos6Lazy(emb, embNorm, centArrays(c), centNorms(c), best)
       if (cos > best || (cos == best && cidArray(c) < bestCid)) {
         best = cos
         bestCid = cidArray(c)
@@ -297,35 +381,13 @@ case class IvfTopCells(child: Expression, cids: IndexedSeq[Long],
   @transient private lazy val centArrays: Array[Array[Float]] =
     cents.map(_.toArray).toArray
   @transient private lazy val cidArray: Array[Long] = cids.toArray
+  @transient private lazy val centNorms: Array[Double] =
+    centArrays.map(IvfKernel.norm)
 
-  def topCells(a: ArrayData): ArrayData = {
-    val emb = IvfKernel.toFloats(a)
-    val k = math.min(nprobe, cidArray.length)
-    // insertion selection: nprobe is small (≤ tens) — O(nlist * nprobe)
-    // with zero allocation beats sorting nlist scored pairs
-    val topCos = new Array[Double](k)
-    val topCid = new Array[Long](k)
-    var filled = 0
-    var c = 0
-    while (c < centArrays.length) {
-      val cos = IvfKernel.cos6(emb, centArrays(c))
-      val cid = cidArray(c)
-      var pos = filled
-      while (pos > 0 && (topCos(pos - 1) < cos ||
-          (topCos(pos - 1) == cos && topCid(pos - 1) > cid))) pos -= 1
-      if (pos < k) {
-        val stop = math.min(filled, k - 1)
-        var j = stop
-        while (j > pos) { topCos(j) = topCos(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
-        topCos(pos) = cos
-        topCid(pos) = cid
-        if (filled < k) filled += 1
-      }
-      c += 1
-    }
+  def topCells(a: ArrayData): ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(topCid, filled))
-  }
+      IvfKernel.topCells(IvfKernel.toFloats(a), cidArray, centArrays, nprobe,
+        centNorms))
 
   override def nullSafeEval(a: Any): Any = topCells(a.asInstanceOf[ArrayData])
 

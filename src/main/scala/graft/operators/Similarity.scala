@@ -465,14 +465,9 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 32,
               nprobe: Int = 8, refineSteps: Int = 1,
               maxQueries: Int = 100000): DataFrame = {
-    // the maxQueries guard is per-CALL (the query side changes between
-    // calls even when the index is cached): a bounded id-only count job —
-    // query EMBEDDINGS never travel to the driver
-    require(queries.select(col("vec_id")).limit(maxQueries + 1).count() <= maxQueries,
-      s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
-        "side is broadcast by design (queries are assumed broadcast-small); " +
-        "raise maxQueries deliberately or pre-shard the query set and " +
-        "union the results")
+    require(k > 0, "ivfTopK: k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cents = ivfCentroids(corpus, nlist, refineSteps)
     // every ordering below ranks on the cosine rounded to 6 decimals with a
     // deterministic tie-break (same convention as [[bruteForceTopK]] /
@@ -482,6 +477,91 @@ object Similarity {
     // recall bounds. Corpus argmax, refine assignment, and query
     // top-nprobe all rank through functions.IvfKernel.cos6 — ONE cosine
     // implementation, so no stage can drift from another.
+    //
+    // Shape (r15 — mirrors the bruteForceTopK/lshTopK kernels): queries
+    // are collected under the same maxQueries broadcast contract as the
+    // sibling operators, their nprobe probe cells computed through the
+    // SAME IvfKernel.topCells the in-plan expression uses, and the probe
+    // table broadcast as cell → query indices. Each corpus partition
+    // streams its rows once — in-plan argmax assignment, then a
+    // partition-local running top-k against only the queries probing the
+    // row's cell — and the |partitions| × |Q| × k survivors merge through
+    // one per-query window. The declarative spelling (broadcast probe
+    // join + window) is kept as [[ivfTopKPlan]] and pinned row-identical
+    // by SimilaritySpec: it materializes every candidate pair, pays the
+    // half-up rounding for ALL of them (BigDecimal per pair), and
+    // shuffles the full candidate set into the window, where this kernel
+    // rounds only candidates that can still enter a running top-k and
+    // shuffles only the survivors.
+    // queries are collected WITH their probe cells — computed by the same
+    // in-plan expression (hence the same IvfKernel.topCells) at session
+    // width, so probe semantics cannot drift and the driver never scores
+    // a query against the centroid matrix
+    val qRows = queries.select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.ivf_top_cells(col("embedding"),
+          cents.map(_._1), cents.map(_._2), nprobe).as("cells"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
+        "side is broadcast by design (queries are assumed broadcast-small); " +
+        "raise maxQueries deliberately or pre-shard the query set and " +
+        "union the results")
+    val qSorted = qRows
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getSeq[Long](2)))
+      .sortBy(_._1)
+    // cell → indices of the queries probing it; a corpus row has exactly
+    // one cell and a query's probe cells are distinct, so every
+    // (query, corpus-row) candidate pair meets at most once
+    val probeMap = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    qSorted.indices
+      .flatMap(i => qSorted(i)._3.map(c => (c, i)))
+      .groupBy(_._1)
+      .foreach { case (cell, xs) => probeMap.put(cell, xs.map(_._2).sorted.toArray) }
+    val bcQ = spark.sparkContext.broadcast(qSorted.map(t => (t._1, t._2)))
+    val bcProbe = spark.sparkContext.broadcast(probeMap)
+    val assign = corpus.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
+        cents.map(_._1), cents.map(_._2)).as("cell"))
+    val local = assign.as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val s = new LocalTopK(bcQ.value, k)
+        val probes = bcProbe.value
+        while (it.hasNext) {
+          val (nid, emb, cell) = it.next()
+          val idxs = probes.get(cell)
+          if (idxs != null) {
+            val cnorm = s.normOf(emb)
+            var i = 0
+            while (i < idxs.length) { s.offer(idxs(i), nid, emb, cnorm); i += 1 }
+          }
+        }
+        s.results
+      }
+      .toDF("query_id", "neighbor_id", "cos_r")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_r"), col("neighbor_id"))
+    local.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** The declarative spelling of [[ivfTopK]] (in-plan probe expression +
+    * broadcast candidate join + per-query window): the reference plan the
+    * kernel is spec-pinned against, and the shape to prefer when queries
+    * cannot be collected (its probe side stays fully in-plan — query
+    * embeddings never travel to the driver).
+    */
+  private[graft] def ivfTopKPlan(corpus: DataFrame, queries: DataFrame, k: Int,
+                                 nlist: Int = 32, nprobe: Int = 8,
+                                 refineSteps: Int = 1,
+                                 maxQueries: Int = 100000): DataFrame = {
+    // the maxQueries guard is per-CALL (the query side changes between
+    // calls even when the index is cached): a bounded id-only count job —
+    // query EMBEDDINGS never travel to the driver
+    require(queries.select(col("vec_id")).limit(maxQueries + 1).count() <= maxQueries,
+      s"ivfTopK: query set exceeds maxQueries=$maxQueries — the IVF probe " +
+        "side is broadcast by design (queries are assumed broadcast-small); " +
+        "raise maxQueries deliberately or pre-shard the query set and " +
+        "union the results")
+    val cents = ivfCentroids(corpus, nlist, refineSteps)
     val assign = corpus.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.ivf_argmax_cell(col("embedding"),
         cents.map(_._1), cents.map(_._2)).as("cell"))

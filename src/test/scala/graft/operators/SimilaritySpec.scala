@@ -75,6 +75,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.2
   }
 
+  test("ivfTopK kernel is row-identical to the declarative plan (both refine depths)") {
+    // pins the probe-map mapPartitions kernel (r15: cell-filtered scoring,
+    // partition-local top-k, lazy half-up rounding, driver-side probe
+    // ranking through the SAME IvfKernel.topCells as the in-plan
+    // expression) to the broadcast-probe-join + window spelling on real
+    // embeddings — any drift in centroid seeding, cell assignment, probe
+    // ranking, accumulation order or rounding fails loudly. Both refine
+    // depths: refineSteps = 0 is ann_ivf's shape, 1 is ann_ivf_refined's.
+    for (steps <- Seq(0, 1)) {
+      val kernel = Similarity.ivfTopK(emb, queries, k = 10, refineSteps = steps)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+      val plan = Similarity.ivfTopKPlan(emb, queries, k = 10, refineSteps = steps)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+      withClue(s"refineSteps=$steps: ") {
+        kernel should have length plan.length.toLong
+        kernel shouldBe plan
+      }
+    }
+  }
+
+  test("ivfTopK enforces the maxQueries broadcast contract") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, emb, k = 3, maxQueries = 5)
+    }
+    e.getMessage should include("maxQueries")
+  }
+
   test("ivfTopK recall vs brute force on real embeddings") {
     val approx = Similarity.ivfTopK(emb, queries, k = 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
