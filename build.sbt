@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-bench JSON contract (VERDICT r15 #1): the driver parses the LAST
+// stdout line of `sbt "runMain graft.Bench"` as the bench JSON. Two sbt
+// behaviors broke that every round since r01: the forked JVM's stdout was
+// routed through sbt's logger (each line prefixed "[info] "), and sbt
+// appended a "[success] Total time: ..." line AFTER the JSON. StdoutOutput
+// passes the forked process' stdout through unprefixed; showSuccess drops
+// the trailing banner. Applies to every runMain (Verify/TimeOne too) —
+// their outputs are line-parsed by tools/, which never wanted the prefix
+// either.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -68,8 +68,25 @@ object Bench {
       spark.catalog.clearCache()
       r
     }
+    // stage census of the timed region (VERDICT r15 #8): published in the
+    // JSON line so host/session drift is diagnosable from the artifact
+    // alone — the stage count is structural (same plans → same count), so
+    // seconds-per-stage separates "the host was slow" from "a query grew
+    // stages". Listener events are async; the post-pass sleep lets the bus
+    // drain before the count is read.
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stageListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(stageListener)
     val p1 = timedPass()
     val p2 = timedPass()
+    Thread.sleep(500)
+    val timedStages = stageCount.get()
+    spark.sparkContext.removeSparkListener(stageListener)
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // fixed-input queries (they read the reference sample, not the sf dir)
@@ -103,14 +120,20 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"fixed_input":$fixedJson,"sf":"$sfLabel","passes":2,"eval":"noop"}"""
-    println(fullLine)
+    // the full line goes to the file ONLY (stderr as the read-only-cwd
+    // fallback): the driver parses the LAST stdout line as the bench JSON,
+    // and a second {"metric":"total"...} line above it is exactly what
+    // broke the parse in r01-r15 (VERDICT r15 #1) — stdout carries ONE
+    // JSON line, printed last below
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
     val fullWritten =
       try {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(fullOut), fullLine + "\n")
         true
-      } catch { case _: Throwable => false } // read-only cwd: stdout has it
+      } catch {
+        case _: Throwable => Console.err.println(fullLine); false
+      }
     println(fixed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f(v)}s" }
       .mkString("fixed-input (untimed in total): ", " ", ""))
     // failures are capped at 10 named entries + a count so a mass-failure
@@ -124,7 +147,7 @@ object Bench {
         .map { case (k, _) => s"\"" + k + "\":-1.000" } ++
       top.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fq(v) })
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"queries":$topJson,"floor_queries":{"n":${floor.size},"sum":${f(floor.map(_._2).sum)}},"sf":"$sfLabel","passes":2,"eval":"noop","full":${if (fullWritten) "\"" + fullOut + "\"" else "null"}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failed.size},"queries":$topJson,"floor_queries":{"n":${floor.size},"sum":${f(floor.map(_._2).sum)}},"stages":$timedStages,"sf":"$sfLabel","passes":2,"eval":"noop","full":${if (fullWritten) "\"" + fullOut + "\"" else "null"}}""")
     spark.stop()
   }
 }
