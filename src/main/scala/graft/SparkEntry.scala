@@ -2026,96 +2026,17 @@ object SparkEntry {
     }),
 
     // text near-dup via edit distance on normalized prefixes, within
-    // exact-fingerprint-adjacent buckets (first 8 normalized chars)
-    "text_edit_distance" -> ((s, d) => {
-      // normalize a bounded raw prefix, not the whole document: the 32-char
-      // fingerprint needs only the head, and at corpus scale running the
-      // normalization regexes over full multi-KB docs is the dominant cost
-      val norm = TextAnalysis.normalizedText(substring(col("text"), 1, 128))
-      val t = Tables.documents(s, d).select(col("doc_id"),
-        substring(norm, 1, 32).as("prefix"), substring(norm, 1, 8).as("bucket"))
-        .withColumn("__sig",
-          graft.functions.TextFunctions.hist_sig16(col("prefix")))
-      // bounded_levenshtein returns the exact distance when <= 8 and 9
-      // otherwise, so the <= 8 filter is equivalent to filtering the exact
-      // distance — at a fraction of the DP cost (early row-min exit plus
-      // O(1) length-difference reject)
-      // Naive bucket self-join is skew-fatal: a hot fingerprint bucket's
-      // pairs are quadratic IN ONE TASK (at x10, one 1650-row bucket held
-      // 1.36M of 2.15M pairs and serialized the whole 5 s DP stage on one
-      // core). Triangle-block decomposition: rows get a per-bucket block
-      // index; each left row joins its own and all LATER blocks, so every
-      // unordered pair is enumerated exactly once and a hot bucket's
-      // pairs spread over ~nblk join keys instead of one. The
-      // `edit_dist <= 8` predicate pushes into the join condition, so the
-      // DP runs inside the join stage — byte-sparse but CPU-dense, hence
-      // the EXPLICIT cores-wide partition count (REPARTITION_BY_NUM is
-      // exempt from AQE's byte-based coalescing, which otherwise
-      // serialized this stage onto 4 of 32 cores).
-      //
-      // r15 block assignment: HASH blocks over broadcast bucket counts,
-      // not row_number blocks over a per-bucket window. The window
-      // spelling clustered each bucket onto one task BEFORE the explode,
-      // so the hot bucket (x1000: "customer", 165k rows = 93% of all
-      // 14.6B candidate pairs) generated its 212M exploded left rows on
-      // ONE core — Scratch measured that stage at 145 s of the 340 s
-      // total while 31 cores idled (guide §2.5/§2.6). Here the block id
-      // is pmod(xxhash64(doc_id), nblk) computed in the scan stage
-      // (counts join is a 166k-row broadcast), so the explode runs at
-      // scan width; and nblk is CAPPED at 512 blocks, bounding hot-key
-      // replication (guide §2.3): the hot bucket's left volume drops
-      // 212M → 42M rows while per-join-key pair mass (n²/nblk ≈ 53M)
-      // stays far below a partition's ~427M share. Hash blocks are not
-      // id-ordered, so cross-block pairs can meet in either orientation:
-      // same-block pairs (which meet twice) keep the doc_a < doc_b cut,
-      // cross-block pairs (which meet exactly once) are kept as-is and
-      // the pair is normalized to (least, greatest) — the emitted set is
-      // identical to the ordered-window spelling's for ANY deterministic
-      // block assignment, which TedLab pins by checksum at x100/x1000.
-      val blockLen = 64
-      val maxBlocks = 512
-      val counts = t.groupBy("bucket").agg(count(lit(1)).as("__n"))
-      val blocked = t.join(broadcast(counts), Seq("bucket"))
-        .withColumn("__nblk", least(
-          ((col("__n") + blockLen - 1) / blockLen).cast("int"),
-          lit(maxBlocks)))
-        .withColumn("__blk",
-          pmod(xxhash64(col("doc_id")), col("__nblk")).cast("int"))
-      val width = s.sparkContext.defaultParallelism
-      val left = blocked
-        .withColumn("__j", explode(sequence(col("__blk"), col("__nblk") - 1)))
-        .select(col("doc_id").as("doc_l"), col("prefix").as("pl"),
-          col("__sig").as("sl"), col("bucket"), col("__blk").as("__bl"),
-          col("__j"))
-        .repartition(width, col("bucket"), col("__j"))
-      val right = blocked
-        .select(col("doc_id").as("doc_r"), col("prefix").as("pr"),
-          col("__sig").as("sr"), col("bucket"), col("__blk").as("__j"))
-        .repartition(width, col("bucket"), col("__j"))
-      // per-pair gauntlet, cheap to expensive (CombineFilters keeps the
-      // conjunct order): the orientation cut halves same-block pairs,
-      // then the ~30-op histogram L1 reject (hist_l1 > 2*k proves
-      // distance > k — exact, never drops a surviving pair) spares the
-      // O(n*k) DP for the bulk of the block; only histogram-close pairs
-      // reach bounded_levenshtein (both symmetric, so the least/greatest
-      // normalization can run after them on the surviving pairs only).
-      // AUDIT (r10, x1000): the r9 guard is MEASURED — 272.6 s cold
-      // (was 898.7 s before the hist_l1 reject + prefix/suffix strip);
-      // DuckDB's oracle did not finish in 700 s the same day (fresh
-      // process, count+hash wrap). r15 re-measure after the hash-block
-      // redesign: see OPTIMIZATION_r15.md.
-      operators.AdaptiveGate.hashHinted(left).join(right,
-          Seq("bucket", "__j"))
-        .filter(col("__bl") =!= col("__j") || col("doc_l") < col("doc_r"))
-        .filter(graft.functions.TextFunctions.hist_l1(
-          col("sl"), col("sr")) <= 16)
-        .select(
-          least(col("doc_l"), col("doc_r")).as("doc_a"),
-          greatest(col("doc_l"), col("doc_r")).as("doc_b"),
-          graft.functions.TextFunctions.bounded_levenshtein(
-            col("pl"), col("pr"), 8).as("edit_dist"))
-        .filter(col("edit_dist") <= 8)
-    }),
+    // exact-fingerprint-adjacent buckets (first 8 normalized chars).
+    // Stats-gated (r16): plain broadcast self-join below ~x10 corpus size,
+    // the r15 hash-block skew decomposition above it — shapes, gate
+    // rationale and the x1000 measurements in
+    // [[operators.TextAnalysis.editDistancePairs]].
+    // AUDIT (r10, x1000): the r9 DP guard is MEASURED — 272.6 s cold
+    // (was 898.7 s before the hist_l1 reject + prefix/suffix strip);
+    // DuckDB's oracle did not finish in 700 s the same day. r15/r16
+    // hash-block + gate measurements: see OPTIMIZATION_r16.md.
+    "text_edit_distance" -> ((s, d) =>
+      TextAnalysis.editDistancePairs(Tables.documents(s, d))),
 
     // J5 (beyond reference): as-of point-in-time join — each event gets the
     // most recent reference snapshot at or before its timestamp

@@ -656,6 +656,138 @@ object TextAnalysis {
       fingerprint(col("text")).as("fingerprint"))
   }
 
+  /** Text near-dup pairs by bounded edit distance on normalized prefixes,
+    * within exact-fingerprint-adjacent buckets (first 8 normalized chars):
+    * `(doc_a, doc_b, edit_dist)` with `doc_a < doc_b`, `edit_dist <= 8`.
+    * Backs the `text_edit_distance` query.
+    *
+    * Normalization runs over a bounded raw prefix, not the whole document:
+    * the 32-char comparison prefix needs only the head, and at corpus scale
+    * running the normalization kernel over full multi-KB docs is the
+    * dominant cost. `bounded_levenshtein` returns the exact distance when
+    * <= 8 and 9 otherwise, so the <= 8 filter equals filtering the exact
+    * distance at a fraction of the DP cost.
+    *
+    * Two shapes behind the [[AdaptiveGate]] stats gate (r16):
+    *
+    *  - **Small corpora** (docs stats < `smallBytes`): a plain bucket
+    *    self-join with the `doc_l < doc_r` cut. The whole pair mass is a
+    *    few tens of thousands of DP calls, the planner broadcasts one
+    *    side, and the query runs join-local with ZERO exchanges — no
+    *    bucket-count subtree, no block explode, no repartition (the r15
+    *    hash-block scaffolding cost ~0.25 s of pure stage floor at sf0.1
+    *    for nothing; VERDICT r15 #2).
+    *  - **At scale**: hash-block decomposition (r15). A naive bucket
+    *    self-join is skew-fatal — a hot fingerprint bucket's pairs are
+    *    quadratic IN ONE TASK (x10: one 1650-row bucket held 1.36M of
+    *    2.15M pairs and serialized the 5 s DP stage on one core, which is
+    *    also why the gate must flip to blocks well below x10 ≈ 8 MB of
+    *    docs stats). Rows get a block id = pmod(xxhash64(doc_id), nblk)
+    *    over a broadcast per-bucket count table, computed in the scan
+    *    stage at full width (no window, no per-bucket clustering — the
+    *    pre-r15 row_number window generated the hot bucket's 212M exploded
+    *    left rows on ONE core, 145 s of the 340 s x1000 total); each left
+    *    row joins its own and all later blocks, so every unordered pair is
+    *    enumerated exactly once and a hot bucket spreads over ~nblk join
+    *    keys. nblk is CAPPED at 512, bounding hot-key replication: the hot
+    *    bucket's left explode drops 212M → 42M rows while its largest
+    *    single join key (n²/nblk ≈ 53M pairs) stays far below a
+    *    partition's share. The DP runs inside the join stage — byte-sparse
+    *    but CPU-dense, hence the EXPLICIT cores-wide REPARTITION_BY_NUM
+    *    (exempt from AQE's byte-based coalescing, which otherwise
+    *    serialized this stage onto 4 of 32 cores).
+    *
+    * Orientation: hash blocks are not id-ordered, so cross-block pairs
+    * (which meet exactly once, in arbitrary orientation) are kept whole
+    * and normalized to (least, greatest); same-block pairs (which meet
+    * twice) keep the `doc_l < doc_r` cut. The emitted set is identical to
+    * the plain self-join's for ANY deterministic block assignment —
+    * TedEquivalenceSpec pins all spellings row-identical in CI and TedLab
+    * re-pins by checksum at x100/x1000.
+    *
+    * Per-pair gauntlet, cheap to expensive (CombineFilters keeps the
+    * conjunct order): orientation cut, then the ~30-op histogram L1 reject
+    * (`hist_l1 > 2*k` proves distance > k — exact, never drops a surviving
+    * pair) spares the O(n*k) DP for the bulk of each block; only
+    * histogram-close pairs reach `bounded_levenshtein` (both symmetric, so
+    * the least/greatest normalization can run after them).
+    */
+  def editDistancePairs(docs: DataFrame,
+                        smallBytes: Long = 4L << 20): DataFrame = {
+    val norm = normalizedText(substring(col("text"), 1, 128))
+    val t = docs.select(col("doc_id"),
+      substring(norm, 1, 32).as("prefix"), substring(norm, 1, 8).as("bucket"))
+      .withColumn("__sig",
+        graft.functions.TextFunctions.hist_sig16(col("prefix")))
+    def gauntlet(pairs: DataFrame): DataFrame = pairs
+      .filter(graft.functions.TextFunctions.hist_l1(
+        col("sl"), col("sr")) <= 16)
+      .select(
+        least(col("doc_l"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_l"), col("doc_r")).as("doc_b"),
+        graft.functions.TextFunctions.bounded_levenshtein(
+          col("pl"), col("pr"), 8).as("edit_dist"))
+      .filter(col("edit_dist") <= 8)
+    if (AdaptiveGate.isSmall(docs, smallBytes)) {
+      val left = t.select(col("doc_id").as("doc_l"), col("prefix").as("pl"),
+        col("__sig").as("sl"), col("bucket"))
+      val right = t.select(col("doc_id").as("doc_r"), col("prefix").as("pr"),
+        col("__sig").as("sr"), col("bucket"))
+      gauntlet(left.join(right, Seq("bucket"))
+        .filter(col("doc_l") < col("doc_r")))
+    } else {
+      val blockLen = 64
+      val maxBlocks = 512
+      // counts is materialized ONCE (persist + eager count, a bounded
+      // bucket-cardinality table): it re-enters the plan as a broadcast on
+      // BOTH join sides, and broadcast builds are separate query stages
+      // that ReuseExchange never collapses (the lm_cross_entropy disease,
+      // r15) — without this the corpus scan+normalize+agg subtree ran
+      // twice more per query (TedLab x100: 10.68 s → 6.44 s, on par with
+      // the old window spelling's 6.20 s whose skew-fatal x1000 profile
+      // this decomposition exists to fix). persist, NOT localCheckpoint:
+      // a checkpointed LogicalRDD has no stats (defaultSizeInBytes), which
+      // silently dropped the downstream hashHinted gate to sort-merge at
+      // every scale — the InMemoryRelation keeps honest stats. The eager
+      // count serializes the fill so the two broadcast builds cannot race
+      // it; the cache is session-scoped like the dedup family hubs.
+      val counts0 = t.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      val width = docs.sparkSession.sparkContext.defaultParallelism
+      def assemble(c: DataFrame): (DataFrame, DataFrame) = {
+        val blocked = t.join(broadcast(c), Seq("bucket"))
+          .withColumn("__nblk", least(
+            ((col("__n") + blockLen - 1) / blockLen).cast("int"),
+            lit(maxBlocks)))
+          .withColumn("__blk",
+            pmod(xxhash64(col("doc_id")), col("__nblk")).cast("int"))
+        val left = blocked
+          .withColumn("__j",
+            explode(sequence(col("__blk"), col("__nblk") - 1)))
+          .select(col("doc_id").as("doc_l"), col("prefix").as("pl"),
+            col("__sig").as("sl"), col("bucket"), col("__blk").as("__bl"),
+            col("__j"))
+          .repartition(width, col("bucket"), col("__j"))
+        val right = blocked
+          .select(col("doc_id").as("doc_r"), col("prefix").as("pr"),
+            col("__sig").as("sr"), col("bucket"), col("__blk").as("__j"))
+          .repartition(width, col("bucket"), col("__j"))
+        (left, right)
+      }
+      // the DP join is UN-hinted sort-merge (r16): the r15 shuffle_hash
+      // hint built the hash table on the EXPLODED left side — measured
+      // same-session at x100: left-hint SHJ 8.5 s, right-hint SHJ 7.5 s,
+      // plain SMJ 6.4 s (tedlab_x100_*_20260818 logs) — and at x1000 the
+      // AdaptiveGate bound had (correctly) dropped it anyway. SMJ also
+      // spills instead of dying when a block's build outgrows a task.
+      val counts = counts0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      counts.count()
+      val (left, right) = assemble(counts)
+      gauntlet(left.join(right, Seq("bucket", "__j"))
+        .filter(col("__bl") =!= col("__j") || col("doc_l") < col("doc_r")))
+    }
+  }
+
   /** Reference formulation of [[profile]] via the standalone kernel
     * columns — kept for the fused/composed parity spec.
     */

@@ -68,11 +68,47 @@ object TedLab {
         .filter(col("edit_dist") <= 8)
     }
 
-    // the shipped r15 spelling
+    // the shipped spelling (r16: persisted counts; join strategy as shipped)
     def vNew(): DataFrame = SparkEntry.queries("text_edit_distance")(spark, sfDir)
 
+    // r16 alternative: hash blocks + persisted counts, but the DP join
+    // builds its hash table on the UN-exploded right side (the r15 hint
+    // built the exploded left — backwards; and plain SMJ sorts both
+    // sides including the exploded one)
+    def vRightHint(): DataFrame = {
+      val norm = TextAnalysis.normalizedText(substring(col("text"), 1, 128))
+      val t = Tables.documents(spark, sfDir).select(col("doc_id"),
+        substring(norm, 1, 32).as("prefix"), substring(norm, 1, 8).as("bucket"))
+        .withColumn("__sig", graft.functions.TextFunctions.hist_sig16(col("prefix")))
+      val counts = t.groupBy("bucket").agg(count(lit(1)).as("__n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      counts.count()
+      val blocked = t.join(broadcast(counts), Seq("bucket"))
+        .withColumn("__nblk", least(((col("__n") + 64 - 1) / 64).cast("int"), lit(512)))
+        .withColumn("__blk", pmod(xxhash64(col("doc_id")), col("__nblk")).cast("int"))
+      val width = spark.sparkContext.defaultParallelism
+      val left = blocked
+        .withColumn("__j", explode(sequence(col("__blk"), col("__nblk") - 1)))
+        .select(col("doc_id").as("doc_l"), col("prefix").as("pl"),
+          col("__sig").as("sl"), col("bucket"), col("__blk").as("__bl"), col("__j"))
+        .repartition(width, col("bucket"), col("__j"))
+      val right = blocked
+        .select(col("doc_id").as("doc_r"), col("prefix").as("pr"),
+          col("__sig").as("sr"), col("bucket"), col("__blk").as("__j"))
+        .repartition(width, col("bucket"), col("__j"))
+      left.join(right.hint("shuffle_hash"), Seq("bucket", "__j"))
+        .filter(col("__bl") =!= col("__j") || col("doc_l") < col("doc_r"))
+        .filter(graft.functions.TextFunctions.hist_l1(col("sl"), col("sr")) <= 16)
+        .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
+          greatest(col("doc_l"), col("doc_r")).as("doc_b"),
+          graft.functions.TextFunctions.bounded_levenshtein(
+            col("pl"), col("pr"), 8).as("edit_dist"))
+        .filter(col("edit_dist") <= 8)
+    }
+
     val variants: Seq[(String, () => DataFrame)] =
-      Seq("old_window_blocks" -> (() => vOld()), "new_hash_blocks" -> (() => vNew()))
+      Seq("old_window_blocks" -> (() => vOld()), "new_hash_blocks" -> (() => vNew()),
+        "new_rhint_blocks" -> (() => vRightHint()))
 
     // identical outputs (count + order-free row checksum over all columns)
     def sig(df: DataFrame): String =
@@ -83,6 +119,8 @@ object TedLab {
     val ref = sig(vOld()); spark.catalog.clearCache()
     val got = sig(vNew()); spark.catalog.clearCache()
     println(s"TEDCHK ${if (got == ref) s"OK $got" else s"MISMATCH $got vs $ref"}")
+    val got2 = sig(vRightHint()); spark.catalog.clearCache()
+    println(s"TEDCHK2 ${if (got2 == ref) s"OK $got2" else s"MISMATCH $got2 vs $ref"}")
 
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (p <- 1 to passes; (name, fn) <- (if (p % 2 == 1) variants else variants.reverse)) {
