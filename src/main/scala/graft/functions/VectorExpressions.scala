@@ -152,6 +152,15 @@ object VectorOps {
       embs(i) = IvfKernel.toFloats(row.getArray(1))
       i += 1
     }
+    // per-vector norms once (r16): cos6 recomputed BOTH norms inside every
+    // pair — with the cell quadratic that tripled the hot-loop FLOPs and
+    // paid one BigDecimal construction per pair. The threshold test is
+    // now lazy ([[IvfKernel.cos6AtLeast]]): rounding is paid only inside
+    // the 5e-7 band and by actual duplicates — same decisions, bit for bit
+    // (DedupSpec pins kernel ≡ join spelling; oracle re-verified).
+    val norms = new Array[Double](k)
+    i = 0
+    while (i < k) { norms(i) = IvfKernel.norm(embs(i)); i += 1 }
     // scan in ascending-vec_id order (collect_list order is partition-
     // dependent; the semantics are not)
     val idx = Array.range(0, k).sortBy(ids(_))
@@ -164,7 +173,8 @@ object VectorOps {
       while (keep && j < i) {
         val jj = idx(j)
         if (ids(jj) != ids(ii) &&
-            IvfKernel.cos6(embs(jj), embs(ii)) >= threshold) keep = false
+            IvfKernel.cos6AtLeast(embs(jj), norms(jj), embs(ii), norms(ii),
+              threshold)) keep = false
         j += 1
       }
       kept(ii) = keep
@@ -241,6 +251,27 @@ object IvfKernel {
     val d = embNorm * ceNorm
     val raw = if (d == 0.0) 0.0 else dot / d
     if (raw < floor - 5e-7) Double.NegativeInfinity else round6(raw)
+  }
+
+  /** `cos6(a, b) >= threshold` with precomputed norms and LAZY rounding
+    * (r16): a raw cosine strictly below (threshold − 5e-7) rounds to at
+    * most raw + 5e-7 < threshold on the 1e-6 grid, so it is rejected
+    * without the BigDecimal — the same monotonicity argument as
+    * [[cos6Lazy]]. Candidates at or above the cutoff pay [[round6]] and
+    * compare exactly, so the decision is bit-identical to eager
+    * `cos6(a, b) >= threshold` for every input. Mixed lengths fall back
+    * to [[cos6]]'s truncated-norm semantics. This is the hot test of
+    * [[VectorOps.semanticKeep]]'s per-cell quadratic scan.
+    */
+  def cos6AtLeast(a: Array[Float], aNorm: Double, b: Array[Float],
+                  bNorm: Double, threshold: Double): Boolean = {
+    val n = a.length
+    if (n != b.length) return cos6(a, b) >= threshold
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    val d = aNorm * bNorm
+    val raw = if (d == 0.0) 0.0 else dot / d
+    if (raw < threshold - 5e-7) false else round6(raw) >= threshold
   }
 
   /** The `nprobe` nearest centroids of `emb` by (cos6 desc, cid asc) —

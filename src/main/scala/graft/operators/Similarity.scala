@@ -496,7 +496,15 @@ object Similarity {
     // queries are collected WITH their probe cells — computed by the same
     // in-plan expression (hence the same IvfKernel.topCells) at session
     // width, so probe semantics cannot drift and the driver never scores
-    // a query against the centroid matrix
+    // a query against the centroid matrix.
+    // Guard cost (ADVICE r15, documented decision): the limit(max+1)
+    // collect pulls up to maxQueries+1 FULL rows before the require fires,
+    // so an oversized query set costs one ~100k-row collect (~50 MB at
+    // dim 64) on its way to the error — same contract as the
+    // bruteForceTopK/lshTopK siblings. A cheap id-only pre-count would
+    // spare that failure path but add one extra job to EVERY healthy call
+    // (~0.04 s of stage floor at bench scale, forever); the failure path
+    // is the one that should pay.
     val qRows = queries.select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.ivf_top_cells(col("embedding"),
           cents.map(_._1), cents.map(_._2), nprobe).as("cells"))
@@ -517,6 +525,11 @@ object Similarity {
       .flatMap(i => qSorted(i)._3.map(c => (c, i)))
       .groupBy(_._1)
       .foreach { case (cell, xs) => probeMap.put(cell, xs.map(_._2).sorted.toArray) }
+    // lifecycle (ADVICE r15): the broadcasts are referenced only by the
+    // returned DataFrame's closure — when the caller drops the frame,
+    // Spark's ContextCleaner GCs the executor blocks; an explicit destroy
+    // here would break the (lazy) frame before it ever ran. Same contract
+    // as bruteForceTopK/lshTopK.
     val bcQ = spark.sparkContext.broadcast(qSorted.map(t => (t._1, t._2)))
     val bcProbe = spark.sparkContext.broadcast(probeMap)
     val assign = corpus.select(col("vec_id"), col("embedding"),

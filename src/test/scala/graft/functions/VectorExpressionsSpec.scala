@@ -47,4 +47,25 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers with SparkFixture 
     val bad = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     an[Exception] should be thrownBy bad.select(vec_dot($"a", $"b")).collect()
   }
+
+  test("cos6AtLeast ≡ eager cos6 >= t — including rounding-band and mixed-dim inputs") {
+    // the lazy threshold test (r16, semanticKeep's hot loop) must decide
+    // identically to the eager kernel for every pair — exercised across
+    // random vectors, NEAR-BAND thresholds derived from the pair's own
+    // cosine (t = cos ± {0, 1e-7, 5e-7, 1e-6}), and a mixed-length pair
+    // (truncated-norm fallback)
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int): Array[Float] = Array.fill(n)(rnd.nextFloat() * 2f - 1f)
+    val pairs = Seq.fill(200)((vec(16), vec(16))) :+ ((vec(16), vec(12)))
+    for ((a, b) <- pairs) {
+      val eager = IvfKernel.cos6(a, b)
+      val base = Seq(0.0, 0.3, eager)
+      val deltas = Seq(-1e-6, -5e-7, -1e-7, 0.0, 1e-7, 5e-7, 1e-6)
+      for (t0 <- base; dl <- deltas) {
+        val t = t0 + dl
+        IvfKernel.cos6AtLeast(a, IvfKernel.norm(a), b, IvfKernel.norm(b), t) shouldBe
+          (eager >= t)
+      }
+    }
+  }
 }
