@@ -73,9 +73,43 @@ object LanguageModel {
     * rounded to 6 decimals (the repo's cross-engine determinism convention
     * for accumulation-order-sensitive double sums). Documents with fewer
     * than two tokens have no bigrams and are absent from the output.
+    *
+    * The bigram-count table `c12` feeds BOTH scoring joins (directly on
+    * `bg`, re-aggregated to `w1` for the denominators), and the two
+    * broadcast builds are separate query stages that ReuseExchange never
+    * collapses — the plan runs the reference explode+agg subtree twice
+    * (r15 audit). Above the [[AdaptiveGate]] stats gate the table is
+    * persisted + eagerly counted, so the corpus-sized explode runs ONCE
+    * and both builds read the bigram-vocabulary cache (LmLab x100:
+    * 7.99 → 5.51 s). The persist window is BOUNDED on both sides:
+    *  - below `smallBytes` the replan wins — the cache round-trip costs
+    *    more than re-running a small explode (LmLab sf0.1: persist
+    *    0.524 s vs replan 0.455 s, r15);
+    *  - at or above `persistCapBytes` the replan is kept because the
+    *    bigram vocabulary's cardinality is NOT bounded by anything the
+    *    stats can see — on the x1000 fixture (whose per-replica token
+    *    suffix makes vocab grow WITH the corpus) c12 is a ~300M-row
+    *    string table and persisting it OOM'd a 24 GB heap (LmLab
+    *    x1000, r16). A production reference corpus with a fixed
+    *    vocabulary (the CCNet wiki-reference shape) sits inside the
+    *    window; a reference whose vocab tracks its size must replan.
+    * The persist changes no value anywhere; LanguageModelSpec pins both
+    * paths row-identical and the eager count serializes the cache fill
+    * the r15 lab saw the two builds race.
     */
-  def crossEntropy(reference: DataFrame, docs: DataFrame): DataFrame = {
-    val c12 = bigramCounts(reference)
+  def crossEntropy(reference: DataFrame, docs: DataFrame,
+                   smallBytes: Long = 4L << 20,
+                   persistCapBytes: Long = 256L << 20): DataFrame = {
+    val c12base = bigramCounts(reference)
+    val refBytes = AdaptiveGate.statBytes(reference)
+    val c12 =
+      if (refBytes < smallBytes || refBytes >= persistCapBytes) c12base
+      else {
+        val p = c12base.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
     val scored = docBigrams(docs)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c12, Seq("bg"), "left")

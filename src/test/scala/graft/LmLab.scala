@@ -42,15 +42,27 @@ object LmLab {
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(col("nll")), 6).as("cross_entropy"))
     }
-    val variants: Seq[(String, () => DataFrame)] = Seq(
-      "v0_shipped" -> (() =>
-        LanguageModel.crossEntropy(docs.filter(col("lang") === "en"), docs)),
+    // r16: crossEntropy gates the c12 persist on reference stats, so the
+    // lab forces each path explicitly — v0 = replan (the pre-r16 shape),
+    // v1 = persist (what the gate picks inside its window; forced here
+    // past the cap — OOMs at x1000 where vocab ∝ corpus, so filter it
+    // out there via the 2nd arg), vG = the shipped gate.
+    // Usage: LmLab [passes] [variantFilter,csv]
+    val all: Seq[(String, () => DataFrame)] = Seq(
+      "v0_replan" -> (() =>
+        LanguageModel.crossEntropy(docs.filter(col("lang") === "en"), docs,
+          smallBytes = Long.MaxValue)),
       "v1_persist" -> (() =>
-        persisted(docs.filter(col("lang") === "en"), docs)),
+        LanguageModel.crossEntropy(docs.filter(col("lang") === "en"), docs,
+          smallBytes = 0L, persistCapBytes = Long.MaxValue)),
+      "vG_shipped" -> (() =>
+        LanguageModel.crossEntropy(docs.filter(col("lang") === "en"), docs)),
       "v2_fanned" -> (() =>
-        LanguageModel.crossEntropy(fanned.filter(col("lang") === "en"), fanned)),
-      "v3_both" -> (() =>
         persisted(fanned.filter(col("lang") === "en"), fanned)))
+    val keep = args.lift(1).map(_.split(",").toSet)
+    val variants = all.filter { case (n, _) => keep.forall(_.contains(n)) }
+    println(s"LMREF statBytes=" + operators.AdaptiveGate.statBytes(
+      docs.filter(col("lang") === "en")))
     variants.foreach { case (_, fn) => Bench.evaluate(fn()) } // warm
     spark.catalog.clearCache()
     val best = scala.collection.mutable.Map.empty[String, Double]

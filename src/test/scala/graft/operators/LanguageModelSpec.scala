@@ -50,4 +50,19 @@ class LanguageModelSpec extends AnyFunSuite with Matchers with SparkFixture {
     LanguageModel.crossEntropy(reference, docs)
       .select("doc_id").as[Long].collect().toSeq shouldBe Seq(13L)
   }
+
+  test("crossEntropy: persisted-c12 scale path ≡ replan small path, row for row") {
+    // smallBytes = 0 forces the persist (strict AdaptiveGate), MaxValue
+    // forces the replan; the gate must be invisible in the output
+    val docs = graft.Tables.documents(spark, sf0001)
+    val ref = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+    def rows(smallBytes: Long): Seq[(Long, Long, Double)] =
+      LanguageModel.crossEntropy(ref, docs, smallBytes = smallBytes)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val replan = rows(Long.MaxValue)
+    val persisted = rows(0L)
+    replan should not be empty
+    persisted shouldBe replan
+    spark.catalog.clearCache() // drop the forced persist (shared fixture)
+  }
 }
